@@ -1,0 +1,92 @@
+"""Deterministic float aggregation helpers.
+
+Floating-point SUM/AVG are order-dependent: at cluster scale, partial
+aggregation + AQE make partition order nondeterministic, so two runs (or two
+engines) can disagree in the last bits, and decimal ROUND can then flip at a
+half boundary -- the classic differential-testing trap (SURVEY.md §7 risks).
+
+The fix used across this engine: accumulate in exact DECIMAL and cast the
+final value back to DOUBLE.
+
+    dsum(x)  = CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE)
+    davg(x)  = dsum(x) / COUNT(x)
+
+Because the testdata's doubles are exact <=6-decimal quantities (prices,
+discounts, and their small products), the DECIMAL cast is lossless, the sum
+is exact and order-independent, and the final double is bit-identical no
+matter which engine or plan computed it. The oracle SQL uses the same
+formula verbatim. Variance/stddev are derived from exact sums of x and x^2
+(scale 8 covers squared 4-decimal values).
+
+Cost note: Spark decimal sums stay inside whole-stage codegen (Tungsten
+Decimal128); at 100 TB this is the same single-shuffle partial+final
+HashAggregate as a double sum, just with 128-bit accumulators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: str | Column) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: str | Column, scale: int = 6, precision: int = 27) -> Column:
+    """Order-independent SUM over doubles (exact decimal accumulation)."""
+    return F.sum(_c(col).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def davg(col: str | Column, scale: int = 6, precision: int = 27) -> Column:
+    """Order-independent AVG: exact-sum double / non-null count."""
+    return dsum(col, scale, precision) / F.count(_c(col))
+
+
+def dsum_sq(col: str | Column, scale: int = 8, precision: int = 30) -> Column:
+    """Exact sum of squares (for deterministic variance/stddev)."""
+    c = _c(col)
+    return F.sum((c * c).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dvar_samp(col: str | Column) -> Column:
+    """Deterministic sample variance from exact sums:
+    (n*Σx² − (Σx)²) / (n*(n−1)). NULL when n < 2 (matches var_samp)."""
+    n = F.count(_c(col)).cast("double")
+    sx = dsum(col)
+    sxx = dsum_sq(col)
+    return F.when(n > 1, (n * sxx - sx * sx) / (n * (n - 1))).otherwise(F.lit(None))
+
+
+def dstddev_samp(col: str | Column) -> Column:
+    return F.sqrt(dvar_samp(col))
+
+
+def oracle_dsum(expr: str, scale: int = 6, precision: int = 27) -> str:
+    """The oracle-SQL rendering of ``dsum`` (identical formula for DuckDB)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+
+
+def oracle_davg(expr: str, scale: int = 6, precision: int = 27) -> str:
+    return f"({oracle_dsum(expr, scale, precision)} / COUNT({expr}))"
+
+
+def oracle_dsum_sq(expr: str, scale: int = 8, precision: int = 30) -> str:
+    return (
+        f"CAST(SUM(CAST((({expr}) * ({expr})) AS DECIMAL({precision},{scale})))"
+        " AS DOUBLE)"
+    )
+
+
+def oracle_dvar_samp(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    sx = oracle_dsum(expr)
+    sxx = oracle_dsum_sq(expr)
+    return (
+        f"(CASE WHEN {n} > 1 THEN ({n} * {sxx} - {sx} * {sx}) / ({n} * ({n} - 1))"
+        " ELSE NULL END)"
+    )
+
+
+def oracle_dstddev_samp(expr: str) -> str:
+    return f"SQRT({oracle_dvar_samp(expr)})"

@@ -1,0 +1,95 @@
+"""Topological pipeline runner -- the engine's rendering of the reference's
+orchestration layer.
+
+The reference's top-level dataflow is a 3-node Airflow DAG
+(`/root/reference/Iceberg-dbt-project/dags/bitcoin_pipeline_dag.py:26-44`:
+extract >> dbt run >> dbt test) where dbt itself resolves ``{{ ref(...) }}``
+edges between models (README.md:398). Here both layers collapse into one
+in-process registry: a ``Model`` is a named transform with declared refs; the
+runner topologically orders them and executes each exactly once, memoizing
+outputs -- dbt's DAG semantics without Thrift or containers (SURVEY.md §3.4:
+the control-plane boundaries are not query semantics).
+
+``threads=1`` dbt behavior (profiles.yml:10) corresponds to this serial
+executor; Spark-level parallelism is inside each model's job, which is where
+it belongs at cluster scale.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Model:
+    """A dbt-model analog: name + transform(refs...) -> DataFrame."""
+
+    name: str
+    fn: Callable[..., DataFrame]  # positional args = resolved refs, in order
+    refs: tuple[str, ...] = field(default_factory=tuple)
+
+
+class PipelineRunner:
+    """Resolve ref-edges, run models in dependency order (D2/D5)."""
+
+    def __init__(self) -> None:
+        self._models: dict[str, Model] = {}
+
+    def add(self, model: Model) -> None:
+        if model.name in self._models:
+            raise ValueError(f"duplicate model: {model.name}")
+        self._models[model.name] = model
+
+    def model(self, name: str, refs: tuple[str, ...] = ()):
+        """Decorator form: ``@runner.model('stg', refs=('raw',))``."""
+
+        def deco(fn: Callable[..., DataFrame]) -> Callable[..., DataFrame]:
+            self.add(Model(name=name, fn=fn, refs=refs))
+            return fn
+
+        return deco
+
+    def _toposort(self, targets: list[str], satisfied: set[str]) -> list[str]:
+        order: list[str] = []
+        state: dict[str, int] = {}  # 0=visiting, 1=done
+
+        def visit(n: str) -> None:
+            if n in satisfied or state.get(n) == 1:
+                return
+            if state.get(n) == 0:
+                raise ValueError(f"cycle through model {n!r}")
+            if n not in self._models:
+                raise KeyError(f"unknown ref {n!r}")
+            state[n] = 0
+            for r in self._models[n].refs:
+                visit(r)
+            state[n] = 1
+            order.append(n)
+
+        for t in targets:
+            visit(t)
+        return order
+
+    def run(
+        self,
+        targets: list[str] | None = None,
+        seeds: dict[str, DataFrame] | None = None,
+    ) -> dict[str, DataFrame]:
+        """Execute ``targets`` (default: all) and their upstream refs.
+
+        ``seeds`` pre-populates source models (the ingestion output), the
+        analog of the extract task feeding dbt (bitcoin_pipeline_dag.py:44).
+        Returns every materialized model by name.
+        """
+        results: dict[str, DataFrame] = dict(seeds or {})
+        names = targets if targets is not None else list(self._models)
+        todo = [t for t in names if t not in results]
+        for n in self._toposort(todo, satisfied=set(results)):
+            if n in results:
+                continue
+            m = self._models[n]
+            results[n] = m.fn(*[results[r] for r in m.refs])
+        return results
