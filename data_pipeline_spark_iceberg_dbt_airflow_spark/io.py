@@ -14,6 +14,7 @@ express filters/projections declaratively (verified in tests via
 
 from __future__ import annotations
 
+import datetime as dt
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -56,25 +57,97 @@ def _nanos_columns(path: str) -> list[str]:
     return _NANOS_COLS_CACHE[path]
 
 
+def _ensure_nanos_conf(spark: SparkSession) -> None:
+    # Normally set at session build (session.py); safety net for sessions
+    # built elsewhere. Session-wide by design -- see get_spark_session doc.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _convert_ns(df: DataFrame, ns_cols: list[str]) -> DataFrame:
+    """Floor-convert raw INT64 nano columns to microsecond TimestampType.
+
+    `x DIV 1000` keeps full integer precision; DuckDB 1.0's parquet reader
+    truncates ns->us identically, so both engines see the same instants
+    (pinned-version assumption -- oracle SQL additionally CASTs raw-ts
+    selections to microsecond TIMESTAMP so a DuckDB upgrade to native
+    TIMESTAMP_NS reads stays comparable).
+    """
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S7: table scan).
 
     Parquet TIMESTAMP(NANOS) columns (events.ts, lineitem.l_shipdate) are
-    illegal for Spark 4's vectorized reader; we read them as raw INT64
-    nanos (`spark.sql.legacy.parquet.nanosAsLong`) and floor-convert to
-    microsecond TimestampType JVM-side (`x DIV 1000` keeps full integer
-    precision). DuckDB's parquet reader truncates ns->us the same way, so
-    both engines see identical instants. The conversion is a cheap
-    projection inside whole-stage codegen; pushdown on other columns is
-    unaffected.
+    illegal for Spark 4's vectorized reader; with the session-wide
+    ``nanosAsLong`` conf they arrive as raw INT64 nanos and are converted
+    JVM-side. The conversion is a cheap projection inside whole-stage
+    codegen; pushdown on other columns is unaffected. Predicates on the
+    TIME column itself would land on a derived expression the reader can't
+    prune -- for those use :func:`scan_time_range`, which pushes raw-INT64
+    bounds into the scan before converting.
     """
     path = table_path(sf_dir, name)
     ns_cols = _nanos_columns(path)
     if ns_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_nanos_conf(spark)
+    return _convert_ns(spark.read.parquet(path), ns_cols)
+
+
+#: UTC epoch for ns-bound arithmetic (integer, no float roundtrip).
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _iso_to_ns(iso: str) -> int:
+    """ISO-8601 (naive = UTC) -> integer nanoseconds since epoch."""
+    d = dt.datetime.fromisoformat(iso)
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return ((d - _EPOCH) // dt.timedelta(microseconds=1)) * 1000
+
+
+def scan_time_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lo_iso: str | None = None,
+    hi_iso: str | None = None,
+) -> DataFrame:
+    """Table scan with a PUSHED-DOWN time-range predicate (S7 + P5).
+
+    This is the engine's rendering of the reference's partition-pruning
+    story -- Iceberg hidden `days(extracted_at)` partitioning
+    (extract_bitcoin_prices.py:144) lets time predicates prune files. Here
+    the time column is stored as TIMESTAMP(NANOS): filtering after the
+    ns->us conversion would defeat parquet row-group pruning (the predicate
+    lands on a derived expression), so we compare the RAW INT64 nanos
+    against integer bounds first -- the comparison reaches the reader as a
+    plain long filter (visible as PushedFilters in the plan, asserted in
+    tests) -- and convert to TimestampType afterwards. [lo, hi) semantics.
+
+    At 100 TB this is the difference between scanning every row-group and
+    skipping everything outside the window via parquet min/max stats.
+    """
+    path = table_path(sf_dir, name)
+    ns_cols = _nanos_columns(path)
+    _ensure_nanos_conf(spark)
     df = spark.read.parquet(path)
-    for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+    if ts_col in ns_cols:
+        if lo_iso is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(_iso_to_ns(lo_iso)))
+        if hi_iso is not None:
+            df = df.filter(F.col(ts_col) < F.lit(_iso_to_ns(hi_iso)))
+        df = _convert_ns(df, ns_cols)
+    else:
+        df = _convert_ns(df, ns_cols)
+        if lo_iso is not None:
+            df = df.filter(F.col(ts_col) >= F.lit(lo_iso).cast("timestamp"))
+        if hi_iso is not None:
+            df = df.filter(F.col(ts_col) < F.lit(hi_iso).cast("timestamp"))
     return df
 
 

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import det
-from ..io import read_table
+from ..io import read_table, scan_time_range
 from .registry import register
 
 
@@ -80,7 +80,7 @@ def ref_fct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ref_topk_latest",
     oracle="""
-        SELECT event_id, ts, event_type, value
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
         FROM events
         ORDER BY ts DESC, event_id DESC
         LIMIT 5
@@ -129,33 +129,64 @@ def ref_identity_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, 'feed_a' AS source, value AS price_usd FROM events
         WHERE event_type = 'click'
         UNION ALL
-        SELECT event_id, 'feed_b' AS source, ROUND(value * 0.85, 6) AS price_usd
+        SELECT event_id, 'feed_b' AS source,
+               CAST(CAST(value * 0.85 AS DECIMAL(27,6)) AS DOUBLE) AS price_usd
         FROM events WHERE event_type = 'view'
         UNION ALL
         SELECT event_id, 'feed_c' AS source, CAST(NULL AS DOUBLE) AS price_usd
         FROM events WHERE event_type = 'error'
     """,
     doc="§2.7 multi-source batch assembly: the extractor's 3-way list append "
-    "(extract_bitcoin_prices.py:150-172) as an explicit UNION ALL, including "
-    "S2's fixed-FX derivation (*0.85, :84) and S3's NULL padding (:109-111).",
+    "(extract_bitcoin_prices.py:150-172) incl. S2's fixed-FX derivation "
+    "(*0.85, :84) and S3's NULL padding (:109-111). The branches are disjoint "
+    "filters over ONE table, so the Spark plan multiplexes a SINGLE scan with "
+    "CASE projections instead of the literal 3-scan UNION ALL (at 100 TB a "
+    "triple scan of the same source is pure waste); the oracle keeps the "
+    "UNION ALL form -- identical rows, different physical strategy.",
     tags=("reference", "setop"),
 )
 def ref_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    a = ev.filter(F.col("event_type") == "click").select(
-        "event_id", F.lit("feed_a").alias("source"), F.col("value").alias("price_usd")
-    )
-    b = ev.filter(F.col("event_type") == "view").select(
+    et = F.col("event_type")
+    return ev.filter(et.isin("click", "view", "error")).select(
         "event_id",
-        F.lit("feed_b").alias("source"),
-        F.round(F.col("value") * F.lit(0.85), 6).alias("price_usd"),
+        F.when(et == "click", F.lit("feed_a"))
+        .when(et == "view", F.lit("feed_b"))
+        .otherwise(F.lit("feed_c"))
+        .alias("source"),
+        F.when(et == "click", F.col("value"))
+        .when(
+            et == "view",
+            # decimal-cast instead of ROUND: identical half-boundary behavior
+            # in Spark and DuckDB (functions/det.py rationale)
+            (F.col("value") * F.lit(0.85)).cast("decimal(27,6)").cast("double"),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("price_usd"),
     )
-    c = ev.filter(F.col("event_type") == "error").select(
-        "event_id",
-        F.lit("feed_c").alias("source"),
-        F.lit(None).cast("double").alias("price_usd"),
+
+
+@register(
+    "ref_time_range_pruned",
+    oracle="""
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+    """,
+    doc="P5/S7 time-range scan with the predicate PUSHED into the parquet "
+    "reader: the engine analog of the reference's hidden day-partition "
+    "pruning (days(extracted_at), extract_bitcoin_prices.py:144). The ns "
+    "timestamp is compared as raw INT64 bounds before conversion, so parquet "
+    "row-group min/max stats skip everything outside the window -- the 100 TB "
+    "make-or-break for time-series queries (plan asserted in tests).",
+    tags=("reference", "filter", "pruning"),
+)
+def ref_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = scan_time_range(
+        spark, sf_dir, "events", "ts", "2024-01-10T00:00:00", "2024-01-20T00:00:00"
     )
-    return a.unionByName(b).unionByName(c)
+    return df.select("event_id", "ts", "event_type", "value")
 
 
 @register(

@@ -8,9 +8,12 @@ registry, so local pytest exercises exactly the contract the driver checks.
 
 Column-name discipline: the driver's comparator sorts columns by name before
 hashing, so the Spark implementation and the oracle MUST alias every computed
-column identically. Float discipline: aggregate outputs over DOUBLE are
-rounded (2-6 decimals) on BOTH sides so summation-order nondeterminism cannot
-flip the hash.
+column identically. Float discipline: DOUBLE aggregates are never computed as
+float sums -- both sides accumulate in exact DECIMAL via functions/det.py
+(``dsum``/``davg``/... and their ``oracle_*`` renderings use the identical
+formula), so results are order-independent and bit-identical across engines;
+plain ROUND over double expressions is avoided (cross-engine half-boundary
+behavior differs -- use a DECIMAL cast instead, see det.py).
 """
 
 from __future__ import annotations

@@ -20,6 +20,7 @@ Scale notes (100 TB target):
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import SparkSession
 
@@ -46,8 +47,28 @@ def get_spark_session(
     ``enable_iceberg`` adds the Iceberg catalog configs the reference uses
     (extract_bitcoin_prices.py:23-30); it only works when the
     iceberg-spark-runtime jar is on the classpath, so it is opt-in.
+
+    Session-wide contract: ``spark.sql.legacy.parquet.nanosAsLong=true`` is
+    set HERE, deliberately and globally -- parquet TIMESTAMP(NANOS) columns
+    (events.ts, lineitem.l_shipdate) arrive as raw INT64 nanos everywhere in
+    the session. ``io.read_table`` converts them to microsecond timestamps;
+    anything that needs a pushed-down time predicate filters on the raw longs
+    first (``io.scan_time_range``). This replaces round-1's sticky per-read
+    conf flip with an explicit session invariant.
+
+    ``driver_memory`` only takes effect for the FIRST session in the process
+    (the JVM is already up on ``getOrCreate`` reuse); a mismatch warns.
     """
     cpus = default_parallelism()
+    active = SparkSession.getActiveSession()
+    if active is not None and driver_memory is not None:
+        current = active.conf.get("spark.driver.memory", "")
+        if current and current != driver_memory:
+            warnings.warn(
+                f"driver_memory={driver_memory!r} ignored: session already "
+                f"running with {current!r} (JVM memory is first-session-only)",
+                stacklevel=2,
+            )
     builder = (
         SparkSession.builder.master(master or f"local[{cpus}]")
         .appName(app_name)
@@ -58,6 +79,7 @@ def get_spark_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or "24g")
     )
