@@ -53,3 +53,24 @@ def test_union_sources_single_scan(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ref_topk_latest")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    """The explicit F.broadcast(part) must produce a BroadcastHashJoin: the
+    lineitem side never shuffles for the join."""
+    plan = _plan(spark, sf_dir, "join_broadcast_brand_revenue")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    """Non-equi band join: small side broadcast, never a shuffled cartesian."""
+    plan = _plan(spark, sf_dir, "join_range_price_bands")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_asof_join_is_joinless(spark, sf_dir):
+    """The as-of implementation is union-marker + window: no join operator."""
+    plan = _plan(spark, sf_dir, "join_asof_last_click")
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
