@@ -23,6 +23,7 @@ def _load_all() -> None:
         joins,
         reference,
         scalars,
+        setops,
         similarity,
         sorts,
         text,

@@ -69,6 +69,18 @@ def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_global_sort_uses_range_partitioning(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sort_global_orders")
+    assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
+    """Partition-local sort must not introduce a shuffle."""
+    plan = _plan(spark, sf_dir, "sort_within_partitions")
+    assert "Exchange" not in plan, plan
+    assert "Sort" in plan, plan
+
+
 def test_asof_join_is_joinless(spark, sf_dir):
     """The as-of implementation is union-marker + window: no join operator."""
     plan = _plan(spark, sf_dir, "join_asof_last_click")
