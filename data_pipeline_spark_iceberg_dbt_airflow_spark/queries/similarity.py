@@ -103,15 +103,26 @@ def _o_cosine(a: str, b: str) -> str:
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < QUERY_N).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    # Norms once per VECTOR (pre-join projection), not once per PAIR:
+    # cuts the fold work per pair from 3 to 1. Same doubles -- a vector's
+    # norm is pair-independent -- so oracle parity is unaffected.
+    emb_n = emb.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb_n.where(F.col("vec_id") < QUERY_N).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        emb_n.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -149,13 +160,17 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < QUERY_N).select(
+    emb_n = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb_n.where(F.col("vec_id") < QUERY_N).select(
         F.col("vec_id").alias("q_id"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
     scored = (
-        emb.join(
+        emb_n.join(
             F.broadcast(q),
             (F.col("label") == F.col("q_label"))
             & (F.col("vec_id") != F.col("q_id")),
@@ -163,7 +178,10 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "q_id",
             "vec_id",
-            cosine(F.col("q_emb"), F.col("embedding")).alias("cosine"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
@@ -192,15 +210,22 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("embedding").alias("emb_a")
+    emb_n = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
-    b = emb.select(
+    a = emb_n.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = emb_n.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
-    cos = cosine(F.col("emb_a"), F.col("emb_b"))
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     return (
         a.join(
             b,
