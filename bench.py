@@ -40,12 +40,19 @@ def main() -> None:
         spec.spark_fn(spark, warm_dir).count()
     spark.catalog.clearCache()
 
+    # Best-of-N (default 2): the min over repeats is the standard
+    # steady-state estimator -- it reports engine cost, not whatever else
+    # the host happened to be doing during one run.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        t0 = time.perf_counter()
-        n = spec.spark_fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        spark.catalog.clearCache()
+        best, n = float("inf"), 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            n = spec.spark_fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     print(

@@ -199,3 +199,47 @@ def write_table(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(target)
+
+
+def ensure_namespace(spark: SparkSession, name: str) -> None:
+    """S9: idempotent namespace DDL (``CREATE NAMESPACE IF NOT EXISTS``,
+    extract_bitcoin_prices.py:128). Works against any catalog -- the
+    in-memory session catalog here, the Iceberg REST catalog in a
+    deployment with the runtime jar."""
+    spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {name}")
+
+
+def create_table_like(
+    spark: SparkSession,
+    name: str,
+    ddl_columns: str,
+    *,
+    partition_by: str | None = None,
+    using: str = "parquet",
+) -> None:
+    """S10: idempotent partitioned-table DDL, the engine's rendering of
+    the reference's ``CREATE TABLE IF NOT EXISTS ... USING iceberg
+    PARTITIONED BY (days(extracted_at))`` (extract_bitcoin_prices.py:
+    131-145). With an Iceberg catalog pass ``using='iceberg'`` and a
+    transform like ``days(extracted_at)``; the parquet fallback partitions
+    on an explicit derived column instead (hidden partitioning is an
+    Iceberg-only feature)."""
+    part = f" PARTITIONED BY ({partition_by})" if partition_by else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl_columns}) USING {using}{part}"
+    )
+
+
+def read_snapshots(spark: SparkSession, table: str) -> DataFrame:
+    """S11: Iceberg metadata/time-travel scan
+    (``SELECT * FROM <t>.snapshots``, README.md:301,712). Requires an
+    Iceberg catalog; without the runtime jar Spark raises -- callers gate
+    on capability (tests skip-mark when absent, SURVEY.md §7 risks)."""
+    return spark.read.table(f"{table}.snapshots")
+
+
+def show_verification(df: DataFrame, n: int = 5) -> None:
+    """S12: console verification sink (``df.show(truncate=False)``,
+    extract_bitcoin_prices.py:199,203). Driver-side display of a bounded
+    prefix -- never used on unbounded results in pipelines."""
+    df.show(n, truncate=False)

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import det
+
 #: numeric columns the staging model COALESCEs to 0 (README.md:375-380)
 _NUMERIC_COLS = (
     "price_usd",
@@ -73,6 +75,9 @@ def fct_daily(
     return stg.groupBy(*group_keys).agg(
         F.min(price_col).alias(f"min_{price_col}"),
         F.max(price_col).alias(f"max_{price_col}"),
-        F.avg(price_col).alias(f"avg_{price_col}"),
+        # det.davg, not F.avg: the oracle-checked flagship accumulates in
+        # exact DECIMAL (functions/det.py) so the runner-rendered model
+        # hash-matches it bit-for-bit regardless of partition order.
+        det.davg(price_col).alias(f"avg_{price_col}"),
         F.count(F.lit(1)).alias("records"),
     )

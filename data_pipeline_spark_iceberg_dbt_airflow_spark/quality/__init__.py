@@ -1,0 +1,10 @@
+"""Data-quality checks (SURVEY.md §5, dbt-test stage D3)."""
+
+from .checks import (  # noqa: F401
+    CheckResult,
+    accepted_values,
+    not_null,
+    relationships,
+    run_checks,
+    unique,
+)

@@ -26,6 +26,8 @@ def _load_all() -> None:
         setops,
         similarity,
         sorts,
+        streaming_batch,
         text,
+        udf_surface,
         windows,
     )

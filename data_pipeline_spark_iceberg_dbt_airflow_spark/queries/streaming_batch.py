@@ -1,0 +1,155 @@
+"""Streaming-shaped aggregations, batch-checkable (SURVEY.md §2.9, [ext]).
+
+The reference is strictly batch -- "streaming" is Airflow's @hourly
+append (/root/reference/Iceberg-dbt-project/dags/bitcoin_pipeline_dag.py:19)
+-- but the capability envelope includes event-time windowing. These
+queries use the STREAMING operators (``F.window``, ``F.session_window``)
+in batch mode over ``events``, which is exactly how Structured Streaming
+executes them per micro-batch; the DuckDB oracle proves the event-time
+semantics. The genuinely-streaming runtime pieces (watermark, state,
+incremental triggers) live in ``streaming/jobs.py`` and are exercised by
+pytest with real readStream/writeStream runs against the same batch
+results.
+
+Scale notes: windowed groupBys are ordinary partial+final HashAggregates
+on (window, keys) -- one shuffle; the sliding window multiplies rows by
+window/slide (here 2x) BEFORE the partial agg, which is the documented
+cost of overlap. Session windows shuffle once on the session keys and
+merge per-key sorted runs; skewed users are the risk at 100 TB (AQE skew
+splitting cannot split one key -- salting by day first if a key is
+pathological).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import det
+from ..io import read_table
+from .registry import register
+
+#: Session gap: ~7 h median inter-event gap per user in the testdata, so a
+#: 6 h gap yields a meaningful mix of merged and singleton sessions.
+SESSION_GAP = "6 hours"
+
+
+@register(
+    "stream_tumbling_daily",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS win_start,
+               time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))
+                   + INTERVAL 1 DAY AS win_end,
+               event_type,
+               COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+    doc="T1 tumbling event-time window: per-day, per-type counts and "
+    "deterministic sums via F.window(ts, '1 day') -- identical semantics "
+    "batch or micro-batch (epoch-aligned buckets in both engines).",
+    bench=True,
+    tags=("streaming", "window-agg"),
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            det.dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding_day_half",
+    oracle=f"""
+        WITH shifted AS (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
+                   time_bucket(INTERVAL 12 HOUR, CAST(ts AS TIMESTAMP))
+                       - k.k * INTERVAL 12 HOUR AS win_start
+            FROM events
+            CROSS JOIN (SELECT unnest(range(2)) AS k) k)
+        SELECT win_start, win_start + INTERVAL 1 DAY AS win_end,
+               COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
+        FROM shifted
+        GROUP BY 1, 2
+    """,
+    doc="T1 sliding window (1 day every 12 h): each event lands in "
+    "window/slide = 2 overlapping windows. Spark expands rows before the "
+    "partial aggregate; the oracle mirrors the expansion with an explicit "
+    "2-way shift-join. Overlap factor is the scale cost knob.",
+    tags=("streaming", "window-agg"),
+)
+def stream_sliding_day_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day", "12 hours"))
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            det.dsum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        marked AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 6 HOUR
+                        THEN 1 ELSE 0 END AS new_session
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+            FROM marked)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 6 HOUR AS session_end,
+               COUNT(*) AS events
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+    doc="T2 session windows: per-user activity sessions with a 6 h "
+    "inactivity gap via F.session_window -- a session spans "
+    "[first_event, last_event + gap). The oracle is the gaps-and-islands "
+    "rendering (LAG >= gap marks a boundary; running sum numbers the "
+    "islands), proving Spark's merge semantics including the >=-gap "
+    "boundary. One shuffle on user_id.",
+    bench=True,
+    tags=("streaming", "session-window"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "events",
+        )
+    )

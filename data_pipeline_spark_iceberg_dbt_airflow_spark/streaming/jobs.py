@@ -1,0 +1,126 @@
+"""Structured Streaming jobs (SURVEY.md §2.9 T3-T4, [ext]).
+
+The reference emulates streaming with hourly batch appends
+(/root/reference/Iceberg-dbt-project/dags/bitcoin_pipeline_dag.py:19,
+scripts/extract_bitcoin_prices.py:193); the upgrade path the survey maps
+(§1.4) is Structured Streaming with the same sinks. This module provides
+that path: file-source readStream -> event-time windowed aggregation with
+a WATERMARK (bounded state, late-data drop) -> sink, plus a custom
+stateful operator through ``applyInPandasWithState``.
+
+Batch/stream parity: ``windowed_counts`` composes the SAME window
+aggregation the batch registry query uses, so pytest can run the stream
+to completion (trigger availableNow) and hash its output against the
+batch result -- the micro-batch model guarantees they agree.
+
+Scale notes: watermark delay bounds state size (state store keeps only
+windows newer than max_event_time - delay); without it an event-time agg
+on an unbounded stream retains every window forever. State lives in the
+executor state store partitioned by group key -- the same skew rules as
+any keyed shuffle apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """File-source stream over a directory of parquet micro-batches --
+    the streaming rendering of the reference's append-only raw table
+    (each hourly append = one new file = one micro-batch)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 day",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """T3: event-time tumbling counts with a watermark.
+
+    The watermark declares "accept events up to ``watermark`` late";
+    windows older than the watermark are finalized and their state
+    dropped -- the knob that keeps state bounded on an infinite stream.
+    Works identically on a batch DataFrame (watermark is a no-op there),
+    which is how tests prove parity.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "events",
+        )
+    )
+
+
+#: Output schema of the stateful running-count operator.
+RUNNING_COUNT_SCHEMA = "user_id bigint, total_events bigint"
+_STATE_SCHEMA = "n bigint"
+
+
+def _running_count(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterable[pd.DataFrame]:
+    """Per-user running event count across micro-batches.
+
+    State = one bigint per user, updated per micro-batch -- the minimal
+    custom stateful operator (the ``mapGroupsWithState`` analog the
+    survey names, §2.9). Arrow-batched: each micro-batch's rows for this
+    key arrive as pandas DataFrames, counted vectorized.
+    """
+    seen = sum(len(b) for b in batches)
+    total = (state.get[0] if state.exists else 0) + seen
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [key[0]], "total_events": [total]})
+
+
+def running_counts(events: DataFrame) -> DataFrame:
+    """T4: custom stateful aggregation via applyInPandasWithState.
+
+    Emits each user's cumulative event count after every micro-batch.
+    Update-mode output; state never times out (NoTimeout) because the
+    count is cumulative over the stream's lifetime.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_count,
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame,
+    *,
+    table_name: str,
+    output_mode: str = "append",
+) -> None:
+    """Drain a bounded stream into an in-memory sink (trigger
+    availableNow: process everything available, then stop) -- the test
+    harness for streaming jobs; production swaps the sink for parquet/
+    Iceberg with the same trigger for incremental batch."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

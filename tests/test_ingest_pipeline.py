@@ -1,0 +1,281 @@
+"""Ingestion (S1-S5), pipeline runner (D2/D5), quality checks (D3), and
+writer (S6/S8/S10) tests over the bitcoin-shaped fixture.
+
+This is SURVEY.md §5's "Pipeline test": the reference's whole DAG --
+extract -> transform -> test -- run in-process on injected fake fetchers,
+with the fct output hash-checked against a DuckDB oracle computing the
+identical SQL.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.functions import det
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import write_table
+from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.models import (
+    fct_daily,
+    stg_from_raw,
+)
+from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.runner import (
+    Model,
+    PipelineRunner,
+)
+from data_pipeline_spark_iceberg_dbt_airflow_spark.quality import (
+    accepted_values,
+    not_null,
+    relationships,
+    run_checks,
+    unique,
+)
+from data_pipeline_spark_iceberg_dbt_airflow_spark.sources import (
+    BITCOIN_SCHEMA,
+    extract_batch,
+    standard_sources,
+)
+
+from .oracle import compare
+
+T0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+GECKO_OK = {
+    "bitcoin": {
+        "usd": 61000.5,
+        "eur": 56500.25,
+        "brl": 305002.5,
+        "usd_market_cap": 1.2e12,
+        "usd_24h_vol": 3.1e10,
+        "usd_24h_change": -1.25,
+    }
+}
+COINCAP_OK = {
+    "data": {
+        "priceUsd": "61010.75",
+        "marketCapUsd": "1.21e12",
+        "volumeUsd24Hr": "3.05e10",
+        "changePercent24Hr": "-1.31",
+    }
+}
+BLOCKCHAIN_OK = {
+    "USD": {"last": 60990.0},
+    "EUR": {"last": 56420.0},
+    "BRL": {"last": 304800.0},
+}
+
+
+def _fetchers(gecko=GECKO_OK, coincap=COINCAP_OK, chain=BLOCKCHAIN_OK):
+    def make(payload):
+        def fetch():
+            if isinstance(payload, Exception):
+                raise payload
+            return payload
+
+        return fetch
+
+    return {
+        "coingecko": make(gecko),
+        "coincap": make(coincap),
+        "blockchain_info": make(chain),
+    }
+
+
+# --- S1-S5 ingestion semantics ---------------------------------------------
+
+
+def test_batch_all_sources(spark):
+    df = extract_batch(spark, standard_sources(_fetchers()), now=T0)
+    rows = {r.source: r for r in df.collect()}
+    assert df.schema == BITCOIN_SCHEMA
+    assert set(rows) == {"coingecko", "coincap", "blockchain_info"}
+    # one timestamp per batch, shared by every row (:151)
+    assert {r.extracted_at for r in rows.values()} == {T0}
+    # S2 fixed-FX derivation (:84-85)
+    cc = rows["coincap"]
+    assert cc.price_eur == pytest.approx(61010.75 * 0.85)
+    assert cc.price_brl == pytest.approx(61010.75 * 5.50)
+    # S3 NULL padding (:109-111)
+    bc = rows["blockchain_info"]
+    assert bc.market_cap_usd is None
+    assert bc.volume_24h_usd is None
+    assert bc.change_24h_pct is None
+
+
+def test_batch_isolates_transport_failure(spark):
+    f = _fetchers(gecko=RuntimeError("HTTP 429"))
+    df = extract_batch(spark, standard_sources(f), now=T0)
+    assert {r.source for r in df.collect()} == {"coincap", "blockchain_info"}
+
+
+def test_batch_isolates_parse_failure(spark):
+    # well-formed transport, malformed payload -> KeyError inside parse
+    f = _fetchers(chain={"USD": {}})
+    df = extract_batch(spark, standard_sources(f), now=T0)
+    assert {r.source for r in df.collect()} == {"coingecko", "coincap"}
+
+
+def test_batch_all_fail_aborts(spark):
+    f = _fetchers(
+        gecko=RuntimeError("x"), coincap=RuntimeError("y"), chain=RuntimeError("z")
+    )
+    assert extract_batch(spark, standard_sources(f), now=T0) is None
+
+
+# --- D2/D5 runner + end-to-end oracle --------------------------------------
+
+
+def _raw_fixture(spark):
+    """Three hourly batches, middle one degraded to two sources."""
+    batches = [
+        extract_batch(spark, standard_sources(_fetchers()), now=T0),
+        extract_batch(
+            spark,
+            standard_sources(_fetchers(coincap=RuntimeError("down"))),
+            now=T0 + dt.timedelta(hours=1),
+        ),
+        extract_batch(spark, standard_sources(_fetchers()), now=T0 + dt.timedelta(days=1)),
+    ]
+    out = batches[0]
+    for b in batches[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def test_runner_executes_in_ref_order(spark):
+    runner = PipelineRunner()
+    runner.add(Model("stg_bitcoin_prices", stg_from_raw, refs=("raw_bitcoin_prices",)))
+    runner.add(Model("fct_bitcoin_daily", fct_daily, refs=("stg_bitcoin_prices",)))
+    out = runner.run(seeds={"raw_bitcoin_prices": _raw_fixture(spark)})
+    fct = out["fct_bitcoin_daily"]
+    assert set(fct.columns) == {
+        "extraction_date",
+        "data_source",
+        "crypto_symbol",
+        "min_price_usd",
+        "max_price_usd",
+        "avg_price_usd",
+        "records",
+    }
+    # 2 dates x 3 sources = 6 groups (batch 2's missing coincap doesn't
+    # drop the group -- batch 1 covers that (date, source))
+    assert fct.count() == 6
+
+
+def test_runner_rejects_unknown_ref(spark):
+    runner = PipelineRunner()
+    runner.add(Model("fct", fct_daily, refs=("missing",)))
+    with pytest.raises(KeyError):
+        runner.run()
+
+
+def test_pipeline_matches_duckdb_oracle(spark, tmp_path):
+    """raw -> stg -> fct hash-matches DuckDB running the reference's model
+    SQL (README.md:368-400) with the engine's det.davg formula."""
+    raw_path = str(tmp_path / "raw_bitcoin_prices")
+    write_table(_raw_fixture(spark), raw_path, mode="replace")
+    fct = fct_daily(stg_from_raw(spark.read.parquet(raw_path)))
+    oracle_sql = f"""
+        WITH stg AS (
+            SELECT source AS data_source,
+                   symbol AS crypto_symbol,
+                   COALESCE(price_usd, 0) AS price_usd,
+                   CAST(extracted_at AS DATE) AS extraction_date
+            FROM read_parquet('{raw_path}/*.parquet'))
+        SELECT extraction_date, data_source, crypto_symbol,
+               MIN(price_usd) AS min_price_usd,
+               MAX(price_usd) AS max_price_usd,
+               {det.oracle_davg("price_usd")} AS avg_price_usd,
+               COUNT(*) AS records
+        FROM stg GROUP BY 1, 2, 3
+    """
+    con = duckdb.connect()
+    try:
+        compare(fct, con.sql(oracle_sql).df())
+    finally:
+        con.close()
+
+
+def test_stg_coalesces_nulls_to_zero(spark):
+    """The staging model's NULL->0 canonicalization (README.md:375-380)
+    applied to blockchain_info's padded NULLs."""
+    stg = stg_from_raw(_raw_fixture(spark))
+    bc = stg.where("data_source = 'blockchain_info'").collect()
+    assert bc and all(r.market_cap_usd == 0.0 for r in bc)
+    assert all(r.volume_24h_usd == 0.0 for r in bc)
+
+
+# --- D3 quality checks ------------------------------------------------------
+
+
+def test_quality_checks_pass_on_fixture(spark):
+    stg = stg_from_raw(_raw_fixture(spark))
+    sources = spark.createDataFrame(
+        [("coingecko",), ("coincap",), ("blockchain_info",)], "name string"
+    )
+    results = [
+        not_null(stg, "data_source"),
+        not_null(stg, "extraction_date"),
+        accepted_values(
+            stg, "data_source", ["coingecko", "coincap", "blockchain_info"]
+        ),
+        relationships(stg, "data_source", sources, "name"),
+    ]
+    assert run_checks(results), [str(r) for r in results]
+
+
+def test_quality_checks_fail_on_violations(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), (None, 3), ("zzz", 3)],
+        "data_source string, k int",
+    )
+    parent = spark.createDataFrame([("a",)], "name string")
+    r = not_null(df, "data_source")
+    assert not r.passed and r.failing_rows == 1
+    r = unique(df, "k")
+    assert not r.passed and r.failing_rows == 1  # one extra '3'
+    r = accepted_values(df, "data_source", ["a"])
+    assert not r.passed and r.failing_rows == 1  # 'zzz'
+    r = relationships(df, "data_source", parent, "name")
+    assert not r.passed and r.failing_rows == 1  # 'zzz' orphan
+    r = unique(df.where("k < 3"), "k")
+    assert r.passed
+
+
+# --- S6/S8/S10 writers ------------------------------------------------------
+
+
+def test_write_append_accumulates(spark, tmp_path):
+    target = str(tmp_path / "t_append")
+    df = _raw_fixture(spark)
+    n = df.count()
+    write_table(df, target, mode="append")
+    write_table(df, target, mode="append")
+    assert spark.read.parquet(target).count() == 2 * n
+
+
+def test_write_replace_overwrites(spark, tmp_path):
+    target = str(tmp_path / "t_replace")
+    df = _raw_fixture(spark)
+    write_table(df, target, mode="append")
+    write_table(df, target, mode="replace")
+    assert spark.read.parquet(target).count() == df.count()
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    """Parquet rendering of Iceberg's hidden day partitioning (S10,
+    extract_bitcoin_prices.py:144): one directory per extraction_date,
+    readable back with identical content."""
+    import os
+
+    target = str(tmp_path / "t_part")
+    stg = stg_from_raw(_raw_fixture(spark))
+    write_table(stg, target, mode="replace", partition_by=["extraction_date"])
+    parts = [d for d in os.listdir(target) if d.startswith("extraction_date=")]
+    assert len(parts) == 2  # two distinct dates in the fixture
+    back = spark.read.parquet(target)
+    assert back.count() == stg.count()
+    # partition pruning: filtering one date must scan one partition
+    one = back.where("extraction_date = DATE'2024-03-01'")
+    assert one.count() == 5  # batch1 (3 sources) + degraded batch2 (2)

@@ -1,0 +1,123 @@
+"""Tests for the UDF tiers (X1/X2), multimodal operators, and the
+catalog/DDL helpers (S9-S12)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+    create_table_like,
+    ensure_namespace,
+    read_table,
+    show_verification,
+)
+from data_pipeline_spark_iceberg_dbt_airflow_spark.operators import (
+    FEATURE_DIM,
+    decode_media,
+    doc_bands,
+    doc_bands_mapinpandas,
+    extract_features,
+    resize_meta,
+    sample_frames,
+    synth_media,
+)
+
+
+# --- X1/X2 UDF tiers --------------------------------------------------------
+
+
+def test_udf_tiers_agree(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    want = {r.doc_id: r.band for r in doc_bands(docs, "builtin").collect()}
+    for impl in ("udf", "pandas"):
+        got = {r.doc_id: r.band for r in doc_bands(docs, impl).collect()}
+        assert got == want, impl
+    got = {r.doc_id: r.band for r in doc_bands_mapinpandas(docs).collect()}
+    assert got == want
+
+
+def test_row_udf_plan_shows_python_eval(spark, sf_dir):
+    """The row UDF must be visibly the slow path (BatchEvalPython node);
+    the built-in rendering must not leave the JVM."""
+    docs = read_table(spark, sf_dir, "documents")
+    assert "BatchEvalPython" in doc_bands(docs, "udf")._jdf.queryExecution().toString()
+    assert (
+        "Python" not in doc_bands(docs, "builtin")._jdf.queryExecution().toString()
+    )
+
+
+# --- multimodal -------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return synth_media(spark, read_table(spark, sf_dir, "documents"))
+
+
+def test_decode_stub_is_deterministic_and_gated(media):
+    a = decode_media(b"abc", "fake")
+    b = decode_media(b"abc", "fake")
+    assert (a == b).all() and len(a) == 32 and 0 <= a.min() <= a.max() <= 1
+    with pytest.raises(NotImplementedError):
+        decode_media(b"abc", "jpeg", fake=False)
+
+
+def test_extract_features_shape(media):
+    feats = extract_features(media).collect()
+    assert len(feats) == media.count()
+    assert all(len(r.feature) == FEATURE_DIM for r in feats)
+    # payload must not flow downstream
+    assert "payload" not in extract_features(media).columns
+    # deterministic: same media_id -> same feature on rerun
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert all(again[r.media_id] == r.feature for r in feats)
+
+
+def test_resize_clamps_aspect(media):
+    out = resize_meta(media, 32, 32).collect()
+    for r in out:
+        assert r.meta.width <= 32 and r.meta.height <= 32
+
+
+def test_sample_frames_counts(media):
+    rows = sample_frames(media, every_ms=1000).collect()
+    vids = {
+        r.media_id: r.meta.duration_ms
+        for r in media.where("kind = 'video'").collect()
+    }
+    assert {r.media_id for r in rows} == set(vids)
+    from collections import Counter
+
+    per = Counter(r.media_id for r in rows)
+    for mid, dur in vids.items():
+        want = max((dur - 1) // 1000, 0) + 1
+        assert per[mid] == want, (mid, dur)
+    assert all(r.frame_ms == r.frame_no * 1000 for r in rows)
+
+
+# --- S9-S12 helpers ---------------------------------------------------------
+
+
+def test_namespace_ddl_idempotent(spark):
+    ensure_namespace(spark, "raw_test_ns")
+    ensure_namespace(spark, "raw_test_ns")  # IF NOT EXISTS: no error
+    assert spark.catalog.databaseExists("raw_test_ns")
+
+
+def test_create_table_idempotent(spark):
+    create_table_like(
+        spark,
+        "raw_test_ns.prices",
+        "source STRING, price_usd DOUBLE, extracted_at TIMESTAMP",
+    )
+    create_table_like(
+        spark,
+        "raw_test_ns.prices",
+        "source STRING, price_usd DOUBLE, extracted_at TIMESTAMP",
+    )
+    assert spark.catalog.tableExists("raw_test_ns.prices")
+
+
+def test_console_sink_smoke(spark, sf_dir, capsys):
+    show_verification(read_table(spark, sf_dir, "events").limit(3), n=3)
+    assert "event_id" in capsys.readouterr().out
