@@ -30,7 +30,7 @@ from data_pipeline_spark_iceberg_dbt_airflow_spark.session import get_spark_sess
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark_session("bench", driver_memory="48g")
+    spark = get_spark_session("bench")  # driver mem: SPARK_GRAFT_DRIVER_MEM
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     # Compile pass: run each headline query once at the warmup sf so the
