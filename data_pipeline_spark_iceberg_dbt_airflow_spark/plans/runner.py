@@ -32,11 +32,31 @@ class Model:
     refs: tuple[str, ...] = field(default_factory=tuple)
 
 
+@dataclass(frozen=True)
+class RunConfig:
+    """D4: the DAG-level policy knobs, mirroring the reference's
+    ``default_args``/schedule (bitcoin_pipeline_dag.py:5-22): ``retries=0``,
+    ``schedule='@hourly'``, ``catchup=False``, owner tag.
+
+    ``schedule``/``catchup`` are carried as metadata for an external
+    scheduler (cadence is driver-side in tests, SURVEY.md §2.11 D4);
+    ``retries`` is enforced by the runner: a model's execution is
+    re-attempted up to ``retries`` extra times before the run fails --
+    the reference's zero-retry default means fail-fast.
+    """
+
+    retries: int = 0
+    schedule: str | None = "@hourly"
+    catchup: bool = False
+    owner: str = "engine"
+
+
 class PipelineRunner:
     """Resolve ref-edges, run models in dependency order (D2/D5)."""
 
-    def __init__(self) -> None:
+    def __init__(self, config: RunConfig | None = None) -> None:
         self._models: dict[str, Model] = {}
+        self.config = config or RunConfig()
 
     def add(self, model: Model) -> None:
         if model.name in self._models:
@@ -91,5 +111,17 @@ class PipelineRunner:
             if n in results:
                 continue
             m = self._models[n]
-            results[n] = m.fn(*[results[r] for r in m.refs])
+            results[n] = self._attempt(m, [results[r] for r in m.refs])
         return results
+
+    def _attempt(self, m: Model, inputs: list[DataFrame]) -> DataFrame:
+        """Execute one model with the configured retry policy (D4)."""
+        last: Exception | None = None
+        for _ in range(self.config.retries + 1):
+            try:
+                return m.fn(*inputs)
+            except Exception as e:  # noqa: BLE001 - policy boundary
+                last = e
+        raise RuntimeError(
+            f"model {m.name!r} failed after {self.config.retries + 1} attempts"
+        ) from last

@@ -248,3 +248,34 @@ def scalar_array_transform_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("sq_norm"),
     )
+
+
+@register(
+    "scalar_map_family",
+    oracle="""
+        SELECT event_id,
+               len(json_keys(props)) AS map_size,
+               array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+               CAST(props->>'k' AS BIGINT) AS k_value,
+               (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+        FROM events
+        WHERE event_id < 500
+    """,
+    doc="F12 map family: lift the props JSON into a real MAP column "
+    "(from_json MapType) and exercise map_keys / size / element_at / "
+    "map_contains_key -- all codegen'd per-row, no shuffle. The oracle "
+    "computes the same facts through DuckDB's JSON functions, proving the "
+    "map semantics rather than the storage representation (engines "
+    "disagree on map value wrapping, so queries emit scalars, not maps).",
+    tags=("scalar", "map"),
+)
+def scalar_map_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.filter(F.col("event_id") < 500).select(
+        "event_id",
+        F.size(m).alias("map_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, F.lit("k")).alias("k_value"),
+        F.map_contains_key(m, F.lit("missing")).alias("has_missing"),
+    )

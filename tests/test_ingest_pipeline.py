@@ -279,3 +279,67 @@ def test_write_partitioned_layout(spark, tmp_path):
     # partition pruning: filtering one date must scan one partition
     one = back.where("extraction_date = DATE'2024-03-01'")
     assert one.count() == 5  # batch1 (3 sources) + degraded batch2 (2)
+
+
+# --- D4 retry policy + P6 model selection -----------------------------------
+
+
+def test_runner_retry_policy(spark):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.runner import RunConfig
+
+    calls = {"n": 0}
+
+    def flaky(raw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return raw
+
+    raw = _raw_fixture(spark)
+    # reference default: retries=0 -> fail fast (bitcoin_pipeline_dag.py:8)
+    r0 = PipelineRunner()
+    r0.add(Model("m", flaky, refs=("raw",)))
+    with pytest.raises(RuntimeError, match="failed after 1 attempts"):
+        r0.run(seeds={"raw": raw})
+    # with one retry the transient failure is absorbed
+    calls["n"] = 0
+    r1 = PipelineRunner(RunConfig(retries=1))
+    r1.add(Model("m", flaky, refs=("raw",)))
+    out = r1.run(seeds={"raw": raw})
+    assert calls["n"] == 2 and out["m"] is raw
+
+
+def test_runner_target_selection(spark):
+    """P6: the dbt ``--select`` analog -- running one target executes only
+    its upstream closure."""
+    ran = []
+
+    def track(name, fn):
+        def wrapped(*a):
+            ran.append(name)
+            return fn(*a)
+
+        return wrapped
+
+    runner = PipelineRunner()
+    runner.add(Model("stg", track("stg", stg_from_raw), refs=("raw",)))
+    runner.add(Model("fct", track("fct", fct_daily), refs=("stg",)))
+    runner.add(Model("other", track("other", lambda raw: raw), refs=("raw",)))
+    out = runner.run(targets=["fct"], seeds={"raw": _raw_fixture(spark)})
+    assert ran == ["stg", "fct"]  # 'other' not selected, deps in order
+    assert "other" not in out
+
+
+# --- S11 Iceberg time travel (capability-gated) -----------------------------
+
+
+def test_snapshots_scan_requires_iceberg(spark):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_snapshots
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.session import (
+        iceberg_available,
+    )
+
+    if iceberg_available(spark):  # pragma: no cover - jar not in this env
+        pytest.skip("iceberg present: covered by integration deployment")
+    with pytest.raises(Exception):
+        read_snapshots(spark, "nonexistent.table").collect()
