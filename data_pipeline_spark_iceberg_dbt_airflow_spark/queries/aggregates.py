@@ -274,3 +274,49 @@ def agg_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("event_type") == "error").alias("errors"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+#: Salt fan-out for the skew-salted aggregation below.
+SALT_BUCKETS = 16
+
+
+@register(
+    "agg_salted_skew",
+    oracle=f"""
+        SELECT event_type,
+               COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Skew-salted two-phase aggregation: event_type has ~4 distinct "
+    "values over the whole corpus -- the worst-case hot-key shape, where "
+    "a naive groupBy funnels everything through 4 reducers. Phase 1 "
+    "groups by (key, salt) with a deterministic row-derived salt "
+    "(event_id % 16) spreading each hot key over 16 reducers; phase 2 "
+    "re-aggregates the 4x16 partials. COUNT re-aggregates by SUM; the "
+    "decimal sums are associative, so the result is bit-identical to the "
+    "direct groupBy -- which is exactly what the oracle computes, proving "
+    "the rewrite is semantics-preserving. At 100 TB this turns one "
+    "straggler reducer into uniform parallelism for the price of a "
+    "second (tiny: keys x salts rows) shuffle.",
+    bench=True,
+    tags=("aggregate", "skew", "salting"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # phase 1: salt spreads each hot key over SALT_BUCKETS reducers.
+    # Decimal partials (not doubles) so the phase-2 re-sum stays exact.
+    partial = (
+        ev.withColumn("salt", F.col("event_id") % SALT_BUCKETS)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        )
+    )
+    # phase 2: keys x salts rows -- negligible; re-sum exact decimals.
+    return partial.groupBy("event_type").agg(
+        F.sum("c").alias("events"),
+        F.sum("s").cast("double").alias("total_value"),
+    )

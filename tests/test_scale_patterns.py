@@ -1,0 +1,126 @@
+"""Scale-pattern tests: bucketed co-located joins, the SQL entry point,
+and order-independence properties of the deterministic aggregates.
+
+These assert the 100 TB design claims that the differential oracle can't
+see: shuffle elimination via bucketing, SQL-string parity with the
+DataFrame plans, and partition-order invariance of det.* aggregation.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.functions import det
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+    read_table,
+    register_views,
+)
+
+
+# --- bucketing: co-located join without a shuffle ---------------------------
+
+
+@pytest.fixture(scope="module")
+def bucketed_db(spark, sf_dir, tmp_path_factory):
+    """orders and customer bucketed by the join key into a tmp-located
+    database -- the offline table layout that pre-pays the join shuffle."""
+    loc = tmp_path_factory.mktemp("bucketed_warehouse")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketed LOCATION '{loc}'")
+    for name, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        (
+            read_table(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .saveAsTable(f"bucketed.{name}")
+        )
+    return "bucketed"
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_db):
+    """Joining two tables bucketed on the join key must not shuffle either
+    side: the plan has a SortMergeJoin but ZERO Exchange nodes -- the
+    bucketing pre-paid the partitioning at write time. At 100 TB this is
+    the difference between re-shuffling the fact table on every join and
+    never shuffling it at all."""
+    # At test scale AQE would broadcast the small side (bypassing buckets
+    # entirely); disable broadcast to exercise the shape a 100 TB fact-
+    # fact join takes, where broadcasting is impossible.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"{bucketed_db}.orders").join(
+            spark.table(f"{bucketed_db}.customer"),
+            spark.table(f"{bucketed_db}.orders").o_custkey
+            == spark.table(f"{bucketed_db}.customer").c_custkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_unbucketed_join_does_shuffle(spark, sf_dir):
+    """Control: the same join over plain parquet shuffles (or broadcasts)
+    -- proving the bucketed plan's missing Exchange is the bucketing."""
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    plan = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" in plan or "Broadcast" in plan, plan
+
+
+# --- SQL entry point (SURVEY §3.3: spark-sql / Thrift surface) --------------
+
+
+def test_sql_string_entry_point_matches_dataframe(spark, sf_dir):
+    """The reference exposes full Spark SQL through spark-sql/Thrift; the
+    engine's rendering is temp views + spark.sql. A SQL-string join must
+    produce exactly the DataFrame API's rows."""
+    register_views(spark, sf_dir, ("orders", "customer"))
+    via_sql = spark.sql(
+        """
+        SELECT c.c_mktsegment, COUNT(*) AS orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    ).collect()
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    via_df = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .count()
+        .withColumnRenamed("count", "orders")
+        .collect()
+    )
+    assert sorted(map(tuple, via_sql)) == sorted(map(tuple, via_df))
+
+
+# --- det.* order-independence ----------------------------------------------
+
+
+def test_det_sum_is_partition_order_invariant(spark, sf_dir):
+    """The engine's float discipline: dsum/davg must give bit-identical
+    doubles no matter how rows are partitioned or ordered -- the property
+    plain float SUM lacks and the whole oracle strategy rests on."""
+    ev = read_table(spark, sf_dir, "events")
+    layouts = [
+        ev,
+        ev.repartition(37),
+        ev.repartition(3, "event_type"),
+        ev.orderBy("value"),
+        ev.orderBy(ev.value.desc()),
+    ]
+    results = {
+        df.agg(
+            det.dsum("value").alias("s"), det.davg("value").alias("a")
+        ).collect()[0]
+        for df in layouts
+    }
+    assert len({(r.s, r.a) for r in results}) == 1
