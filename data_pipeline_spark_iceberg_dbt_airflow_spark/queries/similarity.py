@@ -295,3 +295,99 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("q_id", "vec_id", "cosine", "rank")
     )
+
+
+# --- LSH-bucketed ANN (sign random projections) ----------------------------
+
+#: Hyperplane count: 2^LSH_PLANES buckets. Derived ONCE from md5 so both
+#: engines share the identical +/-1 matrix as literals -- no cross-engine
+#: hash dependency at query time.
+LSH_PLANES = 6
+
+
+def _lsh_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}|{d}".encode()).digest()[0] % 2 else -1
+            for d in range(64)
+        ]
+        for p in range(LSH_PLANES)
+    ]
+
+
+def _bucket_sql(one_based: bool) -> str:
+    """The bucket id as a SQL expression over ``embedding`` (engine array
+    indexing differs: Spark subscripts 0-based, DuckDB 1-based)."""
+    parts = []
+    for p, row in enumerate(_lsh_signs()):
+        terms = " + ".join(
+            f"{'' if s == 1 else '-'}CAST(embedding[{d + (1 if one_based else 0)}]"
+            " AS DOUBLE)"
+            for d, s in enumerate(row)
+        )
+        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+@register(
+    "sim_topk_lsh",
+    oracle=f"""
+        WITH b AS (SELECT vec_id, embedding,
+                          {_bucket_sql(one_based=True)} AS bucket
+                   FROM embeddings),
+        q AS (SELECT vec_id AS q_id, bucket AS q_bucket, embedding AS q_emb
+              FROM b WHERE vec_id < {QUERY_N}),
+        s AS (SELECT q.q_id, e.vec_id,
+                     {_o_cosine("q.q_emb", "e.embedding")} AS cosine
+              FROM q JOIN b e
+                ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
+        SELECT q_id, vec_id, cosine, rank
+        FROM (SELECT *, ROW_NUMBER() OVER (
+                  PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+              FROM s)
+        WHERE rank <= {TOP_K}
+    """,
+    doc="LSH-bucketed ANN top-k (the scale path alongside sim_topk_ivf): "
+    "6 sign-random-projection hyperplanes hash every vector to one of 64 "
+    "buckets; candidates = the query's bucket only, shrinking the probe "
+    "set ~bucket-count-fold at the cost of recall (multi-probe over "
+    "neighboring buckets buys it back). The +/-1 plane matrix is derived "
+    "once from md5 and inlined as literals in BOTH engines, so bucket "
+    "assignment -- and therefore the result -- is engine-exact. The "
+    "bucket expression is pure codegen arithmetic on the scan: no "
+    "shuffle to assign buckets, one broadcast-hash join on bucket id.",
+    bench=True,
+    tags=("similarity", "llm-data", "lsh"),
+)
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(_bucket_sql(one_based=False)).alias("bucket"),
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    q = b.where(F.col("vec_id") < QUERY_N).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    ).select(
+        "q_id",
+        "vec_id",
+        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cosine"
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("q_id", "vec_id", "cosine", "rank")
+    )
