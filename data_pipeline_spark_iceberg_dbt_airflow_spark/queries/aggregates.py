@@ -320,3 +320,50 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("events"),
         F.sum("s").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "quality_referential_summary",
+    oracle="""
+        SELECT
+            (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+                AS null_custkeys,
+            (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                                   GROUP BY o_orderkey HAVING COUNT(*) > 1))
+                AS dup_orderkeys,
+            (SELECT COUNT(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+                   (SELECT 1 FROM customer c
+                    WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders
+    """,
+    doc="D3 data-quality checks as a single queryable summary row: "
+    "not_null + unique + relationships over orders/customer (the "
+    "dbt-test stage, bitcoin_pipeline_dag.py:38-41, rendered as one "
+    "DataFrame instead of driver-side booleans -- quality/checks.py "
+    "provides the imperative gate variant). Each check is one aggregate "
+    "or anti-join; the three 1-row results cross-join for free.",
+    tags=("quality", "dq"),
+)
+def quality_referential_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+    nulls = orders.where(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("null_custkeys")
+    )
+    dups = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("dup_orderkeys"))
+    )
+    orphans = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")).distinct(),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    return nulls.crossJoin(dups).crossJoin(orphans)

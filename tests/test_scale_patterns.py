@@ -124,3 +124,44 @@ def test_det_sum_is_partition_order_invariant(spark, sf_dir):
         for df in layouts
     }
     assert len({(r.s, r.a) for r in results}) == 1
+
+
+# --- property: det.* vs exact Decimal reference ------------------------------
+
+
+def test_det_sum_matches_decimal_reference(spark):
+    """Property check: dsum equals the exact Decimal sum (cast to double)
+    for 6-decimal quantities, under hypothesis-generated values and
+    arbitrary repartitioning."""
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.decimals(
+                min_value=Decimal("-99999.999999"),
+                max_value=Decimal("99999.999999"),
+                places=6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def prop(vals):
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "value double"
+        ).repartition(7)
+        got = df.agg(det.dsum("value").alias("s")).collect()[0].s
+        want = float(sum(Decimal(str(float(v))) for v in vals))
+        assert got == want, (got, want, vals)
+
+    prop()
