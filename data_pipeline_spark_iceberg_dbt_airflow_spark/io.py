@@ -151,6 +151,23 @@ def scan_time_range(
     return df
 
 
+def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan UP to the session's parallelism when
+    the source produced fewer splits than cores.
+
+    CPU-heavy per-row stages (tokenization, shingling, per-row hashing)
+    inherit the scan's partition count; a small table stored as one parquet
+    row group otherwise runs those stages on a single core regardless of
+    cluster size. At 100 TB inputs arrive as thousands of splits and this
+    is a no-op -- the repartition only fires when partitions < cores, so
+    it never adds a shuffle to an already well-partitioned pipeline.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

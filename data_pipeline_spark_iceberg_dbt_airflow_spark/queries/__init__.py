@@ -19,6 +19,7 @@ def _load_all() -> None:
     _LOADED = True
     from . import (  # noqa: F401, PLC0415
         aggregates,
+        analytics,
         dedup,
         joins,
         reference,

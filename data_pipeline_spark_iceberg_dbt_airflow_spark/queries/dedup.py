@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_table
+from ..io import read_table, widen_for_compute
 from .registry import register
 
 #: Shingles appearing in more than this many docs are dropped (stop-shingle
@@ -83,7 +83,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     than once persist the result (materialize-the-index, the same call a
     production pipeline makes at 100 TB rather than re-scanning text).
     """
-    docs = read_table(spark, sf_dir, "documents")
+    # Shingling is the CPU-bound stage of the whole dedup family; make sure
+    # it runs on every core even when the scan is a single parquet split.
+    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
     sh = (
         docs.select("doc_id", _tokens_col().alias("t"))
         .where(F.size("t") >= 3)
@@ -363,7 +365,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "llm-data", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
     tok = (
         docs.select("doc_id", F.explode(_tokens_col()).alias("tok"))
         .where(F.length("tok") > 0)

@@ -86,3 +86,28 @@ def test_asof_join_is_joinless(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_asof_last_click")
     assert "Join" not in plan, plan
     assert "Window" in plan, plan
+
+
+def test_analytics_topk_selective_scan(spark, sf_dir):
+    """Q3 shape: top-k short-circuits (no global sort) and both fact
+    filters reach their parquet scans."""
+    plan = _plan(spark, sf_dir, "analytics_unshipped_revenue")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    joined = "\n".join(pushed)
+    assert "o_orderdate" in joined, joined
+    assert "l_shipdate" in joined, joined
+    assert "c_mktsegment" in joined, joined
+
+
+def test_analytics_q5_dims_broadcast(spark, sf_dir):
+    """Q5 shape: supplier/nation/region ride broadcasts -- the fact side
+    never shuffles for a dimension join."""
+    plan = _plan(spark, sf_dir, "analytics_local_supplier_volume")
+    assert plan.count("BroadcastExchange") >= 3, plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    assert any("r_name" in ln for ln in pushed), plan
