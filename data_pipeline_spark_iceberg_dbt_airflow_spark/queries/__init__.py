@@ -28,6 +28,7 @@ def _load_all() -> None:
         similarity,
         sorts,
         streaming_batch,
+        subqueries,
         text,
         udf_surface,
         windows,

@@ -1,0 +1,158 @@
+"""Subquery surface: EXISTS / NOT EXISTS / IN / correlated scalar aggregates.
+
+The reference exposes the full Spark SQL surface through spark-sql and the
+Thrift server (/root/reference/Iceberg-dbt-project/docker-compose.yml:126-146,
+README.md:294-304); subqueries are the part of that surface a DataFrame-only
+engine would miss, so these run as SQL text over temp views (entry point C,
+SURVEY.md §3.3) and lean on Catalyst's decorrelation rules:
+
+- EXISTS / IN        -> RewritePredicateSubquery => LEFT SEMI join
+- NOT EXISTS         -> LEFT ANTI join
+- correlated scalar  -> de-correlated Aggregate + equi-join
+
+so none of them executes as a per-row re-query. Plan tests in
+tests/test_plans.py assert the rewrite actually happened (no InSubquery /
+ExistenceJoin remnants, the expected join types present).
+
+Scale design (100 TB): after decorrelation every shape below is a key-
+partitioned hash join + hash aggregate -- the same shuffle budget as the
+equivalent hand-written semi/anti join in queries/joins.py. The correlated
+scalar aggregate (Q17 shape) re-aggregates the big table on the correlation
+key first, which shrinks it to one row per key BEFORE the join; Catalyst
+plans exactly that, not a nested loop.
+
+The SAME SQL text is used for the Spark run and the DuckDB oracle (one
+f-string each), so cross-engine drift in the query text itself is
+impossible; float thresholds go through the functions/det.py discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import det
+from ..io import register_views
+from .registry import register
+
+# Q4 shape: order-priority census of orders having at least one returned
+# lineitem in one half-year. EXISTS, correlated on the join key.
+_SQL_EXISTS = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY o.o_orderpriority
+"""
+
+# Q17 shape: revenue that would be lost by refusing small-quantity orders --
+# lineitems below 20% of their part's average quantity, one brand. The
+# correlated scalar AVG decorrelates to a per-partkey aggregate + join.
+# l_quantity is integer-valued (1..50) so AVG = exact-int-sum / count is
+# bit-identical across engines without a decimal cast.
+_SQL_SCALAR = f"""
+    SELECT {det.oracle_dsum("l.l_extendedprice", 4)} / 7.0 AS avg_weekly_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#1'
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+# Q18 shape: large-volume orders (quantity sum over a HAVING threshold named
+# via IN) with their customers. SUM over integer-valued doubles is exact, so
+# the >260 threshold cannot flip between engines.
+_SQL_IN_HAVING = f"""
+    SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+           {det.oracle_dsum("l.l_quantity", 2)} AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l2.l_orderkey FROM lineitem l2
+                           GROUP BY l2.l_orderkey
+                           HAVING SUM(l2.l_quantity) > 260)
+    GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+"""
+
+# Q22 shape: well-funded customers gone quiet -- above-average balance
+# (uncorrelated scalar subquery, det.py formula on both sides) and no order
+# since 1998 (NOT EXISTS -> anti join).
+_SQL_NOT_EXISTS = f"""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS num_customers,
+           {det.oracle_dsum("c.c_acctbal", 2)} AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {det.oracle_davg("c2.c_acctbal", 2)}
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c.c_mktsegment
+"""
+
+
+def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir, ("customer", "orders", "lineitem", "part"))
+    return spark.sql(sql)
+
+
+@register(
+    "subq_exists_priority_counts",
+    oracle=_SQL_EXISTS,
+    doc="TPC-H Q4 shape: EXISTS correlated on the join key; Catalyst's "
+    "RewritePredicateSubquery turns it into a LEFT SEMI hash join on "
+    "l_orderkey -- one key shuffle, no per-row re-query. The half-year "
+    "order-date filter is pushed to the orders scan.",
+    bench=True,
+    tags=("subquery", "exists", "sql-surface"),
+)
+def subq_exists_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _SQL_EXISTS)
+
+
+@register(
+    "subq_scalar_below_avg_quantity",
+    oracle=_SQL_SCALAR,
+    doc="TPC-H Q17 shape: correlated scalar AVG subquery, decorrelated to a "
+    "per-partkey aggregate joined back to the filtered fact. The big table "
+    "is reduced to one row per correlation key BEFORE the join, so the "
+    "extra cost at 100 TB is one map-side-combined aggregation, not N "
+    "subquery executions.",
+    bench=True,
+    tags=("subquery", "scalar", "sql-surface"),
+)
+def subq_scalar_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _SQL_SCALAR)
+
+
+@register(
+    "subq_in_having_big_orders",
+    oracle=_SQL_IN_HAVING,
+    doc="TPC-H Q18 shape: IN over a GROUP BY ... HAVING subquery (semi join "
+    "against the aggregated key set), then top-20 by order value as "
+    "TakeOrderedAndProject. Quantity sums are exact (integer-valued "
+    "doubles), so the HAVING threshold is engine-stable.",
+    tags=("subquery", "in", "having", "sql-surface"),
+)
+def subq_in_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _SQL_IN_HAVING)
+
+
+@register(
+    "subq_not_exists_inactive_customers",
+    oracle=_SQL_NOT_EXISTS,
+    doc="TPC-H Q22 shape: uncorrelated scalar subquery (threshold computed "
+    "once, det.py exact-decimal average) + NOT EXISTS -> LEFT ANTI join on "
+    "o_custkey with the 1998 activity filter pushed into the anti side's "
+    "scan.",
+    tags=("subquery", "not-exists", "anti", "sql-surface"),
+)
+def subq_not_exists_inactive_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return _sql_query(spark, sf_dir, _SQL_NOT_EXISTS)

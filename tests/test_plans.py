@@ -111,3 +111,29 @@ def test_analytics_q5_dims_broadcast(spark, sf_dir):
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
     ]
     assert any("r_name" in ln for ln in pushed), plan
+
+
+def test_subquery_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS must rewrite to a LEFT SEMI hash join, not a per-row
+    re-query, and the half-year filter must reach the orders scan."""
+    plan = _plan(spark, sf_dir, "subq_exists_priority_counts")
+    assert "LeftSemi" in plan, plan
+    assert "Subquery" not in plan, plan
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
+    ]
+    assert any("o_orderdate" in ln for ln in pushed), plan
+
+
+def test_subquery_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "subq_not_exists_inactive_customers")
+    assert "LeftAnti" in plan, plan
+
+
+def test_subquery_scalar_agg_decorrelates(spark, sf_dir):
+    """The correlated scalar AVG becomes a per-partkey aggregate joined
+    back -- an Aggregate node on the subquery side, zero Subquery nodes in
+    the executed plan body."""
+    plan = _plan(spark, sf_dir, "subq_scalar_below_avg_quantity")
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan, plan
