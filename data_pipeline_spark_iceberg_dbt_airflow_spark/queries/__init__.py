@@ -23,12 +23,14 @@ def _load_all() -> None:
         dedup,
         joins,
         reference,
+        reshape,
         scalars,
         setops,
         similarity,
         sorts,
         streaming_batch,
         subqueries,
+        training,
         text,
         udf_surface,
         windows,

@@ -1,0 +1,246 @@
+"""Training-data pipeline operators over ``documents``.
+
+The north-star brief adds the operations a large-scale LLM training-data
+pipeline needs beyond classic analytics (BASELINE.json; dedup / text /
+similarity live in their own modules). This module covers the curation
+steps between "cleaned corpus" and "training batches":
+
+- deterministic sampling       (train_hash_sample)
+- train/val/test assignment    (train_split_assign)
+- document chunking            (train_chunk_documents)
+- sequence packing into bins   (train_pack_sequences)
+- deterministic global shuffle (train_global_shuffle)
+
+Cross-engine determinism: every random-looking decision is a pure function
+of the row key via md5 hex (the engine-portable hash this repo standardizes
+on, see queries/dedup.py) -- lexicographic comparison against hex
+thresholds replaces rand(). A row's sample membership, split, and shuffle
+position are therefore stable across engines, runs, AND backfills: at
+100 TB re-sampling a corpus must not reshuffle previously assigned rows,
+which rand()-based sampling cannot guarantee.
+
+Scale design (100 TB):
+- Sampling/split are scan-local predicates/projections -- no shuffle; the
+  md5 predicate doesn't prune parquet, but each executor drops rows at scan
+  time so only the sampled fraction reaches downstream operators.
+- Chunking is a map-side fan-out (sequence + posexplode), no join against a
+  numbers table (the constant-range join is only the DuckDB oracle's
+  rendering) and no shuffle.
+- Packing partitions by ``lang`` so each window sorts one shard -- a
+  running sum within key-partitioned windows, not a global sort. A real
+  100 TB run shards by (lang, hash-bucket) the same way; bins never span
+  shards by design.
+- Global shuffle is the one intentionally global op: row_number over a
+  range-partitioned sort of the md5 key (Spark samples bounds via
+  RangePartitioning -- parallel sort, single-partition only at the final
+  numbering, same as any total order). Use it per-shard in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from .registry import register
+
+#: 512-char chunks advancing 400 chars -> 112-char overlap between chunks.
+CHUNK_SIZE = 512
+CHUNK_STRIDE = 400
+
+#: Packing budget in characters (stand-in for tokens; same arithmetic).
+PACK_BUDGET = 8192
+
+
+def _doc_hash() -> F.Column:
+    """md5 hex of the document key -- the deterministic 'randomness'."""
+    return F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8"))
+
+
+_ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "train_hash_sample",
+    oracle=f"""
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM documents
+        WHERE substr({_ORACLE_HASH}, 1, 2) < '1a'
+        GROUP BY lang
+    """,
+    doc="Deterministic ~10% corpus sample: keep rows whose md5(doc_id) hex "
+    "prefix is below 0x1a (26/256 = 10.2%), summarized per language. "
+    "Scan-local predicate, membership stable across runs and engines -- "
+    "the backfill-safe replacement for rand()-based sampling.",
+    tags=("training", "llm-data", "sampling"),
+)
+def train_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "documents")
+        .where(F.substring(_doc_hash(), 1, 2) < "1a")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "train_split_assign",
+    oracle=f"""
+        SELECT CASE WHEN substr({_ORACLE_HASH}, 1, 2) < 'cc' THEN 'train'
+                    WHEN substr({_ORACLE_HASH}, 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="Hash-based train/val/test assignment (~80/10/10 via hex thresholds "
+    "0xcc/0xe6), counted per (split, lang). Pure projection + one tiny "
+    "aggregation; a document can never migrate between splits when the "
+    "corpus grows, unlike fraction-based randomSplit.",
+    tags=("training", "llm-data", "sampling"),
+)
+def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prefix = F.substring(_doc_hash(), 1, 2)
+    split = (
+        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
+    )
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "train_chunk_documents",
+    oracle=f"""
+        SELECT doc_id, i AS chunk_idx,
+               substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})
+                   AS chunk
+        FROM documents, range(0, 64) AS t(i)
+        WHERE i <= CAST(floor((n_chars - 1) / {CHUNK_STRIDE}) AS BIGINT)
+    """,
+    doc="Overlapping-window document chunking (512-char windows, 400-char "
+    "stride) for context-length-bounded training. Spark side is "
+    "sequence + posexplode: pure map-side fan-out, one scan, no numbers-"
+    "table join (that's only the oracle's rendering) and no shuffle.",
+    tags=("training", "llm-data", "chunking"),
+)
+def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
+    return (
+        docs.select(
+            "doc_id",
+            "text",
+            F.posexplode(F.sequence(F.lit(0), n_chunks)).alias("chunk_idx", "_i"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"substring(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS INT),"
+                f" {CHUNK_SIZE})"
+            ).alias("chunk"),
+        )
+    )
+
+
+@register(
+    "train_pack_sequences",
+    oracle=f"""
+        SELECT lang, bin_id, COUNT(*) AS docs_in_bin,
+               SUM(n_chars) AS bin_chars
+        FROM (
+            SELECT lang, n_chars,
+                   CAST(floor((SUM(n_chars) OVER (
+                        PARTITION BY lang ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_chars) / {PACK_BUDGET}) AS BIGINT) AS bin_id
+            FROM documents
+        )
+        GROUP BY lang, bin_id
+    """,
+    doc="Sequence packing: assign documents to fixed-budget training bins "
+    "(8192 chars) by running-sum bucketing within each language shard -- "
+    "bin_id = floor(exclusive-cumsum / budget). Per-lang windows keep the "
+    "sort shard-local (no global sort); output is per-bin fill stats. "
+    "The streaming-cumsum formulation packs in one pass, unlike bin-"
+    "packing heuristics that need the whole shard resident.",
+    bench=True,
+    tags=("training", "llm-data", "packing"),
+)
+def train_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    docs = read_table(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    binned = docs.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / PACK_BUDGET),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("docs_in_bin"),
+        F.sum("n_chars").alias("bin_chars"),
+    )
+
+
+@register(
+    "train_global_shuffle",
+    oracle=f"""
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY {_ORACLE_HASH}, doc_id) AS shuffle_pos
+        FROM documents
+    """,
+    doc="Deterministic global shuffle for training-order assignment: "
+    "position = rank of md5(doc_id) (doc_id tiebreak for absolute "
+    "determinism); identical order every run, any engine -- epoch "
+    "reshuffles just salt the hash input. Two-phase enumeration: a naive "
+    "row_number over a global ORDER BY would collapse 100 TB into ONE "
+    "window partition, so instead rows are bucketed by the hash's first "
+    "byte (256 ordered buckets), ranked bucket-locally in parallel, and "
+    "offset by the broadcast running count of the preceding buckets -- "
+    "global positions without a global sort. Lexicographic bucket order "
+    "== lexicographic hash order, so the result equals the naive rank.",
+    bench=True,
+    tags=("training", "llm-data", "shuffle"),
+)
+def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", _doc_hash().alias("h")
+    )
+    # Bucket = first hex byte of the hash: 256 buckets, hash-uniform sizes.
+    # Because bucket is a PREFIX of h, ordering by (bucket, h) == ordering
+    # by h: bucket-local ranks + bucket offsets reproduce the global rank.
+    bucketed = docs.withColumn("bucket", F.substring("h", 1, 2))
+    local = F.row_number().over(
+        Window.partitionBy("bucket").orderBy("h", "doc_id")
+    )
+    # 256-row offset table: rows in all lexicographically-earlier buckets.
+    counts = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    offsets = counts.select(
+        "bucket",
+        (
+            F.sum("n").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            - F.col("n")
+        ).alias("offset"),
+    )
+    return (
+        bucketed.withColumn("local_pos", local)
+        .join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_pos")).cast("long").alias("shuffle_pos"),
+        )
+    )

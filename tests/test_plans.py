@@ -137,3 +137,31 @@ def test_subquery_scalar_agg_decorrelates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "subq_scalar_below_avg_quantity")
     assert "Subquery" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pivot_is_single_aggregation_single_scan(spark, sf_dir):
+    """Explicit pivot values => no distinct-values pre-job; the reshape is
+    one scan + one partial/final hash aggregation."""
+    plan = _plan(spark, sf_dir, "reshape_pivot_status_revenue")
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_unpivot_is_expand_not_union_of_scans(spark, sf_dir):
+    """Spark unpivot = map-side Expand over ONE scan (the UNION ALL in the
+    oracle would re-scan per metric)."""
+    plan = _plan(spark, sf_dir, "reshape_unpivot_part_metrics")
+    assert plan.count("InMemoryFileIndex") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_global_shuffle_avoids_global_window(spark, sf_dir):
+    """Positions come from bucket-local windows + a broadcast offset join;
+    the only unpartitioned window runs over the 256-row offset table."""
+    plan = _plan(spark, sf_dir, "train_global_shuffle")
+    assert "BroadcastHashJoin" in plan, plan
+    # the big-table row_number window is hash-partitioned by bucket
+    assert "windowspecdefinition(bucket" in plan, plan
+    # exactly one SinglePartition exchange -- the 256-row offset cumsum,
+    # never the documents table itself
+    assert plan.count("SinglePartition") == 1, plan
