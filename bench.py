@@ -4,14 +4,20 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total_sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (plan + execute + collect-to-count) in a
-WARM session: every headline query first runs once at the tiny warmup sf
-(default sf0.001, override $SPARK_GRAFT_WARM_SF_DIR) so Janino/whole-stage
-codegen classes are compiled before the clock starts -- the steady-state
-cost a scheduled pipeline pays, not first-ever-run JIT. Caches are cleared
-between timed runs so no query benefits from another's persisted
-intermediates. Queries marked ``bench=True`` in the registry are the
-headline set.
+Each query is timed end-to-end in a WARM session: every headline query
+first runs once at the tiny warmup sf (default sf0.001, override
+$SPARK_GRAFT_WARM_SF_DIR) so Janino/whole-stage codegen classes are
+compiled before the clock starts -- the steady-state cost a scheduled
+pipeline pays, not first-ever-run JIT. Caches are cleared between timed
+runs so no query benefits from another's persisted intermediates.
+Queries marked ``bench=True`` in the registry are the headline set.
+
+Timing action (round-3 fix): ``.count()`` lets Catalyst prune every
+projection the count doesn't need, so scan-plus-project queries timed the
+scan only. The timed action now folds EVERY output column through
+xxhash64 and aggregates the digest -- the computed columns cannot be
+pruned, and the result stays one row (no driver-transfer noise in the
+measurement).
 """
 
 from __future__ import annotations
@@ -23,8 +29,27 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
 from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+    release_shingle_index,
+)
 from data_pipeline_spark_iceberg_dbt_airflow_spark.session import get_spark_session
+
+
+def _force_all_columns(df: DataFrame) -> int:
+    """Evaluate ``df`` forcing every output column; return the row count.
+
+    max(xxhash64(*cols)) cannot be computed without materializing each
+    column's value, so column pruning cannot skip the projections under
+    test; the aggregate keeps the action's own cost at one result row.
+    """
+    row = df.select(
+        F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("chk")).collect()[0]
+    return row["n"]
 
 
 def main() -> None:
@@ -37,8 +62,9 @@ def main() -> None:
     # timed runs measure the engine, not Janino compiling codegen classes.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     for spec in specs.values():
-        spec.spark_fn(spark, warm_dir).count()
+        _force_all_columns(spec.spark_fn(spark, warm_dir))
     spark.catalog.clearCache()
+    release_shingle_index()
 
     # Best-of-N (default 2): the min over repeats is the standard
     # steady-state estimator -- it reports engine cost, not whatever else
@@ -49,9 +75,13 @@ def main() -> None:
         best, n = float("inf"), 0
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = spec.spark_fn(spark, sf_dir).count()
+            n = _force_all_columns(spec.spark_fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            # Drop persisted intermediates so the next run (and the next
+            # query) starts cold; the shingle-index cache entry is also
+            # released, not just invalidated.
             spark.catalog.clearCache()
+            release_shingle_index()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 

@@ -2,11 +2,23 @@
 
 Submodules register named (PySpark, oracle-SQL) pairs on import; call
 ``all_queries()`` (re-exported here) to get the full inventory.
+
+REGISTRY BUDGET: the driver's correctness harness verifies the FIRST 50
+entries in registration order (round 2 checked exactly 50 of 87, leaving
+windows/subqueries/streaming/text/training/similarity unverified). The
+round-3 registry therefore holds <= 50 consolidated entries -- every
+operator family keeps coverage by merging same-granularity queries under
+marker columns (each query's docstring lists the SURVEY §2 components it
+covers). Adding a query? Keep the total at 50 or fewer (see
+tests/test_entry.py::test_registry_within_driver_window).
 """
 
 from __future__ import annotations
 
 from .registry import QuerySpec, all_queries, get, register  # noqa: F401
+
+#: The driver verifies at most this many registry entries per round.
+DRIVER_WINDOW = 50
 
 _LOADED = False
 
@@ -18,20 +30,20 @@ def _load_all() -> None:
         return
     _LOADED = True
     from . import (  # noqa: F401, PLC0415
+        reference,
         aggregates,
         analytics,
-        dedup,
         joins,
-        reference,
-        reshape,
+        windows,
+        subqueries,
         scalars,
         setops,
-        similarity,
         sorts,
+        reshape,
         streaming_batch,
-        subqueries,
-        training,
+        dedup,
         text,
+        training,
+        similarity,
         udf_surface,
-        windows,
     )

@@ -3,19 +3,28 @@
 The reference's only aggregate is the flagship grouped MIN/MAX/AVG/COUNT
 (fct_bitcoin_daily, /root/reference/README.md:390-399); its exposed SQL
 surface covers the full Spark aggregate family. Implemented here:
-count-distinct (exact + HLL approx), rollup/cube/grouping-sets, stddev /
-percentile / conditional / collect aggregates, and a TPC-H-Q1-shaped
-pricing summary as the heavyweight bench aggregate.
+count-distinct (exact + HLL approx), rollup/cube/grouping-sets,
+stddev / percentile / conditional / collect aggregates, skew salting, and
+a TPC-H-Q1-shaped pricing summary as the heavyweight bench aggregate.
+
+Registry budget note (round 3): the driver verifies the FIRST 50 registry
+entries only, so this module registers 7 consolidated queries instead of
+12 single-operator ones. Merges preserve every operator: each query's
+docstring lists the SURVEY §2 component rows it covers, and the DataFrame
+APIs a merge hides (``.rollup``, explicit GROUPING SETS) stay exercised in
+tests/test_operators.py against the registered query's results.
 
 Float discipline: every SUM/AVG/STDDEV over DOUBLE goes through
 functions/det.py (exact DECIMAL accumulation) so results are
 order-independent -- mandatory under AQE where partition order is not
-stable run-to-run.
+stable run-to-run. Integer aggregates are CAST on the ORACLE side wherever
+DuckDB widens (SUM(BIGINT)->HUGEINT lands in pandas as float64; Spark
+returns BIGINT -- a driver hash mismatch even when values are equal).
 
 Scale notes: all of these are single-shuffle partial+final HashAggregates.
 COUNT(DISTINCT x) expands to a two-phase aggregate (distinct-expand then
 count) -- fine for one distinct column; prefer approx_count_distinct when
-multiple distinct measures would multiply the expansion. rollup/cube use
+multiple distinct measures would multiply the expansion. cube/rollup use
 Catalyst's Expand node: output rows = input x grouping-set count, priced
 accordingly.
 """
@@ -26,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import det
-from ..io import read_table
+from ..io import read_table, register_views
 from .registry import register
 
 
@@ -73,26 +82,58 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Salt fan-out for the skew-salted aggregation below.
+SALT_BUCKETS = 16
+
+
 @register(
-    "agg_count_distinct_users",
-    oracle="""
+    "agg_events_by_type",
+    oracle=f"""
         SELECT event_type,
                COUNT(DISTINCT user_id) AS distinct_users,
-               COUNT(*) AS events
+               COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
         FROM events
         GROUP BY event_type
     """,
-    doc="A2 exact count-distinct per group. Catalyst plans the two-phase "
-    "distinct-expand aggregate; exact answers shuffle every (key, user) "
-    "pair once.",
-    tags=("aggregate", "distinct"),
+    doc="A2 exact count-distinct + skew-salted two-phase aggregation, merged "
+    "(was agg_count_distinct_users + agg_salted_skew). event_type has ~4 "
+    "distinct values over the whole corpus -- the worst-case hot-key shape "
+    "where a naive groupBy funnels everything through 4 reducers. The "
+    "count/sum measures run as phase 1 grouped by (key, salt) with a "
+    "deterministic row-derived salt (event_id % 16) spreading each hot key "
+    "over 16 reducers, then phase 2 re-aggregates the 4x16 exact-decimal "
+    "partials -- bit-identical to the direct groupBy the oracle computes, "
+    "proving the rewrite is semantics-preserving. COUNT(DISTINCT user_id) "
+    "runs as Catalyst's two-phase distinct-expand aggregate (itself "
+    "key+value partitioned, so the hot key spreads over its user_ids) and "
+    "joins back on the 4-row key set. At 100 TB this turns one straggler "
+    "reducer into uniform parallelism for the price of one extra tiny "
+    "(keys x salts) shuffle.",
+    bench=True,
+    tags=("aggregate", "distinct", "skew", "salting"),
 )
-def agg_count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("distinct_users"),
-        F.count(F.lit(1)).alias("events"),
+    # phase 1: salt spreads each hot key over SALT_BUCKETS reducers.
+    # Decimal partials (not doubles) so the phase-2 re-sum stays exact.
+    partial = (
+        ev.withColumn("salt", F.col("event_id") % SALT_BUCKETS)
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+        )
     )
+    # phase 2: keys x salts rows -- negligible; re-sum exact decimals.
+    totals = partial.groupBy("event_type").agg(
+        F.sum("c").alias("events"),
+        F.sum("s").cast("double").alias("total_value"),
+    )
+    distinct = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("distinct_users")
+    )
+    return distinct.join(totals, "event_type")
 
 
 @register(
@@ -111,123 +152,67 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared SQL text (Spark + DuckDB run the SAME string, so the GROUPING()
+# marker types and set-level NULL semantics cannot drift cross-engine).
+_SQL_CUBE = f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_status,
+           GROUPING(o_orderpriority) AS g_priority,
+           COUNT(*) AS order_cnt,
+           {det.oracle_dsum("o_totalprice", 2)} AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 @register(
-    "agg_rollup_shipments",
-    oracle=f"""
-        SELECT l_returnflag, l_linestatus,
-               {det.oracle_dsum("l_quantity", 2)} AS sum_qty,
-               COUNT(*) AS line_cnt
-        FROM lineitem
-        GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="A3 ROLLUP: hierarchical subtotals (flag, flag+status, grand total) "
-    "in one pass via Catalyst's Expand -- input replicated once per "
-    "grouping set, then a normal hash aggregate.",
-    tags=("aggregate", "rollup"),
+    "agg_cube_grouping",
+    oracle=_SQL_CUBE,
+    doc="A3 rollup / cube / grouping sets, consolidated: CUBE(status, "
+    "priority) computes ALL 4 grouping sets -- a strict superset of "
+    "ROLLUP's 3 -- with GROUPING() markers disambiguating set-level NULLs "
+    "from data NULLs (the explicit-GROUPING-SETS form compiles to the "
+    "identical Expand). The same SQL text runs on both engines; the "
+    "DataFrame ``.rollup``/``.cube`` APIs are additionally asserted "
+    "equivalent in tests/test_operators.py. Expand replicates input once "
+    "per grouping set before one ordinary hash aggregate -- the documented "
+    "cost at any scale.",
+    tags=("aggregate", "rollup", "cube", "grouping_sets"),
 )
-def agg_rollup_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        det.dsum("l_quantity", 2).alias("sum_qty"),
-        F.count(F.lit(1)).alias("line_cnt"),
-    )
+def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_SQL_CUBE)
 
 
 @register(
-    "agg_cube_orders",
-    oracle=f"""
-        SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS order_cnt,
-               {det.oracle_dsum("o_totalprice", 2)} AS total_price
-        FROM orders
-        GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    doc="A3 CUBE: all 4 grouping sets of (status, priority) in one Expand "
-    "pass.",
-    tags=("aggregate", "cube"),
-)
-def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("order_cnt"),
-        det.dsum("o_totalprice", 2).alias("total_price"),
-    )
-
-
-@register(
-    "agg_grouping_sets_explicit",
-    oracle=f"""
-        SELECT c_mktsegment, c_nationkey,
-               GROUPING(c_mktsegment) AS g_seg,
-               GROUPING(c_nationkey) AS g_nat,
-               COUNT(*) AS customer_cnt,
-               {det.oracle_dsum("c_acctbal", 2)} AS total_acctbal
-        FROM customer
-        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-    """,
-    doc="A3 explicit GROUPING SETS with GROUPING() markers disambiguating "
-    "the set-level NULLs from data NULLs.",
-    tags=("aggregate", "grouping_sets"),
-)
-def agg_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
-        "customer_gs_view"
-    )
-    return spark.sql(
-        f"""
-        SELECT c_mktsegment, c_nationkey,
-               GROUPING(c_mktsegment) AS g_seg,
-               GROUPING(c_nationkey) AS g_nat,
-               COUNT(*) AS customer_cnt,
-               {det.oracle_dsum("c_acctbal", 2)} AS total_acctbal
-        FROM customer_gs_view
-        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
-        """
-    )
-
-
-@register(
-    "agg_stats_dispersion",
+    "agg_stats_summary",
     oracle=f"""
         SELECT l_returnflag,
                {det.oracle_dstddev_samp("l_quantity")} AS qty_stddev,
                {det.oracle_dvar_samp("l_quantity")} AS qty_var,
-               {det.oracle_davg("l_quantity", 2)} AS qty_avg
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
-    doc="A4 dispersion statistics: sample stddev/variance from exact sums of "
-    "x and x^2 (functions/det.py) -- order-independent, unlike the "
-    "streaming-moment implementations both engines use natively.",
-    tags=("aggregate", "stats"),
-)
-def agg_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        det.dstddev_samp("l_quantity").alias("qty_stddev"),
-        det.dvar_samp("l_quantity").alias("qty_var"),
-        det.davg("l_quantity", 2).alias("qty_avg"),
-    )
-
-
-@register(
-    "agg_median_quantity",
-    oracle="""
-        SELECT l_returnflag,
+               {det.oracle_davg("l_quantity", 2)} AS qty_avg,
                quantile_cont(l_quantity, 0.5) AS median_qty,
                MIN(l_quantity) AS min_qty,
                MAX(l_quantity) AS max_qty
         FROM lineitem
         GROUP BY l_returnflag
     """,
-    doc="A4 exact percentile: interpolated median (Spark percentile() == "
-    "DuckDB quantile_cont). l_quantity is integer-valued so the midpoint "
-    "interpolation is exactly representable -- bit-stable across engines.",
-    tags=("aggregate", "percentile"),
+    doc="A4 dispersion + percentile family, merged (was agg_stats_dispersion "
+    "+ agg_median_quantity): sample stddev/variance from exact sums of x "
+    "and x^2 (functions/det.py -- order-independent, unlike the streaming-"
+    "moment implementations both engines use natively), interpolated "
+    "median (Spark percentile() == DuckDB quantile_cont; l_quantity is "
+    "integer-valued so the midpoint is exactly representable), min/max. "
+    "One shuffle; the exact percentile collects per-group values -- at "
+    "100 TB swap to approx_percentile for sketch-mergeable partials.",
+    tags=("aggregate", "stats", "percentile"),
 )
-def agg_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
+        det.dstddev_samp("l_quantity").alias("qty_stddev"),
+        det.dvar_samp("l_quantity").alias("qty_var"),
+        det.davg("l_quantity", 2).alias("qty_avg"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.min("l_quantity").alias("min_qty"),
         F.max("l_quantity").alias("max_qty"),
@@ -235,90 +220,35 @@ def agg_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_collect_sorted_types",
-    oracle="""
-        SELECT user_id,
-               array_agg(DISTINCT event_type ORDER BY event_type) AS types_seen
-        FROM events
-        GROUP BY user_id
-    """,
-    doc="A4 collect aggregate made deterministic: collect_set + sort_array "
-    "(unordered collect_list output would never hash-match across engines).",
-    tags=("aggregate", "collect"),
-)
-def agg_collect_sorted_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("types_seen")
-    )
-
-
-@register(
-    "agg_conditional_counts",
+    "agg_user_profile",
     oracle="""
         SELECT user_id,
                COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
                COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
-               COUNT(*) AS total
+               COUNT(*) AS total,
+               array_to_string(list_sort(list_distinct(list(event_type))), ',')
+                   AS types_csv
         FROM events
         GROUP BY user_id
     """,
-    doc="A4 conditional aggregation (count_if / FILTER clause): several "
-    "filtered measures in ONE scan+shuffle instead of N filtered subqueries.",
-    tags=("aggregate", "conditional"),
+    doc="A4 conditional + collect aggregates, merged (was "
+    "agg_conditional_counts + agg_collect_sorted_types): several filtered "
+    "measures (count_if / FILTER clause) in ONE scan+shuffle instead of N "
+    "filtered subqueries, plus the collect aggregate made deterministic "
+    "AND driver-hashable -- collect_set -> sort_array -> array_join to a "
+    "canonical CSV string (array-typed output columns crash the driver "
+    "comparator: unhashable type 'list').",
+    tags=("aggregate", "conditional", "collect"),
 )
-def agg_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
         F.count_if(F.col("event_type") == "purchase").alias("purchases"),
         F.count_if(F.col("event_type") == "error").alias("errors"),
         F.count(F.lit(1)).alias("total"),
-    )
-
-
-#: Salt fan-out for the skew-salted aggregation below.
-SALT_BUCKETS = 16
-
-
-@register(
-    "agg_salted_skew",
-    oracle=f"""
-        SELECT event_type,
-               COUNT(*) AS events,
-               {det.oracle_dsum("value")} AS total_value
-        FROM events
-        GROUP BY event_type
-    """,
-    doc="Skew-salted two-phase aggregation: event_type has ~4 distinct "
-    "values over the whole corpus -- the worst-case hot-key shape, where "
-    "a naive groupBy funnels everything through 4 reducers. Phase 1 "
-    "groups by (key, salt) with a deterministic row-derived salt "
-    "(event_id % 16) spreading each hot key over 16 reducers; phase 2 "
-    "re-aggregates the 4x16 partials. COUNT re-aggregates by SUM; the "
-    "decimal sums are associative, so the result is bit-identical to the "
-    "direct groupBy -- which is exactly what the oracle computes, proving "
-    "the rewrite is semantics-preserving. At 100 TB this turns one "
-    "straggler reducer into uniform parallelism for the price of a "
-    "second (tiny: keys x salts rows) shuffle.",
-    bench=True,
-    tags=("aggregate", "skew", "salting"),
-)
-def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    # phase 1: salt spreads each hot key over SALT_BUCKETS reducers.
-    # Decimal partials (not doubles) so the phase-2 re-sum stays exact.
-    partial = (
-        ev.withColumn("salt", F.col("event_id") % SALT_BUCKETS)
-        .groupBy("event_type", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
-        )
-    )
-    # phase 2: keys x salts rows -- negligible; re-sum exact decimals.
-    return partial.groupBy("event_type").agg(
-        F.sum("c").alias("events"),
-        F.sum("s").cast("double").alias("total_value"),
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias(
+            "types_csv"
+        ),
     )
 
 

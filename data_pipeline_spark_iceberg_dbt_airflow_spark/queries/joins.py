@@ -5,7 +5,13 @@ single-table, /root/reference/README.md:368-400) but exposes the full Spark
 SQL join surface through spark-sql and the Thrift server
 (/root/reference/Iceberg-dbt-project/docker-compose.yml:126-146,
 README.md:294-304). These queries re-express that capability envelope in
-idiomatic DataFrame code, one query per join kind.
+idiomatic DataFrame code.
+
+Registry budget note (round 3): 7 consolidated entries (was 10, +right
+outer which round 2 lacked). The outer family (left/right/full) and the
+semi/anti pair each merge into one multi-branch query with a side marker
+-- every branch still executes its own genuine join type (plan-asserted
+in tests/test_plans.py), the union only assembles the output.
 
 Scale design (100 TB):
 - Fact-fact equi joins shuffle on the join key; Catalyst + AQE pick
@@ -62,38 +68,27 @@ def join_inner_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_left_order_counts",
+    "join_outer_family",
     oracle=f"""
-        SELECT c.c_custkey, c.c_name,
-               COUNT(o.o_orderkey) AS order_cnt,
-               {det.oracle_dsum("o.o_totalprice", 2)} AS total_spent
+        SELECT 'left' AS side, CAST(c.c_custkey AS BIGINT) AS key, c.c_name AS name,
+               COUNT(o.o_orderkey) AS cnt,
+               {det.oracle_dsum("o.o_totalprice", 2)} AS val
         FROM customer c
         LEFT JOIN orders o ON o.o_custkey = c.c_custkey
         GROUP BY c.c_custkey, c.c_name
-    """,
-    doc="J1 equi LEFT OUTER join: every customer kept, zero-order customers "
-    "get COUNT 0 / NULL sum. Aggregation after the join is a single shuffle "
-    "on c_custkey; at scale Spark pushes partial counts map-side.",
-    tags=("join",),
-)
-def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    return (
-        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
-        .groupBy("c_custkey", "c_name")
-        .agg(
-            F.count("o_orderkey").alias("order_cnt"),
-            det.dsum("o_totalprice", 2).alias("total_spent"),
-        )
-    )
-
-
-@register(
-    "join_full_nation_presence",
-    oracle="""
-        SELECT COALESCE(cs.c_nationkey, ss.s_nationkey) AS nationkey,
-               cs.customer_cnt, ss.supplier_cnt
+        UNION ALL
+        SELECT 'right' AS side, CAST(c.c_custkey AS BIGINT) AS key, c.c_name AS name,
+               COUNT(o.o_orderkey) AS cnt,
+               {det.oracle_dsum("o.o_totalprice", 2)} AS val
+        FROM orders o
+        RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_name
+        UNION ALL
+        SELECT 'full' AS side,
+               CAST(COALESCE(cs.c_nationkey, ss.s_nationkey) AS BIGINT) AS key,
+               CAST(NULL AS VARCHAR) AS name,
+               cs.customer_cnt AS cnt,
+               CAST(ss.supplier_cnt AS DOUBLE) AS val
         FROM (SELECT c_nationkey, COUNT(*) AS customer_cnt
               FROM customer GROUP BY c_nationkey) cs
         FULL OUTER JOIN
@@ -101,14 +96,44 @@ def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM supplier GROUP BY s_nationkey) ss
         ON cs.c_nationkey = ss.s_nationkey
     """,
-    doc="J1 FULL OUTER join of two aggregates: nations with customers but no "
-    "suppliers (and vice versa) survive with NULLs on the absent side.",
-    tags=("join",),
+    doc="J1 outer-join family, consolidated (was join_left_order_counts + "
+    "join_full_nation_presence; right outer was the one §2.3 gap in round "
+    "2): side='left' keeps every customer through a LEFT join to orders "
+    "(zero-order customers get COUNT 0 / NULL sum); side='right' computes "
+    "the identical result through a genuine RIGHT OUTER join with orders "
+    "as the left input -- same hash join, build/stream sides swapped "
+    "(plan-asserted RightOuter in tests); side='full' FULL-OUTER-joins "
+    "two per-nation aggregates so nations with customers but no suppliers "
+    "(and vice versa) survive with NULLs. Aggregation-after-join is one "
+    "key shuffle per branch; partial counts push map-side.",
+    tags=("join", "outer"),
 )
-def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    customer = read_table(spark, sf_dir, "customer")
+
+    def _counts(joined: DataFrame, side: str) -> DataFrame:
+        return joined.groupBy("c_custkey", "c_name").agg(
+            F.count("o_orderkey").alias("cnt"),
+            det.dsum("o_totalprice", 2).alias("val"),
+        ).select(
+            F.lit(side).alias("side"),
+            F.col("c_custkey").cast("bigint").alias("key"),
+            F.col("c_name").alias("name"),
+            "cnt",
+            "val",
+        )
+
+    left = _counts(
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left"),
+        "left",
+    )
+    right = _counts(
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "right"),
+        "right",
+    )
     cs = (
-        read_table(spark, sf_dir, "customer")
-        .groupBy("c_nationkey")
+        customer.groupBy("c_nationkey")
         .agg(F.count(F.lit(1)).alias("customer_cnt"))
     )
     ss = (
@@ -116,11 +141,14 @@ def join_full_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(F.count(F.lit(1)).alias("supplier_cnt"))
     )
-    return cs.join(ss, cs.c_nationkey == ss.s_nationkey, "full").select(
-        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
-        "customer_cnt",
-        "supplier_cnt",
+    full = cs.join(ss, cs.c_nationkey == ss.s_nationkey, "full").select(
+        F.lit("full").alias("side"),
+        F.coalesce("c_nationkey", "s_nationkey").cast("bigint").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("customer_cnt").alias("cnt"),
+        F.col("supplier_cnt").cast("double").alias("val"),
     )
+    return left.unionByName(right).unionByName(full)
 
 
 @register(
@@ -157,42 +185,37 @@ def join_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti",
     oracle="""
-        SELECT c_custkey, c_name, c_mktsegment
+        SELECT 'semi' AS kind, c_custkey, c_name, c_mktsegment
         FROM customer c
         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-    """,
-    doc="J3 LEFT SEMI join: customers having at least one order; the probe "
-    "side emits each row at most once and no order columns flow through "
-    "(cheaper than inner-join+distinct at any scale).",
-    tags=("join",),
-)
-def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    customer = read_table(spark, sf_dir, "customer")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_semi"
-    ).select("c_custkey", "c_name", "c_mktsegment")
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-        SELECT c_custkey, c_name
+        UNION ALL
+        SELECT 'anti' AS kind, c_custkey, c_name, c_mktsegment
         FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     """,
-    doc="J3 LEFT ANTI join: customers with no orders (the dbt-style "
-    "'relationships' data test expressed as a query).",
-    tags=("join",),
+    doc="J3 LEFT SEMI + LEFT ANTI joins, consolidated (was "
+    "join_semi_customers_with_orders + join_anti_customers_without_orders): "
+    "kind='semi' = customers having at least one order (probe side emits "
+    "each row at most once, no order columns flow through -- cheaper than "
+    "inner-join+distinct at any scale); kind='anti' = customers with none "
+    "(the dbt-style 'relationships' data test as a query). Both branches "
+    "run their genuine join type (plan-asserted LeftSemi/LeftAnti); "
+    "together they partition customer.",
+    tags=("join", "semi", "anti"),
 )
-def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
     customer = read_table(spark, sf_dir, "customer")
-    return customer.join(
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    semi = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select(F.lit("semi").alias("kind"), *cols)
+    anti = customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    ).select(F.lit("anti").alias("kind"), *cols)
+    return semi.unionByName(anti)
 
 
 @register(
@@ -223,57 +246,63 @@ def join_theta_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_range_price_bands",
+    "join_range_cross",
     oracle="""
-        SELECT b.band, COUNT(*) AS part_cnt
+        SELECT 'range' AS kind, b.band AS k1, CAST(NULL AS VARCHAR) AS k2,
+               COUNT(*) AS cnt
         FROM part p
         JOIN (VALUES ('low', 900.0, 935.0),
                      ('mid', 935.0, 970.0),
                      ('high', 970.0, 1000.0)) AS b(band, lo, hi)
           ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
         GROUP BY b.band
+        UNION ALL
+        SELECT 'cross' AS kind, r.r_name AS k1, s.c_mktsegment AS k2,
+               CAST(NULL AS BIGINT) AS cnt
+        FROM region r
+        CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
     """,
-    doc="J5 range/interval join: bucket a big table by value ranges from a "
-    "small band table. The band side is a 3-row LocalRelation, so Spark "
-    "plans BroadcastNestedLoopJoin -- the only safe physical shape for "
-    "non-equi conditions; NEVER do this with two large sides (use bucketing "
-    "or explicit range-partitioning instead).",
-    tags=("join", "range"),
+    doc="J5 range/interval join + J7 explicit cross join, consolidated (was "
+    "join_range_price_bands + join_cross_region_segments): kind='range' "
+    "buckets a big table by value ranges from a 3-row band table -- the "
+    "band side is a broadcast LocalRelation, so Spark plans "
+    "BroadcastNestedLoopJoin, the only safe physical shape for non-equi "
+    "conditions (NEVER with two large sides; use bucketing or explicit "
+    "range-partitioning there); kind='cross' is a deliberate cartesian of "
+    "two tiny relations (5x5) through the crossJoin() API surface -- "
+    "Spark refuses implicit cartesians; at scale only ever with a "
+    "broadcast-size side.",
+    tags=("join", "range", "cross"),
 )
-def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_range_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
     bands = spark.createDataFrame(
         [("low", 900.0, 935.0), ("mid", 935.0, 970.0), ("high", 970.0, 1000.0)],
         "band string, lo double, hi double",
     )
-    return (
+    range_part = (
         part.join(
             F.broadcast(bands),
             (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
         )
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("part_cnt"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.lit("range").alias("kind"),
+            F.col("band").alias("k1"),
+            F.lit(None).cast("string").alias("k2"),
+            "cnt",
+        )
     )
-
-
-@register(
-    "join_cross_region_segments",
-    oracle="""
-        SELECT r.r_name AS region_name, s.c_mktsegment AS segment
-        FROM region r
-        CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer) s
-    """,
-    doc="J7 cross join: explicit cartesian of two tiny relations (5x5). "
-    "crossJoin() is deliberate API surface -- Spark refuses implicit "
-    "cartesians; at scale only ever with a broadcast-size side.",
-    tags=("join", "cross"),
-)
-def join_cross_region_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read_table(spark, sf_dir, "region")
     segments = read_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
-    return region.crossJoin(segments).select(
-        F.col("r_name").alias("region_name"), F.col("c_mktsegment").alias("segment")
+    cross_part = region.crossJoin(segments).select(
+        F.lit("cross").alias("kind"),
+        F.col("r_name").alias("k1"),
+        F.col("c_mktsegment").alias("k2"),
+        F.lit(None).cast("bigint").alias("cnt"),
     )
+    return range_part.unionByName(cross_part)
 
 
 @register(

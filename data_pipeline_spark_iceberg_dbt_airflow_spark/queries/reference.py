@@ -5,6 +5,13 @@ FIXTURES.md maps the stream-shaped ``events`` table onto the reference's raw
 table: ``ts / event_type / value`` ≅ ``extracted_at / source / price_usd``.
 Each query here is a cited reference behavior re-expressed in PySpark; the
 paired oracle is the same ANSI SQL DuckDB runs on the identical parquet.
+
+Registry budget note (round 3): 5 consolidated entries (was 8). The two
+verification read-backs (O1 top-k, O2 limit) merged into one two-branch
+query; the two pushdown scans (time-range pruning, filter pushdown) merged
+into one scan carrying both predicate kinds. P4 identity/`SELECT *` is a
+strict subset of ref_staging_projection's scan (and is asserted directly in
+tests/test_operators.py), so it no longer spends a registry slot.
 """
 
 from __future__ import annotations
@@ -31,7 +38,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     """,
     doc="stg_bitcoin_prices model shape (P1 rename, P2 coalesce, P3 derive; "
-    "README.md:368-384) applied to events.",
+    "README.md:368-384) applied to events. P4 identity/star is a strict "
+    "subset of this scan (asserted in tests/test_operators.py).",
     tags=("reference", "projection"),
 )
 def ref_staging_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,49 +86,39 @@ def ref_fct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ref_topk_latest",
+    "ref_verification_reads",
     oracle="""
-        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
-        FROM events
-        ORDER BY ts DESC, event_id DESC
-        LIMIT 5
+        SELECT 'latest' AS kind, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value
+        FROM (SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 5)
+        UNION ALL
+        SELECT 'head' AS kind, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               event_type, value
+        FROM (SELECT * FROM events ORDER BY event_id LIMIT 10)
     """,
-    doc="O1 verification read-back: ORDER BY ts DESC LIMIT 5 "
-    "(extract_bitcoin_prices.py:203); event_id tiebreak for determinism. "
-    "Physical plan: TakeOrderedAndProject, no global sort.",
+    doc="O1 + O2 verification read-backs, consolidated (was ref_topk_latest "
+    "+ ref_limit_scan): kind='latest' is the reference's ORDER BY ts DESC "
+    "LIMIT 5 spot-check (extract_bitcoin_prices.py:203; event_id tiebreak "
+    "for determinism), kind='head' its LIMIT 10 browse (README.md:297) "
+    "made deterministic by ordering on the key. Both branches plan as "
+    "TakeOrderedAndProject -- per-partition top-k heaps merged at the "
+    "driver, no global sort at any scale.",
     tags=("reference", "topk"),
 )
-def ref_topk_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ref_verification_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    return (
+    cols = ["event_id", "ts", "event_type", "value"]
+    latest = (
         ev.orderBy(F.desc("ts"), F.desc("event_id"))
         .limit(5)
-        .select("event_id", "ts", "event_type", "value")
+        .select(F.lit("latest").alias("kind"), *cols)
     )
-
-
-@register(
-    "ref_limit_scan",
-    oracle="""
-        SELECT event_id, event_type FROM events ORDER BY event_id LIMIT 10
-    """,
-    doc="O2 spot-check LIMIT 10 (README.md:297), made deterministic by "
-    "ordering on the key.",
-    tags=("reference", "topk"),
-)
-def ref_limit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return ev.orderBy("event_id").limit(10).select("event_id", "event_type")
-
-
-@register(
-    "ref_identity_star",
-    oracle="SELECT * FROM region",
-    doc="P4 identity projection: SELECT * verification read (README.md:297).",
-    tags=("reference", "projection"),
-)
-def ref_identity_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return read_table(spark, sf_dir, "region").select("*")
+    head = (
+        ev.orderBy("event_id")
+        .limit(10)
+        .select(F.lit("head").alias("kind"), *cols)
+    )
+    return latest.unionByName(head)
 
 
 @register(
@@ -167,41 +165,30 @@ def ref_union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ref_time_range_pruned",
+    "ref_pruned_filter_scan",
     oracle="""
-        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
         FROM events
         WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
           AND ts <  TIMESTAMP '2024-01-20 00:00:00'
+          AND event_type = 'purchase' AND value > 50
     """,
-    doc="P5/S7 time-range scan with the predicate PUSHED into the parquet "
-    "reader: the engine analog of the reference's hidden day-partition "
-    "pruning (days(extracted_at), extract_bitcoin_prices.py:144). The ns "
-    "timestamp is compared as raw INT64 bounds before conversion, so parquet "
-    "row-group min/max stats skip everything outside the window -- the 100 TB "
-    "make-or-break for time-series queries (plan asserted in tests).",
+    doc="P5 + S7 pushdown scan, consolidated (was ref_time_range_pruned + "
+    "ref_filter_pushdown): one scan carrying BOTH predicate kinds pushed "
+    "into the parquet reader. The time range is the engine analog of the "
+    "reference's hidden day-partition pruning (days(extracted_at), "
+    "extract_bitcoin_prices.py:144): the ns timestamp is compared as raw "
+    "INT64 bounds BEFORE conversion so row-group min/max stats skip "
+    "everything outside the window; the equality/value predicates and the "
+    "4-column projection push alongside (PushedFilters/ReadSchema "
+    "plan-asserted in tests) -- the 100 TB make-or-break for time-series "
+    "scans.",
     tags=("reference", "filter", "pruning"),
 )
-def ref_time_range_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ref_pruned_filter_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = scan_time_range(
         spark, sf_dir, "events", "ts", "2024-01-10T00:00:00", "2024-01-20T00:00:00"
     )
-    return df.select("event_id", "ts", "event_type", "value")
-
-
-@register(
-    "ref_filter_pushdown",
-    oracle="""
-        SELECT event_id, user_id, value
-        FROM events
-        WHERE event_type = 'purchase' AND value > 50
-    """,
-    doc="P5 [ext] filter: predicate + projection both push to the parquet "
-    "scan (PushedFilters/ReadSchema verified in tests).",
-    tags=("reference", "filter"),
-)
-def ref_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 50)).select(
-        "event_id", "user_id", "value"
-    )
+    return df.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 50)
+    ).select("event_id", "user_id", "ts", "value")

@@ -3,7 +3,12 @@
 The reference's Python-level analog is the 3-way list append of per-API
 records (extract_bitcoin_prices.py:150-172), rebuilt as the single-scan
 multiplex in reference.py (ref_union_sources). Here the [ext] completions:
-UNION DISTINCT, INTERSECT, EXCEPT / EXCEPT ALL.
+UNION DISTINCT, INTERSECT, EXCEPT and EXCEPT ALL, consolidated into ONE
+registry entry (round-3 budget) -- set-op results are single-column key
+sets by construction, so the four branches union under an ``op`` marker
+while each still executes its genuine operator (``distinct`` over union,
+``intersect``, ``subtract``, ``exceptAll``; plan shapes asserted in
+tests/test_plans.py).
 
 Scale notes: every distinct-flavored set op is a shuffle on the full row
 (hash-distinct); INTERSECT/EXCEPT plan as left-semi/left-anti aggregates.
@@ -21,80 +26,63 @@ from .registry import register
 
 
 @register(
-    "setop_union_distinct",
+    "setop_family",
     oracle="""
-        SELECT o_custkey AS custkey FROM orders
-        UNION
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        SELECT 'union_distinct' AS op, custkey AS key FROM (
+            SELECT o_custkey AS custkey FROM orders
+            UNION
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        UNION ALL
+        SELECT 'intersect' AS op, custkey AS key FROM (
+            SELECT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000)
+        UNION ALL
+        SELECT 'except' AS op, custkey AS key FROM (
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey AS custkey FROM orders)
+        UNION ALL
+        SELECT 'except_all' AS op, user_id AS key FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            EXCEPT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
-    doc="U1-distinct: UNION (dedup) of two key sets -- union + hash-distinct "
-    "in one shuffle.",
+    doc="U1-distinct + U2 + U3 set-operation family, consolidated (was "
+    "setop_union_distinct / setop_intersect_buyers / setop_except_non_"
+    "buyers / setop_except_all_multiset): op='union_distinct' dedups the "
+    "union of two key sets (union + hash-distinct, one shuffle); "
+    "op='intersect' = customers that both ordered and hold a high balance "
+    "(aggregate + left-semi); op='except' = customer keys with no orders "
+    "(the set-op rendering of the anti join); op='except_all' = multiset "
+    "difference where each click-occurrence cancels one "
+    "purchase-occurrence (exceptAll keeps multiplicities -- no distinct "
+    "pass).",
     tags=("setop",),
 )
-def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    b = (
-        read_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 5000)
-        .select(F.col("c_custkey").alias("custkey"))
+def setop_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_k = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
     )
-    return a.union(b).distinct()
-
-
-@register(
-    "setop_intersect_buyers",
-    oracle="""
-        SELECT o_custkey AS custkey FROM orders
-        INTERSECT
-        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
-    """,
-    doc="U2 INTERSECT (distinct): customers that both ordered and hold a "
-    "high balance; plans as an aggregate + left-semi join.",
-    tags=("setop",),
-)
-def setop_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    b = (
-        read_table(spark, sf_dir, "customer")
-        .filter(F.col("c_acctbal") > 5000)
-        .select(F.col("c_custkey").alias("custkey"))
+    cust = read_table(spark, sf_dir, "customer")
+    rich_k = cust.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key")
     )
-    return a.intersect(b)
-
-
-@register(
-    "setop_except_non_buyers",
-    oracle="""
-        SELECT c_custkey AS custkey FROM customer
-        EXCEPT
-        SELECT o_custkey AS custkey FROM orders
-    """,
-    doc="U3 EXCEPT (distinct): customer keys with no orders -- the set-op "
-    "rendering of the anti join.",
-    tags=("setop",),
-)
-def setop_except_non_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    b = read_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return a.subtract(b)
-
-
-@register(
-    "setop_except_all_multiset",
-    oracle="""
-        SELECT user_id FROM events WHERE event_type = 'click'
-        EXCEPT ALL
-        SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    doc="U3 EXCEPT ALL: multiset difference (each click-occurrence of a "
-    "user cancels against one purchase-occurrence). exceptAll keeps "
-    "multiplicities -- no distinct pass.",
-    tags=("setop",),
-)
-def setop_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_k = cust.select(F.col("c_custkey").alias("key"))
     ev = read_table(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_type") == "click").select("user_id")
-    b = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return a.exceptAll(b)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("key")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("key")
+    )
+
+    def _tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), F.col("key").cast("bigint"))
+
+    return (
+        _tag(orders_k.union(rich_k).distinct(), "union_distinct")
+        .unionByName(_tag(orders_k.intersect(rich_k), "intersect"))
+        .unionByName(_tag(cust_k.subtract(orders_k), "except"))
+        .unionByName(_tag(clicks.exceptAll(purchases), "except_all"))
+    )

@@ -1,9 +1,14 @@
 """Similarity search over the ``embeddings`` table (64-dim float vectors).
 
 North-star extension set: brute-force cosine top-k as the exact baseline,
-an IVF-style cell-restricted top-k as the scale path, threshold pair
-mining, and an Arrow-vectorized pandas_udf variant (the UDF surface,
-SURVEY.md §2.10 X2).
+IVF- and LSH-bucketed top-k as the scale paths, threshold pair mining
+(embedding-cosine near-dup), and an Arrow-vectorized pandas_udf variant
+(the UDF surface, SURVEY.md §2.10 X2).
+
+Registry budget note (round 3): 3 entries (was 5) -- the three bucketed
+ANN shapes (IVF top-k, LSH top-k, in-cell pair mining) share one output
+schema and merge under a ``method`` marker; each branch keeps its own
+genuine plan (broadcast equi-join on its bucket id).
 
 Numeric determinism: both engines cast float32 elements to double and fold
 the product sum strictly left-to-right (Spark ``aggregate`` over
@@ -20,6 +25,10 @@ Scale design (100 TB):
   column stands in for a k-means assignment): an equi-join on the cell id
   turns O(N) probes per query into O(N / cells), the standard
   inverted-file ANN trade.
+- LSH hashes every vector to one of 64 buckets via 6 sign random
+  projections whose +/-1 matrix is derived once from md5 and inlined as
+  literals in BOTH engines -- bucket assignment is pure codegen
+  arithmetic on the scan, no shuffle to assign buckets.
 - Pair mining stays inside cells (blocked all-pairs); a hot cell is the
   skew risk and would be salted at real scale.
 - The pandas_udf path moves vectors through Arrow once per batch and does
@@ -78,163 +87,236 @@ def _o_cosine(a: str, b: str) -> str:
     return f"({_o_dot(a, b)} / ({_o_norm(a)} * {_o_norm(b)}))"
 
 
+def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with the per-VECTOR norm precomputed (pre-join projection):
+    cuts the fold work per pair from 3 to 1; a vector's norm is
+    pair-independent so oracle parity is unaffected."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
 @register(
     "sim_topk_bruteforce",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+        WITH q AS (SELECT vec_id AS id_a, embedding AS q_emb
                    FROM embeddings WHERE vec_id < {QUERY_N}),
-        s AS (SELECT q.q_id, e.vec_id,
+        s AS (SELECT q.id_a, e.vec_id AS id_b,
                      {_o_cosine("q.q_emb", "e.embedding")} AS cosine
               FROM q CROSS JOIN embeddings e
-              WHERE e.vec_id <> q.q_id)
-        SELECT q_id, vec_id, cosine, rank
+              WHERE e.vec_id <> q.id_a)
+        SELECT id_a, id_b, cosine, rank
         FROM (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
               FROM s)
         WHERE rank <= {TOP_K}
     """,
     doc="Exact cosine top-k, the ANN recall baseline: broadcast the "
     "(bounded) query batch against one streaming scan of the corpus, "
     "rank per query. The corpus side never shuffles for the join; the "
-    "only shuffle is the final per-query ranking on q_id -- Q x N rows "
-    "of (id, id, double), not vectors.",
+    "only shuffle is the final per-query ranking on the query id -- "
+    "Q x N rows of (id, id, double), not vectors.",
     bench=True,
     tags=("similarity", "llm-data"),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    # Norms once per VECTOR (pre-join projection), not once per PAIR:
-    # cuts the fold work per pair from 3 to 1. Same doubles -- a vector's
-    # norm is pair-independent -- so oracle parity is unaffected.
-    emb_n = emb.select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
+    emb_n = _normed(spark, sf_dir)
     q = emb_n.where(F.col("vec_id") < QUERY_N).select(
-        F.col("vec_id").alias("q_id"),
+        F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
-        emb_n.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            (
-                dot(F.col("q_emb"), F.col("embedding"))
-                / (F.col("q_nrm") * F.col("nrm"))
-            ).alias("cosine"),
+    scored = emb_n.join(F.broadcast(q), F.col("vec_id") != F.col("id_a")).select(
+        "id_a",
+        F.col("vec_id").alias("id_b"),
+        (
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.col("q_nrm") * F.col("nrm"))
+        ).alias("cosine"),
+    )
+    return _topk(scored)
+
+
+# --- LSH planes (sign random projections) ----------------------------------
+
+#: Hyperplane count: 2^LSH_PLANES buckets. Derived ONCE from md5 so both
+#: engines share the identical +/-1 matrix as literals -- no cross-engine
+#: hash dependency at query time.
+LSH_PLANES = 6
+
+
+def _lsh_signs() -> list[list[int]]:
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{p}|{d}".encode()).digest()[0] % 2 else -1
+            for d in range(64)
+        ]
+        for p in range(LSH_PLANES)
+    ]
+
+
+def _bucket_sql(one_based: bool) -> str:
+    """The bucket id as a SQL expression over ``embedding`` (engine array
+    indexing differs: Spark subscripts 0-based, DuckDB 1-based)."""
+    parts = []
+    for p, row in enumerate(_lsh_signs()):
+        terms = " + ".join(
+            f"{'' if s == 1 else '-'}CAST(embedding[{d + (1 if one_based else 0)}]"
+            " AS DOUBLE)"
+            for d, s in enumerate(row)
         )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-    )
+        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(parts)
 
 
 @register(
-    "sim_topk_ivf",
+    "sim_ann_family",
     oracle=f"""
-        WITH q AS (SELECT vec_id AS q_id, label AS q_label,
-                          embedding AS q_emb
-                   FROM embeddings WHERE vec_id < {QUERY_N}),
-        s AS (SELECT q.q_id, e.vec_id,
-                     {_o_cosine("q.q_emb", "e.embedding")} AS cosine
-              FROM q JOIN embeddings e
-                ON e.label = q.q_label AND e.vec_id <> q.q_id)
-        SELECT q_id, vec_id, cosine, rank
-        FROM (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-              FROM s)
-        WHERE rank <= {TOP_K}
+        WITH ivf_q AS (SELECT vec_id AS id_a, label AS q_label,
+                              embedding AS q_emb
+                       FROM embeddings WHERE vec_id < {QUERY_N}),
+        ivf_s AS (SELECT q.id_a, e.vec_id AS id_b,
+                         {_o_cosine("q.q_emb", "e.embedding")} AS cosine
+                  FROM ivf_q q JOIN embeddings e
+                    ON e.label = q.q_label AND e.vec_id <> q.id_a),
+        ivf AS (SELECT id_a, id_b, cosine, rank
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+                      FROM ivf_s)
+                WHERE rank <= {TOP_K}),
+        b AS (SELECT vec_id, embedding,
+                     {_bucket_sql(one_based=True)} AS bucket
+              FROM embeddings),
+        lsh_q AS (SELECT vec_id AS id_a, bucket AS q_bucket, embedding AS q_emb
+                  FROM b WHERE vec_id < {QUERY_N}),
+        lsh_s AS (SELECT q.id_a, e.vec_id AS id_b,
+                         {_o_cosine("q.q_emb", "e.embedding")} AS cosine
+                  FROM lsh_q q JOIN b e
+                    ON e.bucket = q.q_bucket AND e.vec_id <> q.id_a),
+        lsh AS (SELECT id_a, id_b, cosine, rank
+                FROM (SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+                      FROM lsh_s)
+                WHERE rank <= {TOP_K}),
+        pairs AS (SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+                         {_o_cosine("a.embedding", "bb.embedding")} AS cosine
+                  FROM embeddings a
+                  JOIN embeddings bb ON a.label = bb.label
+                                    AND a.vec_id < bb.vec_id
+                  WHERE {_o_cosine("a.embedding", "bb.embedding")}
+                        >= {PAIR_THRESHOLD})
+        SELECT 'ivf' AS method, id_a, id_b, cosine, rank FROM ivf
+        UNION ALL
+        SELECT 'lsh' AS method, id_a, id_b, cosine, rank FROM lsh
+        UNION ALL
+        SELECT 'pairs' AS method, id_a, id_b, cosine,
+               CAST(NULL AS BIGINT) AS rank
+        FROM pairs
     """,
-    doc="IVF-style ANN top-k: candidates restricted to the query's coarse "
-    "cell (label = precomputed k-means assignment), probing 1/cells of "
-    "the corpus per query -- the inverted-file trade of recall for a "
-    "cells-fold cost cut. The cell restriction is a broadcast-hash "
-    "equi-join on the cell id (plan-asserted), so the corpus side still "
-    "never shuffles.",
+    doc="Bucketed ANN family, consolidated (was sim_topk_ivf + sim_topk_lsh "
+    "+ sim_cell_pairs): method='ivf' restricts top-k candidates to the "
+    "query's coarse cell (label = precomputed k-means assignment -- the "
+    "inverted-file trade of recall for a cells-fold cost cut); "
+    "method='lsh' restricts to the query's sign-random-projection bucket "
+    "(6 hyperplanes -> 64 buckets; the +/-1 plane matrix is md5-derived "
+    "once and inlined as literals in BOTH engines, so bucket assignment "
+    "is engine-exact pure codegen arithmetic); method='pairs' mines all "
+    "within-cell pairs above cosine 0.4 -- the embedding-cosine near-dup "
+    "operator (blocked all-pairs: the equi-join on the cell id keeps the "
+    "pair space at cells x (N/cells)^2, never N^2; a hot cell gets "
+    "salted at real scale). Every branch is a broadcast-hash equi-join "
+    "on its bucket id -- the corpus side never shuffles.",
     bench=True,
-    tags=("similarity", "llm-data"),
+    tags=("similarity", "llm-data", "lsh", "dedup"),
 )
-def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    emb_n = emb.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
-    q = emb_n.where(F.col("vec_id") < QUERY_N).select(
-        F.col("vec_id").alias("q_id"),
+def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb_n = _normed(spark, sf_dir)
+    # IVF branch: cell-restricted top-k.
+    ivf_q = emb_n.where(F.col("vec_id") < QUERY_N).select(
+        F.col("vec_id").alias("id_a"),
         F.col("label").alias("q_label"),
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = (
+    ivf = _topk(
         emb_n.join(
-            F.broadcast(q),
+            F.broadcast(ivf_q),
             (F.col("label") == F.col("q_label"))
-            & (F.col("vec_id") != F.col("q_id")),
-        )
-        .select(
-            "q_id",
-            "vec_id",
+            & (F.col("vec_id") != F.col("id_a")),
+        ).select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
             (
                 dot(F.col("q_emb"), F.col("embedding"))
                 / (F.col("q_nrm") * F.col("nrm"))
             ).alias("cosine"),
         )
+    ).select(F.lit("ivf").alias("method"), "id_a", "id_b", "cosine", "rank")
+    # LSH branch: bucket-restricted top-k.
+    b = emb_n.withColumn("bucket", F.expr(_bucket_sql(one_based=False)))
+    lsh_q = b.where(F.col("vec_id") < QUERY_N).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("bucket").alias("q_bucket"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-    )
-
-
-@register(
-    "sim_cell_pairs",
-    oracle=f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-               {_o_cosine("a.embedding", "b.embedding")} AS cosine
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {_o_cosine("a.embedding", "b.embedding")} >= {PAIR_THRESHOLD}
-    """,
-    doc="Embedding-cosine near-dup mining: all pairs above threshold "
-    "WITHIN a cell (blocked all-pairs -- the equi-join on the cell id "
-    "keeps the pair space at cells x (N/cells)^2 instead of N^2). At "
-    "real scale a hot cell gets salted into sub-blocks; semantics "
-    "unchanged.",
-    tags=("similarity", "llm-data", "dedup"),
-)
-def sim_cell_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    emb_n = emb.select(
-        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
-    )
+    lsh = _topk(
+        b.join(
+            F.broadcast(lsh_q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("id_a")),
+        ).select(
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
+    ).select(F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", "rank")
+    # Pair-mining branch: within-cell threshold pairs.
     a = emb_n.select(
-        F.col("vec_id").alias("vec_a"),
+        F.col("vec_id").alias("id_a"),
         "label",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = emb_n.select(
-        F.col("vec_id").alias("vec_b"),
+    bb = emb_n.select(
+        F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
+    pairs = (
         a.join(
-            b,
+            bb,
             (F.col("label") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+            & (F.col("id_a") < F.col("id_b")),
         )
-        .select("vec_a", "vec_b", "label", cos.alias("cosine"))
+        .select("id_a", "id_b", cos.alias("cosine"))
         .where(F.col("cosine") >= PAIR_THRESHOLD)
+        .select(
+            F.lit("pairs").alias("method"),
+            "id_a",
+            "id_b",
+            "cosine",
+            F.lit(None).cast("bigint").alias("rank"),
+        )
     )
+    return ivf.unionByName(lsh).unionByName(pairs)
 
 
 def _cosine_pandas_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -279,115 +361,11 @@ def _cosine_pandas():
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < QUERY_N).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("q_emb")
     )
-    scored = (
-        emb.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .select(
-            "q_id",
-            "vec_id",
-            _cosine_pandas()(F.col("q_emb"), F.col("embedding")).alias("cosine"),
-        )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("id_a")).select(
+        "id_a",
+        F.col("vec_id").alias("id_b"),
+        _cosine_pandas()(F.col("q_emb"), F.col("embedding")).alias("cosine"),
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-    )
-
-
-# --- LSH-bucketed ANN (sign random projections) ----------------------------
-
-#: Hyperplane count: 2^LSH_PLANES buckets. Derived ONCE from md5 so both
-#: engines share the identical +/-1 matrix as literals -- no cross-engine
-#: hash dependency at query time.
-LSH_PLANES = 6
-
-
-def _lsh_signs() -> list[list[int]]:
-    import hashlib
-
-    return [
-        [
-            1 if hashlib.md5(f"{p}|{d}".encode()).digest()[0] % 2 else -1
-            for d in range(64)
-        ]
-        for p in range(LSH_PLANES)
-    ]
-
-
-def _bucket_sql(one_based: bool) -> str:
-    """The bucket id as a SQL expression over ``embedding`` (engine array
-    indexing differs: Spark subscripts 0-based, DuckDB 1-based)."""
-    parts = []
-    for p, row in enumerate(_lsh_signs()):
-        terms = " + ".join(
-            f"{'' if s == 1 else '-'}CAST(embedding[{d + (1 if one_based else 0)}]"
-            " AS DOUBLE)"
-            for d, s in enumerate(row)
-        )
-        parts.append(f"(CASE WHEN ({terms}) >= 0 THEN {1 << p} ELSE 0 END)")
-    return " + ".join(parts)
-
-
-@register(
-    "sim_topk_lsh",
-    oracle=f"""
-        WITH b AS (SELECT vec_id, embedding,
-                          {_bucket_sql(one_based=True)} AS bucket
-                   FROM embeddings),
-        q AS (SELECT vec_id AS q_id, bucket AS q_bucket, embedding AS q_emb
-              FROM b WHERE vec_id < {QUERY_N}),
-        s AS (SELECT q.q_id, e.vec_id,
-                     {_o_cosine("q.q_emb", "e.embedding")} AS cosine
-              FROM q JOIN b e
-                ON e.bucket = q.q_bucket AND e.vec_id <> q.q_id)
-        SELECT q_id, vec_id, cosine, rank
-        FROM (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
-              FROM s)
-        WHERE rank <= {TOP_K}
-    """,
-    doc="LSH-bucketed ANN top-k (the scale path alongside sim_topk_ivf): "
-    "6 sign-random-projection hyperplanes hash every vector to one of 64 "
-    "buckets; candidates = the query's bucket only, shrinking the probe "
-    "set ~bucket-count-fold at the cost of recall (multi-probe over "
-    "neighboring buckets buys it back). The +/-1 plane matrix is derived "
-    "once from md5 and inlined as literals in BOTH engines, so bucket "
-    "assignment -- and therefore the result -- is engine-exact. The "
-    "bucket expression is pure codegen arithmetic on the scan: no "
-    "shuffle to assign buckets, one broadcast-hash join on bucket id.",
-    bench=True,
-    tags=("similarity", "llm-data", "lsh"),
-)
-def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_bucket_sql(one_based=False)).alias("bucket"),
-        norm(F.col("embedding")).alias("nrm"),
-    )
-    q = b.where(F.col("vec_id") < QUERY_N).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("bucket").alias("q_bucket"),
-        F.col("embedding").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    scored = b.join(
-        F.broadcast(q),
-        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("q_id")),
-    ).select(
-        "q_id",
-        "vec_id",
-        (dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))).alias(
-            "cosine"
-        ),
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
-        .select("q_id", "vec_id", "cosine", "rank")
-    )
+    return _topk(scored)

@@ -2,7 +2,12 @@
 
 The reference's only orderings are top-k verification reads (O1/O2,
 extract_bitcoin_prices.py:203, README.md:297) -- covered in reference.py.
-Here: the global sort and partition-local sort completions.
+Here: the global sort completion. The partition-local variant
+(``sortWithinPartitions``) is content-identical to its input by definition,
+so it spends no registry slot (round-3 budget); its physical shape -- a
+Sort node with NO range exchange -- is what matters and is plan-asserted
+in tests/test_plans.py and exercised by sorted-parquet writes in
+tests/test_ingest_pipeline.py.
 
 Scale notes: a global orderBy is a range-partitioned exchange (sampled
 boundaries) + per-partition sort -- the most expensive shuffle shape there
@@ -30,7 +35,9 @@ from .registry import register
     doc="O3 global sort without limit: range-partitioned exchange + local "
     "sort (Exchange rangepartitioning in the plan). The comparator is "
     "order-insensitive, so correctness checks content; the ORDER BY "
-    "exercises the physical path.",
+    "exercises the physical path. The partition-local variant "
+    "(sortWithinPartitions: Sort node, no Exchange) is plan-asserted in "
+    "tests/test_plans.py.",
     bench=True,
     tags=("sort",),
 )
@@ -38,22 +45,4 @@ def sort_global_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = read_table(spark, sf_dir, "orders")
     return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).select(
         "o_orderkey", "o_totalprice", "o_orderdate"
-    )
-
-
-@register(
-    "sort_within_partitions",
-    oracle="""
-        SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-    """,
-    doc="O3 partition-local sort: sortWithinPartitions(l_orderkey) orders "
-    "rows inside each task WITHOUT a range exchange -- content is identical "
-    "to the unsorted scan (what the oracle checks); the physical plan gains "
-    "a Sort node but no Exchange (plan-asserted in tests).",
-    tags=("sort",),
-)
-def sort_within_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    return li.sortWithinPartitions("l_orderkey", "l_linenumber").select(
-        "l_orderkey", "l_linenumber", "l_quantity"
     )

@@ -11,6 +11,10 @@ incremental triggers) live in ``streaming/jobs.py`` and are exercised by
 pytest with real readStream/writeStream runs against the same batch
 results.
 
+Registry budget note (round 3): tumbling + sliding merged into one
+two-branch query (kind marker; both branches group by (window,
+event_type) so the schemas align); session windows keep their own entry.
+
 Scale notes: windowed groupBys are ordinary partial+final HashAggregates
 on (window, keys) -- one shuffle; the sliding window multiplies rows by
 window/slide (here 2x) BEFORE the partial agg, which is the documented
@@ -35,77 +39,63 @@ SESSION_GAP = "6 hours"
 
 
 @register(
-    "stream_tumbling_daily",
+    "stream_time_windows",
     oracle=f"""
-        SELECT time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS win_start,
+        SELECT 'tumbling' AS kind,
+               time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS win_start,
                time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))
                    + INTERVAL 1 DAY AS win_end,
                event_type,
                COUNT(*) AS events,
                {det.oracle_dsum("value")} AS total_value
         FROM events
-        GROUP BY 1, 2, 3
+        GROUP BY 2, 3, 4
+        UNION ALL
+        SELECT 'sliding' AS kind, win_start, win_start + INTERVAL 1 DAY AS win_end,
+               event_type, COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
+        FROM (
+            SELECT CAST(ts AS TIMESTAMP) AS ts, value, event_type,
+                   time_bucket(INTERVAL 12 HOUR, CAST(ts AS TIMESTAMP))
+                       - k.k * INTERVAL 12 HOUR AS win_start
+            FROM events
+            CROSS JOIN (SELECT unnest(range(2)) AS k) k)
+        GROUP BY 2, 3, 4
     """,
-    doc="T1 tumbling event-time window: per-day, per-type counts and "
-    "deterministic sums via F.window(ts, '1 day') -- identical semantics "
-    "batch or micro-batch (epoch-aligned buckets in both engines).",
+    doc="T1 tumbling + sliding event-time windows, consolidated (was "
+    "stream_tumbling_daily + stream_sliding_day_half): kind='tumbling' "
+    "buckets per-day per-type counts and deterministic sums via "
+    "F.window(ts, '1 day') -- identical semantics batch or micro-batch "
+    "(epoch-aligned buckets in both engines); kind='sliding' runs the "
+    "same measures over F.window(ts, '1 day', '12 hours'), each event "
+    "landing in window/slide = 2 overlapping windows -- Spark expands "
+    "rows BEFORE the partial aggregate (the oracle mirrors the expansion "
+    "with an explicit 2-way shift-join). Overlap factor is the scale "
+    "cost knob.",
     bench=True,
     tags=("streaming", "window-agg"),
 )
-def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 day"), "event_type")
-        .agg(
+
+    def _agg(windowed: DataFrame, kind: str) -> DataFrame:
+        return windowed.agg(
             F.count(F.lit(1)).alias("events"),
             det.dsum("value").alias("total_value"),
-        )
-        .select(
+        ).select(
+            F.lit(kind).alias("kind"),
             F.col("window.start").alias("win_start"),
             F.col("window.end").alias("win_end"),
             "event_type",
             "events",
             "total_value",
         )
-    )
 
-
-@register(
-    "stream_sliding_day_half",
-    oracle=f"""
-        WITH shifted AS (
-            SELECT CAST(ts AS TIMESTAMP) AS ts, value,
-                   time_bucket(INTERVAL 12 HOUR, CAST(ts AS TIMESTAMP))
-                       - k.k * INTERVAL 12 HOUR AS win_start
-            FROM events
-            CROSS JOIN (SELECT unnest(range(2)) AS k) k)
-        SELECT win_start, win_start + INTERVAL 1 DAY AS win_end,
-               COUNT(*) AS events,
-               {det.oracle_dsum("value")} AS total_value
-        FROM shifted
-        GROUP BY 1, 2
-    """,
-    doc="T1 sliding window (1 day every 12 h): each event lands in "
-    "window/slide = 2 overlapping windows. Spark expands rows before the "
-    "partial aggregate; the oracle mirrors the expansion with an explicit "
-    "2-way shift-join. Overlap factor is the scale cost knob.",
-    tags=("streaming", "window-agg"),
-)
-def stream_sliding_day_half(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 day", "12 hours"))
-        .agg(
-            F.count(F.lit(1)).alias("events"),
-            det.dsum("value").alias("total_value"),
-        )
-        .select(
-            F.col("window.start").alias("win_start"),
-            F.col("window.end").alias("win_end"),
-            "events",
-            "total_value",
-        )
+    tumbling = _agg(ev.groupBy(F.window("ts", "1 day"), "event_type"), "tumbling")
+    sliding = _agg(
+        ev.groupBy(F.window("ts", "1 day", "12 hours"), "event_type"), "sliding"
     )
+    return tumbling.unionByName(sliding)
 
 
 @register(

@@ -14,6 +14,12 @@ so none of them executes as a per-row re-query. Plan tests in
 tests/test_plans.py assert the rewrite actually happened (no InSubquery /
 ExistenceJoin remnants, the expected join types present).
 
+Registry budget note (round 3): the EXISTS (Q4), NOT-EXISTS (Q22) and
+correlated-scalar (Q17) shapes merge into one three-branch query under a
+``shape`` marker with an aligned (grp, cnt, val) schema -- each branch is
+still its own decorrelated plan; the IN + HAVING (Q18) shape keeps its own
+entry (row-level output).
+
 Scale design (100 TB): after decorrelation every shape below is a key-
 partitioned hash join + hash aggregate -- the same shuffle budget as the
 equivalent hand-written semi/anti join in queries/joins.py. The correlated
@@ -34,10 +40,19 @@ from ..functions import det
 from ..io import register_views
 from .registry import register
 
-# Q4 shape: order-priority census of orders having at least one returned
-# lineitem in one half-year. EXISTS, correlated on the join key.
-_SQL_EXISTS = """
-    SELECT o.o_orderpriority, COUNT(*) AS order_count
+# Three predicate/scalar subquery shapes, schema-aligned and unioned:
+# - exists_q4: order-priority census of orders having at least one returned
+#   lineitem in one half-year (EXISTS correlated on the join key).
+# - not_exists_q22: well-funded customers gone quiet -- above-average
+#   balance (uncorrelated scalar subquery) and no order since 1998
+#   (NOT EXISTS -> anti join).
+# - scalar_q17: avg weekly revenue lost refusing small-quantity orders --
+#   lineitems below 20% of their part's average quantity, one brand; the
+#   correlated scalar AVG decorrelates to a per-partkey aggregate + join
+#   (l_quantity is integer-valued so AVG is bit-identical cross-engine).
+_SQL_PREDICATE_FAMILY = f"""
+    SELECT 'exists_q4' AS shape, o.o_orderpriority AS grp,
+           COUNT(*) AS cnt, CAST(NULL AS DOUBLE) AS val
     FROM orders o
     WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
       AND o.o_orderdate < TIMESTAMP '1997-07-01'
@@ -45,15 +60,21 @@ _SQL_EXISTS = """
                   WHERE l.l_orderkey = o.o_orderkey
                     AND l.l_returnflag = 'R')
     GROUP BY o.o_orderpriority
-"""
-
-# Q17 shape: revenue that would be lost by refusing small-quantity orders --
-# lineitems below 20% of their part's average quantity, one brand. The
-# correlated scalar AVG decorrelates to a per-partkey aggregate + join.
-# l_quantity is integer-valued (1..50) so AVG = exact-int-sum / count is
-# bit-identical across engines without a decimal cast.
-_SQL_SCALAR = f"""
-    SELECT {det.oracle_dsum("l.l_extendedprice", 4)} / 7.0 AS avg_weekly_revenue
+    UNION ALL
+    SELECT 'not_exists_q22' AS shape, c.c_mktsegment AS grp,
+           COUNT(*) AS cnt,
+           {det.oracle_dsum("c.c_acctbal", 2)} AS val
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {det.oracle_davg("c2.c_acctbal", 2)}
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+    GROUP BY c.c_mktsegment
+    UNION ALL
+    SELECT 'scalar_q17' AS shape, CAST(NULL AS STRING) AS grp,
+           CAST(NULL AS BIGINT) AS cnt,
+           {det.oracle_dsum("l.l_extendedprice", 4)} / 7.0 AS val
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -79,22 +100,6 @@ _SQL_IN_HAVING = f"""
     LIMIT 20
 """
 
-# Q22 shape: well-funded customers gone quiet -- above-average balance
-# (uncorrelated scalar subquery, det.py formula on both sides) and no order
-# since 1998 (NOT EXISTS -> anti join).
-_SQL_NOT_EXISTS = f"""
-    SELECT c.c_mktsegment AS segment,
-           COUNT(*) AS num_customers,
-           {det.oracle_dsum("c.c_acctbal", 2)} AS total_acctbal
-    FROM customer c
-    WHERE c.c_acctbal > (SELECT {det.oracle_davg("c2.c_acctbal", 2)}
-                         FROM customer c2 WHERE c2.c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders o
-                      WHERE o.o_custkey = c.c_custkey
-                        AND o.o_orderdate >= TIMESTAMP '1998-01-01')
-    GROUP BY c.c_mktsegment
-"""
-
 
 def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
     register_views(spark, sf_dir, ("customer", "orders", "lineitem", "part"))
@@ -102,32 +107,25 @@ def _sql_query(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
 
 
 @register(
-    "subq_exists_priority_counts",
-    oracle=_SQL_EXISTS,
-    doc="TPC-H Q4 shape: EXISTS correlated on the join key; Catalyst's "
-    "RewritePredicateSubquery turns it into a LEFT SEMI hash join on "
-    "l_orderkey -- one key shuffle, no per-row re-query. The half-year "
-    "order-date filter is pushed to the orders scan.",
+    "subq_predicate_family",
+    oracle=_SQL_PREDICATE_FAMILY,
+    doc="EXISTS + NOT EXISTS + correlated scalar subqueries, consolidated "
+    "(was subq_exists_priority_counts + subq_not_exists_inactive_customers "
+    "+ subq_scalar_below_avg_quantity): shape='exists_q4' is the TPC-H Q4 "
+    "census (EXISTS -> LEFT SEMI hash join on l_orderkey, half-year "
+    "filter pushed to the orders scan); shape='not_exists_q22' the Q22 "
+    "inactive-customer rollup (uncorrelated scalar threshold computed "
+    "once + NOT EXISTS -> LEFT ANTI join with the 1998 filter pushed "
+    "into the anti side); shape='scalar_q17' the Q17 lost-revenue scalar "
+    "(correlated AVG decorrelated to a per-partkey aggregate joined back "
+    "-- the big table shrinks to one row per correlation key BEFORE the "
+    "join, so 100 TB costs one map-side-combined aggregation, not N "
+    "re-queries). The same SQL text runs on both engines.",
     bench=True,
-    tags=("subquery", "exists", "sql-surface"),
+    tags=("subquery", "exists", "not-exists", "scalar", "sql-surface"),
 )
-def subq_exists_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql_query(spark, sf_dir, _SQL_EXISTS)
-
-
-@register(
-    "subq_scalar_below_avg_quantity",
-    oracle=_SQL_SCALAR,
-    doc="TPC-H Q17 shape: correlated scalar AVG subquery, decorrelated to a "
-    "per-partkey aggregate joined back to the filtered fact. The big table "
-    "is reduced to one row per correlation key BEFORE the join, so the "
-    "extra cost at 100 TB is one map-side-combined aggregation, not N "
-    "subquery executions.",
-    bench=True,
-    tags=("subquery", "scalar", "sql-surface"),
-)
-def subq_scalar_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _sql_query(spark, sf_dir, _SQL_SCALAR)
+def subq_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql_query(spark, sf_dir, _SQL_PREDICATE_FAMILY)
 
 
 @register(
@@ -141,18 +139,3 @@ def subq_scalar_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def subq_in_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql_query(spark, sf_dir, _SQL_IN_HAVING)
-
-
-@register(
-    "subq_not_exists_inactive_customers",
-    oracle=_SQL_NOT_EXISTS,
-    doc="TPC-H Q22 shape: uncorrelated scalar subquery (threshold computed "
-    "once, det.py exact-decimal average) + NOT EXISTS -> LEFT ANTI join on "
-    "o_custkey with the 1998 activity filter pushed into the anti side's "
-    "scan.",
-    tags=("subquery", "not-exists", "anti", "sql-surface"),
-)
-def subq_not_exists_inactive_customers(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    return _sql_query(spark, sf_dir, _SQL_NOT_EXISTS)

@@ -5,11 +5,10 @@ pipeline needs beyond classic analytics (BASELINE.json; dedup / text /
 similarity live in their own modules). This module covers the curation
 steps between "cleaned corpus" and "training batches":
 
-- deterministic sampling       (train_hash_sample)
-- train/val/test assignment    (train_split_assign)
-- document chunking            (train_chunk_documents)
-- sequence packing into bins   (train_pack_sequences)
-- deterministic global shuffle (train_global_shuffle)
+- deterministic sampling + split   (train_sample_split, consolidated)
+- document chunking                (train_chunk_documents)
+- sequence packing into bins       (train_pack_sequences)
+- deterministic global shuffle     (train_global_shuffle)
 
 Cross-engine determinism: every random-looking decision is a pure function
 of the row key via md5 hex (the engine-portable hash this repo standardizes
@@ -19,21 +18,27 @@ position are therefore stable across engines, runs, AND backfills: at
 100 TB re-sampling a corpus must not reshuffle previously assigned rows,
 which rand()-based sampling cannot guarantee.
 
+Oracle type discipline (round-3 fix): DuckDB SUM(BIGINT) widens to HUGEINT
+(pandas float64) while Spark stays BIGINT -- every integer SUM in an
+oracle is CAST back to BIGINT. The chunking oracle derives its fan-out
+per-row (unnest of a range list) instead of joining a fixed range(0, 64)
+table, so documents beyond 64 chunks cannot silently diverge; both sides
+guard n_chars > 0.
+
 Scale design (100 TB):
 - Sampling/split are scan-local predicates/projections -- no shuffle; the
   md5 predicate doesn't prune parquet, but each executor drops rows at scan
   time so only the sampled fraction reaches downstream operators.
 - Chunking is a map-side fan-out (sequence + posexplode), no join against a
-  numbers table (the constant-range join is only the DuckDB oracle's
-  rendering) and no shuffle.
+  numbers table and no shuffle.
 - Packing partitions by ``lang`` so each window sorts one shard -- a
   running sum within key-partitioned windows, not a global sort. A real
   100 TB run shards by (lang, hash-bucket) the same way; bins never span
   shards by design.
-- Global shuffle is the one intentionally global op: row_number over a
-  range-partitioned sort of the md5 key (Spark samples bounds via
-  RangePartitioning -- parallel sort, single-partition only at the final
-  numbering, same as any total order). Use it per-shard in production.
+- Global shuffle is the one intentionally global op: rows are bucketed by
+  the hash's first byte (256 ordered buckets), ranked bucket-locally in
+  parallel, and offset by the broadcast running count of the preceding
+  buckets -- global positions without a global sort.
 """
 
 from __future__ import annotations
@@ -62,78 +67,73 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
 
 
 @register(
-    "train_hash_sample",
-    oracle=f"""
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
-        FROM documents
-        WHERE substr({_ORACLE_HASH}, 1, 2) < '1a'
-        GROUP BY lang
-    """,
-    doc="Deterministic ~10% corpus sample: keep rows whose md5(doc_id) hex "
-    "prefix is below 0x1a (26/256 = 10.2%), summarized per language. "
-    "Scan-local predicate, membership stable across runs and engines -- "
-    "the backfill-safe replacement for rand()-based sampling.",
-    tags=("training", "llm-data", "sampling"),
-)
-def train_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        read_table(spark, sf_dir, "documents")
-        .where(F.substring(_doc_hash(), 1, 2) < "1a")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-        )
-    )
-
-
-@register(
-    "train_split_assign",
+    "train_sample_split",
     oracle=f"""
         SELECT CASE WHEN substr({_ORACLE_HASH}, 1, 2) < 'cc' THEN 'train'
                     WHEN substr({_ORACLE_HASH}, 1, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split,
-               lang, COUNT(*) AS n_docs
+               lang,
+               COUNT(*) AS n_docs,
+               COUNT(*) FILTER (WHERE substr({_ORACLE_HASH}, 1, 2) < '1a')
+                   AS n_sampled,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1, 2
     """,
-    doc="Hash-based train/val/test assignment (~80/10/10 via hex thresholds "
-    "0xcc/0xe6), counted per (split, lang). Pure projection + one tiny "
-    "aggregation; a document can never migrate between splits when the "
-    "corpus grows, unlike fraction-based randomSplit.",
+    doc="Deterministic sampling + train/val/test assignment, consolidated "
+    "(was train_hash_sample + train_split_assign): hash-based 80/10/10 "
+    "split via hex thresholds 0xcc/0xe6 on md5(doc_id), counted per "
+    "(split, lang), with n_sampled additionally counting the ~10% subset "
+    "whose hex prefix falls below 0x1a (26/256 = 10.2%) -- the same "
+    "membership test a sampling pass applies at scan time. Pure "
+    "projection + one tiny aggregation; a document can never migrate "
+    "between splits (or in/out of the sample) when the corpus grows, "
+    "unlike fraction-based randomSplit -- the backfill-safe replacement "
+    "for rand().",
     tags=("training", "llm-data", "sampling"),
 )
-def train_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.substring(_doc_hash(), 1, 2)
     split = (
         F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
     )
     return (
         read_table(spark, sf_dir, "documents")
-        .select(split.alias("split"), "lang")
+        .select(split.alias("split"), "lang", "n_chars", prefix.alias("pfx"))
         .groupBy("split", "lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("pfx") < "1a").alias("n_sampled"),
+            F.sum("n_chars").alias("total_chars"),
+        )
     )
 
 
 @register(
     "train_chunk_documents",
     oracle=f"""
-        SELECT doc_id, i AS chunk_idx,
-               substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})
+        SELECT doc_id, u.i AS chunk_idx,
+               substr(text, CAST(u.i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE})
                    AS chunk
-        FROM documents, range(0, 64) AS t(i)
-        WHERE i <= CAST(floor((n_chars - 1) / {CHUNK_STRIDE}) AS BIGINT)
+        FROM documents,
+             UNNEST(range(0, CAST(floor((n_chars - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1))
+                 AS u(i)
+        WHERE n_chars > 0
     """,
     doc="Overlapping-window document chunking (512-char windows, 400-char "
     "stride) for context-length-bounded training. Spark side is "
     "sequence + posexplode: pure map-side fan-out, one scan, no numbers-"
-    "table join (that's only the oracle's rendering) and no shuffle.",
+    "table join and no shuffle; the oracle unnests a per-row range list "
+    "with the same bound (round-3 fix: the old fixed range(0,64) join "
+    "silently capped docs over 25,600 chars). Both sides guard "
+    "n_chars > 0 so empty documents emit no chunks.",
     tags=("training", "llm-data", "chunking"),
 )
 def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
+    docs = read_table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    n_chunks = F.greatest(
+        F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE), F.lit(0)
+    ).cast("int")
     return (
         docs.select(
             "doc_id",
@@ -155,7 +155,7 @@ def train_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "train_pack_sequences",
     oracle=f"""
         SELECT lang, bin_id, COUNT(*) AS docs_in_bin,
-               SUM(n_chars) AS bin_chars
+               CAST(SUM(n_chars) AS BIGINT) AS bin_chars
         FROM (
             SELECT lang, n_chars,
                    CAST(floor((SUM(n_chars) OVER (

@@ -14,6 +14,7 @@ import math
 from typing import Any
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 from data_pipeline_spark_iceberg_dbt_airflow_spark.io import TABLES, table_path
@@ -34,13 +35,23 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon_value(v: Any) -> Any:
+    # Numeric canon carries a KIND TAG ("f"/"i") so int-vs-float dtype drift
+    # (DuckDB HUGEINT->float64, DuckDB CEIL->DOUBLE vs Spark BIGINT) fails
+    # HERE the way it fails the driver's type-sensitive value hash -- Python
+    # == would silently accept 950 == 950.0. Integer WIDTHS stay equal
+    # (int32 year() == int64 year()): the driver hashes those identically.
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         r = round(v, FLOAT_DECIMALS)
-        return 0.0 if r == 0 else r  # -0.0 == 0.0
+        return ("f", 0.0 if r == 0 else r)  # -0.0 == 0.0
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
     if isinstance(v, (pd.Timestamp, dt.datetime)):
         return pd.Timestamp(v).isoformat()
     if isinstance(v, dt.date):
@@ -58,8 +69,6 @@ def _canon_value(v: Any) -> Any:
 
 def canonicalize(pdf: pd.DataFrame) -> list[tuple]:
     pdf = pdf[sorted(pdf.columns)]
-    import numpy as np
-
     rows = []
     for row in pdf.itertuples(index=False, name=None):
         rows.append(

@@ -8,6 +8,8 @@ the pandas_udf kernel agreeing with the JVM fold.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
 
 
@@ -26,27 +28,29 @@ def _run(spark, sf_dir, name: str):
 
 
 def test_exact_dedup_is_hash_aggregate_no_sort(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "dedup_exact_hash")
+    plan = _plan(spark, sf_dir, "dedup_exact_keep_first")
     assert "HashAggregate" in plan, plan
     assert "Sort" not in plan, plan
 
 
-def test_minhash_has_no_cartesian(spark, sf_dir):
-    """Candidate generation must be an equi-join on band keys, never an
-    all-pairs product of the corpus (the seeds crossJoin is broadcast)."""
-    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+def test_neardup_has_no_cartesian(spark, sf_dir):
+    """Both candidate generators must be equi-joins (inverted index /
+    band keys), never an all-pairs product of the corpus."""
+    plan = _plan(spark, sf_dir, "dedup_neardup_verified")
     assert "CartesianProduct" not in plan, plan
 
 
-def test_ngram_jaccard_has_no_cartesian(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "dedup_ngram_jaccard")
-    assert "CartesianProduct" not in plan, plan
+def test_neardup_materializes_shared_index_once(spark, sf_dir):
+    """The shingle index is persisted and serves BOTH branches: the plan
+    reuses the InMemoryRelation instead of re-shingling per branch."""
+    plan = _plan(spark, sf_dir, "dedup_neardup_verified")
+    assert "InMemoryTableScan" in plan, plan
 
 
-def test_ivf_cell_join_is_broadcast_hash(spark, sf_dir):
-    """The cell restriction is an equi-join with a broadcast query batch:
-    the corpus side must not shuffle."""
-    plan = _plan(spark, sf_dir, "sim_topk_ivf")
+def test_ann_cell_join_is_broadcast_hash(spark, sf_dir):
+    """The IVF/LSH bucket restrictions are equi-joins with a broadcast
+    query batch: the corpus side must not shuffle."""
+    plan = _plan(spark, sf_dir, "sim_ann_family")
     assert "BroadcastHashJoin" in plan, plan
 
 
@@ -57,9 +61,9 @@ def test_bruteforce_query_batch_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
-def test_text_stats_is_scan_only(spark, sf_dir):
-    """Per-row text statistics must not introduce any exchange."""
-    plan = _plan(spark, sf_dir, "text_stats")
+def test_text_profile_is_scan_only(spark, sf_dir):
+    """The per-row text profile must not introduce any exchange."""
+    plan = _plan(spark, sf_dir, "text_profile")
     assert "Exchange" not in plan, plan
 
 
@@ -71,14 +75,9 @@ def test_minhash_recall_vs_exhaustive(spark, sf_dir):
     exhaustive shingle-join finds at the same Jaccard threshold (with
     8 permutations and j >= 0.5 planted dups, expected recall is ~1.0;
     assert exact equality on this corpus)."""
-    lsh = {
-        (r.doc_a, r.doc_b)
-        for r in _run(spark, sf_dir, "dedup_minhash_lsh").collect()
-    }
-    exact = {
-        (r.doc_a, r.doc_b)
-        for r in _run(spark, sf_dir, "dedup_ngram_jaccard").collect()
-    }
+    rows = _run(spark, sf_dir, "dedup_neardup_verified").collect()
+    lsh = {(r.doc_a, r.doc_b) for r in rows if r.method == "minhash"}
+    exact = {(r.doc_a, r.doc_b) for r in rows if r.method == "ngram"}
     assert lsh == exact, f"LSH missed {exact - lsh}, extra {lsh - exact}"
 
 
@@ -87,8 +86,8 @@ def test_pandas_cosine_matches_jvm_fold(spark, sf_dir):
     and produce the same top-k membership per query."""
     jvm = _run(spark, sf_dir, "sim_topk_bruteforce").collect()
     pnd = _run(spark, sf_dir, "sim_topk_pandas").collect()
-    jvm_map = {(r.q_id, r.vec_id): r.cosine for r in jvm}
-    pnd_map = {(r.q_id, r.vec_id): r.cosine for r in pnd}
+    jvm_map = {(r.id_a, r.id_b): r.cosine for r in jvm}
+    pnd_map = {(r.id_a, r.id_b): r.cosine for r in pnd}
     assert jvm_map.keys() == pnd_map.keys()
     for k, v in jvm_map.items():
         assert abs(v - pnd_map[k]) < 1e-9, (k, v, pnd_map[k])
@@ -99,6 +98,21 @@ def test_simhash_fingerprints_cover_tokenful_docs(spark, sf_dir):
     rows = _run(spark, sf_dir, "dedup_simhash").collect()
     assert all(0 <= r.simhash < (1 << 16) for r in rows)
     n_docs = (
-        _run(spark, sf_dir, "text_stats").where("token_cnt > 0").count()
+        _run(spark, sf_dir, "text_profile").where("token_cnt > 0").count()
     )
     assert len(rows) == n_docs
+
+
+def test_token_budget_rollup_over_profile(spark, sf_dir):
+    """The per-source token-budget rollup (text_token_bpe's old shape) is
+    an ordinary groupBy over text_profile's bpe_tokens column."""
+    rollup = (
+        _run(spark, sf_dir, "text_profile")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("doc_cnt"),
+            F.sum("bpe_tokens").alias("total_tokens"),
+        )
+        .collect()
+    )
+    assert rollup and all(r.total_tokens > 0 for r in rollup)

@@ -4,41 +4,41 @@ visible in the plan at any scale (SURVEY.md §4). These tests read
 
 from __future__ import annotations
 
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
 from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
 
 
-def _plan(spark, sf_dir, name: str) -> str:
-    df = all_queries()[name].spark_fn(spark, sf_dir)
+def _explain(df) -> str:
+    spark = df.sparkSession
     return df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
 
 
-def test_filter_pushdown_reaches_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ref_filter_pushdown")
+def _plan(spark, sf_dir, name: str) -> str:
+    return _explain(all_queries()[name].spark_fn(spark, sf_dir))
+
+
+def test_filter_and_time_range_pushdown_reach_scan(spark, sf_dir):
+    """ref_pruned_filter_scan carries BOTH predicate kinds pushed: the
+    equality/value filters and the raw-INT64 time bounds (the ns->us
+    conversion must NOT defeat row-group pruning)."""
+    plan = _plan(spark, sf_dir, "ref_pruned_filter_scan")
     assert "PushedFilters" in plan
-    # both predicates reach the parquet reader
-    assert "event_type" in plan.split("PushedFilters")[1].splitlines()[0]
-    assert "value" in plan.split("PushedFilters")[1].splitlines()[0]
-
-
-def test_time_range_predicate_pushed_as_int64(spark, sf_dir):
-    """The ns->us conversion must NOT defeat row-group pruning: the time
-    bounds are pushed as raw INT64 comparisons (io.scan_time_range)."""
-    plan = _plan(spark, sf_dir, "ref_time_range_pruned")
     pushed = plan.split("PushedFilters")[1].splitlines()[0]
+    assert "event_type" in pushed, pushed
+    assert "value" in pushed, pushed
     assert "ts" in pushed, pushed
-    assert "GreaterThanOrEqual" in pushed or "IsNotNull" in pushed, pushed
     # the long-literal bounds (ns since epoch) appear pushed, not a cast expr
     assert "1704844800000000000" in pushed or "GreaterThanOrEqual(ts" in pushed, pushed
 
 
 def test_column_pruning_reaches_scan(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ref_limit_scan")
-    # ReadSchema should only list the two projected columns
+    plan = _plan(spark, sf_dir, "ref_verification_reads")
+    # ReadSchema should only list the four projected columns
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "event_id" in read_schema and "event_type" in read_schema
-    assert "props" not in read_schema and "value" not in read_schema
+    assert "props" not in read_schema and "user_id" not in read_schema
 
 
 def test_union_sources_single_scan(spark, sf_dir):
@@ -51,8 +51,11 @@ def test_union_sources_single_scan(spark, sf_dir):
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "ref_topk_latest")
+    """Both verification-read branches plan as TakeOrderedAndProject --
+    per-partition heaps, never a global sort."""
+    plan = _plan(spark, sf_dir, "ref_verification_reads")
     assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower(), plan
 
 
 def test_dim_join_broadcasts(spark, sf_dir):
@@ -63,10 +66,27 @@ def test_dim_join_broadcasts(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_outer_family_runs_genuine_join_types(spark, sf_dir):
+    """Each branch of the consolidated outer query keeps its own join type
+    (the union only assembles output): LeftOuter, RightOuter, FullOuter."""
+    plan = _plan(spark, sf_dir, "join_outer_family")
+    assert "LeftOuter" in plan, plan
+    assert "RightOuter" in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_semi_anti_family_runs_genuine_join_types(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_semi_anti")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
 def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
-    """Non-equi band join: small side broadcast, never a shuffled cartesian."""
-    plan = _plan(spark, sf_dir, "join_range_price_bands")
+    """Non-equi band join: small side broadcast, never a shuffled cartesian
+    (the tiny deliberate cross-join branch is also broadcast)."""
+    plan = _plan(spark, sf_dir, "join_range_cross")
     assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_global_sort_uses_range_partitioning(spark, sf_dir):
@@ -75,10 +95,23 @@ def test_global_sort_uses_range_partitioning(spark, sf_dir):
 
 
 def test_sort_within_partitions_has_no_exchange(spark, sf_dir):
-    """Partition-local sort must not introduce a shuffle."""
-    plan = _plan(spark, sf_dir, "sort_within_partitions")
+    """Partition-local sort must not introduce a shuffle (O3-local; no
+    registry slot -- content is identical to the scan by definition)."""
+    df = read_table(spark, sf_dir, "lineitem").sortWithinPartitions(
+        "l_orderkey", "l_linenumber"
+    )
+    plan = _explain(df)
     assert "Exchange" not in plan, plan
     assert "Sort" in plan, plan
+
+
+def test_identity_star_projection(spark, sf_dir):
+    """P4 identity/star: SELECT * round-trips the scan schema untouched
+    (subsumed by ref_staging_projection's scan; asserted here directly)."""
+    base = read_table(spark, sf_dir, "region")
+    star = base.select("*")
+    assert star.schema == base.schema
+    assert star.count() == base.count()
 
 
 def test_asof_join_is_joinless(spark, sf_dir):
@@ -113,45 +146,29 @@ def test_analytics_q5_dims_broadcast(spark, sf_dir):
     assert any("r_name" in ln for ln in pushed), plan
 
 
-def test_subquery_exists_decorrelates_to_semi_join(spark, sf_dir):
-    """EXISTS must rewrite to a LEFT SEMI hash join, not a per-row
-    re-query, and the half-year filter must reach the orders scan."""
-    plan = _plan(spark, sf_dir, "subq_exists_priority_counts")
+def test_subquery_family_decorrelates(spark, sf_dir):
+    """EXISTS -> LEFT SEMI, NOT EXISTS -> LEFT ANTI, correlated scalar ->
+    per-key aggregate + join; the half-year filter reaches the orders
+    scan. (The Q22 threshold is an UNcorrelated scalar subquery -- it may
+    legitimately appear as a one-shot Subquery node; what must not exist
+    is a per-row re-query, which the semi/anti/aggregate shapes prove.)"""
+    plan = _plan(spark, sf_dir, "subq_predicate_family")
     assert "LeftSemi" in plan, plan
-    assert "Subquery" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "HashAggregate" in plan, plan
     pushed = [
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "[]" not in ln
     ]
     assert any("o_orderdate" in ln for ln in pushed), plan
 
 
-def test_subquery_not_exists_decorrelates_to_anti_join(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "subq_not_exists_inactive_customers")
-    assert "LeftAnti" in plan, plan
-
-
-def test_subquery_scalar_agg_decorrelates(spark, sf_dir):
-    """The correlated scalar AVG becomes a per-partkey aggregate joined
-    back -- an Aggregate node on the subquery side, zero Subquery nodes in
-    the executed plan body."""
-    plan = _plan(spark, sf_dir, "subq_scalar_below_avg_quantity")
-    assert "Subquery" not in plan, plan
-    assert "HashAggregate" in plan, plan
-
-
-def test_pivot_is_single_aggregation_single_scan(spark, sf_dir):
-    """Explicit pivot values => no distinct-values pre-job; the reshape is
-    one scan + one partial/final hash aggregation."""
-    plan = _plan(spark, sf_dir, "reshape_pivot_status_revenue")
+def test_pivot_unpivot_single_aggregation_single_scan(spark, sf_dir):
+    """Explicit pivot values => no distinct-values pre-job; the round-trip
+    is one scan + one hash aggregation + a map-side Expand for unpivot
+    (the UNION ALL in the oracle would re-scan per metric)."""
+    plan = _plan(spark, sf_dir, "reshape_pivot_unpivot")
     assert plan.count("InMemoryFileIndex") == 1, plan
     assert "pivotfirst" in plan, plan
-
-
-def test_unpivot_is_expand_not_union_of_scans(spark, sf_dir):
-    """Spark unpivot = map-side Expand over ONE scan (the UNION ALL in the
-    oracle would re-scan per metric)."""
-    plan = _plan(spark, sf_dir, "reshape_unpivot_part_metrics")
-    assert plan.count("InMemoryFileIndex") == 1, plan
     assert "Expand" in plan, plan
 
 
