@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_table
+from ..io import read_table, widen_for_compute
 from .registry import register
 
 #: Query batch: the first QUERY_N vectors by vec_id.
@@ -90,8 +90,14 @@ def _o_cosine(a: str, b: str) -> str:
 def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus with the per-VECTOR norm precomputed (pre-join projection):
     cuts the fold work per pair from 3 to 1; a vector's norm is
-    pair-independent so oracle parity is unaffected."""
-    emb = read_table(spark, sf_dir, "embeddings")
+    pair-independent so oracle parity is unaffected.
+
+    The scan is widened to the session's parallelism first: the corpus is
+    the STREAMED side of every broadcast join here, so its partition count
+    IS the parallelism of the cosine folds -- a single-split parquet file
+    would run all pair arithmetic on one core (at 100 TB the scan arrives
+    as thousands of splits and the widen is a guarded no-op)."""
+    emb = widen_for_compute(read_table(spark, sf_dir, "embeddings"))
     return emb.select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     )
@@ -359,6 +365,10 @@ def _cosine_pandas():
     tags=("similarity", "llm-data", "pandas-udf"),
 )
 def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: the Arrow path amortizes over batch size, so fewer,
+    # larger batches beat 32 small ones until there are ~10k+ pairs per
+    # core -- measured 0.6s (1 split) vs 5.0s (32 splits) at sf0.1. At
+    # real scale the scan arrives multi-split and batches stay large.
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < QUERY_N).select(
         F.col("vec_id").alias("id_a"), F.col("embedding").alias("q_emb")

