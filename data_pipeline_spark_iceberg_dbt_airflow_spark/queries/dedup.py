@@ -313,20 +313,13 @@ _ORACLE_MINHASH_BRANCH = f"""
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                         AND a.doc_id < b.doc_id),
-        cinter AS (
-            SELECT c.doc_a, c.doc_b, COUNT(*) AS icnt
-            FROM cand c
-            JOIN capped sa ON sa.doc_id = c.doc_a
-            JOIN capped sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            GROUP BY c.doc_a, c.doc_b),
+        -- Equal band keys => equal min-hashes => a shared capped shingle,
+        -- so every LSH candidate pair already appears in the inverted-index
+        -- join: minhash-verified = ngram-verified restricted to candidates.
         minhash_pairs AS (
-            SELECT i.doc_a, i.doc_b,
-                   CAST(icnt AS DOUBLE) / (na.n_sh + nb.n_sh - icnt) AS jaccard
-            FROM cinter i
-            JOIN n na ON na.doc_id = i.doc_a
-            JOIN n nb ON nb.doc_id = i.doc_b
-            WHERE CAST(icnt AS DOUBLE) / (na.n_sh + nb.n_sh - icnt)
-                  >= {JACCARD_THRESHOLD})
+            SELECT p.doc_a, p.doc_b, p.jaccard
+            FROM ngram_pairs p
+            JOIN cand c ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b)
 """
 
 
@@ -349,21 +342,34 @@ _ORACLE_MINHASH_BRANCH = f"""
     "band keys are 1 row per (doc, band), so the candidate join input is "
     "4 rows/doc regardless of document length: the 100 TB path). Both "
     "candidate sets are VERIFIED against true shingle Jaccard >= 0.5, so "
-    "both branches emit exact values; the index materializes once "
-    "(persist) and serves the pair joins and per-doc counts of both "
-    "branches in a single action.",
+    "both branches emit exact values. The minhash-verified set is BY "
+    "CONSTRUCTION a subset of the ngram-verified set (equal band keys "
+    "mean equal min-hashes, which mean a shared capped shingle), so the "
+    "expensive intersection-count join runs ONCE: the LSH candidate set "
+    "left-joins onto the verified ngram pairs as a flag and each row "
+    "explodes into its method markers -- round-3 change; the r2 shape "
+    "verified minhash candidates through a second shingle intersection.",
     bench=True,
     tags=("dedup", "llm-data", "minhash"),
 )
 def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled_docs(spark, sf_dir)
-    ngram = _pair_jaccard(sh, None).select(
-        F.lit("ngram").alias("method"), "doc_a", "doc_b", "jaccard"
+    verified = _pair_jaccard(sh, None)
+    mh = _minhash_candidates(sh).withColumn("is_mh", F.lit(1))
+    return (
+        verified.join(mh, ["doc_a", "doc_b"], "left")
+        .select(
+            F.explode(
+                F.when(
+                    F.col("is_mh").isNotNull(),
+                    F.array(F.lit("ngram"), F.lit("minhash")),
+                ).otherwise(F.array(F.lit("ngram")))
+            ).alias("method"),
+            "doc_a",
+            "doc_b",
+            "jaccard",
+        )
     )
-    minhash = _pair_jaccard(sh, _minhash_candidates(sh)).select(
-        F.lit("minhash").alias("method"), "doc_a", "doc_b", "jaccard"
-    )
-    return ngram.unionByName(minhash)
 
 
 @register(
