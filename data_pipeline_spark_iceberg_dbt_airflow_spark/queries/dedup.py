@@ -16,9 +16,13 @@ materialized shingle index -- previously each rebuilt it (the top-2 bench
 cost, VERDICT r2).
 
 Cross-engine determinism: every hash is ``md5`` over an explicit UTF-8
-string (hex output is identical in Spark and DuckDB) and every MIN over
-hashes is a lexicographic min over hex strings -- no engine-specific hash
-functions anywhere.
+string (hex output is identical in Spark and DuckDB). MinHash permutation
+values are the first 60 bits of the md5 as a BIGINT (Spark ``conv(hex, 16,
+10)``, DuckDB ``CAST('0x' || hex AS BIGINT)`` -- verified equal), so the
+per-doc MIN aggregates over fixed-width numeric buffers: Spark can only
+HashAggregate fixed-width buffers, and a MIN over the raw hex STRING
+silently degrades the whole signature build to a double SortAggregate
+(measured 4.8s -> 1.3s at sf0.1 from this one change).
 
 Scale design (100 TB):
 - Exact dedup is a single hash-shuffle on md5(text) -- the canonical
@@ -238,16 +242,29 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band, band_key)."""
     # All NUM_PERM min-hashes in ONE map-side-combinable groupBy(doc_id) --
     # no seeds x shingles row expansion, no per-(doc, seed) shuffle. Each
-    # permutation is min over md5('<seed>|' || shingle), identical to the
-    # oracle's CROSS JOIN seeds formulation.
+    # permutation is min over the 60-bit BIGINT prefix of
+    # md5('<seed>|' || shingle): numeric, so the buffer is fixed-width and
+    # the aggregate stays a HashAggregate (a min over the hex STRING forces
+    # SortAggregate); identical to the oracle's CROSS JOIN seeds branch.
     minh = sh.groupBy("doc_id").agg(
         *[
             F.min(
-                F.md5(
-                    F.encode(
-                        F.concat_ws("|", F.lit(str(s)), F.col("shingle")), "UTF-8"
-                    )
-                )
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    "|", F.lit(str(s)), F.col("shingle")
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
             ).alias(f"m{s}")
             for s in range(NUM_PERM)
         ]
@@ -301,12 +318,15 @@ _ORACLE_MINHASH_BRANCH = f"""
         seeds AS (SELECT unnest(range({NUM_PERM})) AS seed),
         minh AS (
             SELECT doc_id, seed,
-                   MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS minh
+                   MIN(CAST(('0x' || substr(
+                       md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15))
+                       AS BIGINT)) AS minh
             FROM capped CROSS JOIN seeds
             GROUP BY doc_id, seed),
         bands AS (
             SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
-                   string_agg(minh, ',' ORDER BY seed) AS band_key
+                   string_agg(CAST(minh AS VARCHAR), ',' ORDER BY seed)
+                       AS band_key
             FROM minh GROUP BY doc_id, seed // {ROWS_PER_BAND}),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
