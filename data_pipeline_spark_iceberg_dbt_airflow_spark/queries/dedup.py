@@ -392,6 +392,115 @@ def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Iteration ceiling for label propagation -- a backstop, not a truncation:
+#: the loop exits on convergence (no label changed), and near-dup clusters
+#: are shallow (diameter ~ 2-3), so hitting this would indicate a bug.
+MAX_CC_ITERATIONS = 20
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+        WITH RECURSIVE {ORACLE_SHINGLE_CTES},
+        {_ORACLE_NGRAM_BRANCH},
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM ngram_pairs
+            UNION ALL
+            SELECT doc_b AS a, doc_a AS b FROM ngram_pairs),
+        reach AS (
+            SELECT a AS doc_id, a AS r FROM edges
+            UNION
+            SELECT reach.doc_id, e.b AS r
+            FROM reach JOIN edges e ON reach.r = e.a),
+        comp AS (SELECT doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY doc_id),
+        lab AS (
+            SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+        sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+               FROM lab GROUP BY cluster_id)
+        SELECT l.doc_id, l.cluster_id, s.cluster_size,
+               CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+        FROM lab l JOIN sz s USING (cluster_id)
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "verified near-dup pair graph (edges = ngram-Jaccard pairs >= 0.5 "
+    "from the shared shingle index), so transitively-linked documents "
+    "collapse into one cluster keyed by the minimum doc_id -- the step "
+    "after pair mining in a dedup pipeline (A~B and B~C must yield ONE "
+    "survivor even when A~C was never scored). Spark side is iterative "
+    "min-label propagation: per round, each node takes the min of its "
+    "label and its neighbors' labels (one equi-join + one combinable "
+    "groupBy per round), run to CONVERGENCE with a driver-side scalar "
+    "change-count per round (the legitimate collect: one number per "
+    "iteration, never rows). localCheckpoint truncates lineage each round "
+    "so the plan stays O(1) deep; rounds ~ graph diameter, and near-dup "
+    "components are shallow. The iteration set holds ONLY nodes incident "
+    "to an edge -- singleton docs (the overwhelming mass at 100 TB) never "
+    "enter the loop and are labeled by one final left join. Oracle is the "
+    "same fixpoint via DuckDB's recursive CTE (transitive closure, then "
+    "MIN over the reach set). Fully value-hashed -- the iterative path "
+    "does not get a weaker rows-only check.",
+    tags=("dedup", "llm-data", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = shingled_docs(spark, sf_dir)
+    pairs = _pair_jaccard(sh, None).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # Materialize edges once: every round joins them, and the pair mining
+    # above must not rerun per round.
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(MAX_CC_ITERATIONS):
+        neigh = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("neigh_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    lab = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    sizes = lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return lab.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=r"""

@@ -29,8 +29,13 @@ Scale design (100 TB):
   projections whose +/-1 matrix is derived once from md5 and inlined as
   literals in BOTH engines -- bucket assignment is pure codegen
   arithmetic on the scan, no shuffle to assign buckets.
-- Pair mining stays inside cells (blocked all-pairs); a hot cell is the
-  skew risk and would be salted at real scale.
+- Pair mining stays inside cells AND splits each cell into PAIR_BLOCKS
+  sub-blocks joined on (cell, block_i, block_j) -- the blocked all-pairs
+  layout: a hot cell's quadratic work lands on block-pair tasks of
+  bounded size instead of one straggler, at the cost of replicating each
+  vector ~PAIR_BLOCKS/2 times into the shuffle (vectors are 64 floats;
+  replication is map-side explode, no extra scan). Same output set:
+  every unordered pair meets on exactly one (i <= j) block-pair key.
 - The pandas_udf path moves vectors through Arrow once per batch and does
   the arithmetic in NumPy -- the pattern for when the kernel outgrows SQL
   expressions (quantization, PQ codes, re-ranking).
@@ -50,6 +55,13 @@ from .registry import register
 QUERY_N = 8
 TOP_K = 3
 PAIR_THRESHOLD = 0.4
+
+#: Sub-blocks per cell for blocked all-pairs mining. Pair tasks per cell =
+#: PAIR_BLOCKS*(PAIR_BLOCKS+1)/2; shuffle replication ~PAIR_BLOCKS/2 + 1
+#: copies per vector. Sized for block ~ cell_size/PAIR_BLOCKS vectors to
+#: fit one task comfortably; at 100 TB this scales with observed cell
+#: sizes (the knob trades replication for straggler elimination).
+PAIR_BLOCKS = 4
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -292,27 +304,65 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     ).select(F.lit("lsh").alias("method"), "id_a", "id_b", "cosine", "rank")
-    # Pair-mining branch: within-cell threshold pairs.
-    a = emb_n.select(
+    # Pair-mining branch: within-cell threshold pairs, BLOCKED. Each
+    # vector sits in sub-block blk = vec_id % PAIR_BLOCKS of its cell and
+    # is replicated map-side to every block-pair key it participates in:
+    # as the LEFT of (blk, j) for j >= blk, as the RIGHT of (i, blk) for
+    # i <= blk. The join is then a plain equi-join on (label, i, j), so a
+    # hot cell's quadratic pair space executes as PAIR_BLOCKS*(PAIR_BLOCKS
+    # +1)/2 independent tasks, never one straggler. An unordered pair
+    # meets on exactly one key (i < j: once by construction; i == j: the
+    # vec_id filter keeps one orientation), and cosine is orientation-
+    # independent bit-exactly (per-index products commute; addition order
+    # is by index either way) -- output identical to the naive cell join,
+    # which is what the oracle states.
+    blocked = emb_n.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(PAIR_BLOCKS)).cast("int")
+    )
+    a = blocked.select(
         F.col("vec_id").alias("id_a"),
         "label",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
-    )
-    bb = emb_n.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(blk, {PAIR_BLOCKS - 1}),"
+                " j -> struct(blk AS i, j AS j))"
+            )
+        ).alias("bp"),
+    ).select("id_a", "label", "emb_a", "nrm_a", "bp.i", "bp.j")
+    bb = blocked.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, blk), i -> struct(i AS i, blk AS j))"
+            )
+        ).alias("bp"),
+    ).select(
+        "id_b",
+        "label_b",
+        "emb_b",
+        "nrm_b",
+        F.col("bp.i").alias("i_b"),
+        F.col("bp.j").alias("j_b"),
     )
     cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("nrm_a") * F.col("nrm_b"))
     pairs = (
         a.join(
             bb,
             (F.col("label") == F.col("label_b"))
-            & (F.col("id_a") < F.col("id_b")),
+            & (F.col("i") == F.col("i_b"))
+            & (F.col("j") == F.col("j_b")),
         )
-        .select("id_a", "id_b", cos.alias("cosine"))
+        .where((F.col("i") < F.col("j")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .where(F.col("cosine") >= PAIR_THRESHOLD)
         .select(
             F.lit("pairs").alias("method"),

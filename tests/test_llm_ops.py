@@ -121,3 +121,37 @@ def test_token_budget_rollup_over_profile(spark, sf_dir):
         .collect()
     )
     assert rollup and all(r.total_tokens > 0 for r in rollup)
+
+
+def test_cluster_components_is_equivalence_closure(spark, sf_dir):
+    """Every verified near-dup pair must land in one cluster (so A~B, B~C
+    transitively collapse even when A~C was never scored), and each
+    cluster's id must be the minimum member doc_id -- the fixpoint the
+    iterative propagation claims to reach."""
+    pairs = (
+        _run(spark, sf_dir, "dedup_neardup_verified")
+        .where(F.col("method") == "ngram")
+        .select("doc_a", "doc_b")
+    )
+    lab = _run(spark, sf_dir, "dedup_cluster_components").select(
+        "doc_id", "cluster_id"
+    )
+    ca = lab.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")
+    )
+    cb = lab.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb")
+    )
+    split = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .where(F.col("ca") != F.col("cb"))
+        .count()
+    )
+    assert split == 0, "a verified pair spans two clusters"
+    not_min = (
+        lab.groupBy("cluster_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .where(F.col("cluster_id") != F.col("mn"))
+        .count()
+    )
+    assert not_min == 0, "cluster_id is not the minimum member"
