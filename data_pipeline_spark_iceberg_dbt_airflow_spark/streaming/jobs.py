@@ -106,6 +106,77 @@ def running_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming dedup with BOUNDED state: emit the first row per key,
+    drop any duplicate that arrives within ``watermark`` of it.
+
+    This is the streaming half of the dedup family (the ingest-time
+    filter an LLM data pipeline runs before documents ever land): exact
+    batch dedup re-reads the corpus, while this keeps only
+    watermark-recent first-seen keys in the state store --
+    ``dropDuplicatesWithinWatermark`` evicts a key's state once the
+    watermark passes its event time, so state is O(keys per watermark
+    window), not O(all keys ever). A duplicate arriving later than the
+    watermark delay can re-emit (the documented at-least-once trade;
+    batch dedup downstream is the backstop, the standard lambda split).
+    Plain ``dropDuplicates`` on a stream would retain every key forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch left-joins the
+    static dimension (re-resolved per batch, so a dim refresh is picked
+    up). The dim is broadcast -- no shuffle of the stream, no state: the
+    standard fact-stream x dimension pattern."""
+    return stream.join(F.broadcast(dim), on, "left")
+
+
+def correlate_streams(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    horizon: str = "INTERVAL 1 HOUR",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right-side events that
+    follow a left-side event for the same ``key`` within ``horizon``
+    (click->purchase attribution shape).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, which is what lets Spark EVICT buffered rows:
+    a left row older than watermark + horizon can never match a future
+    right row, so join state stays bounded on an infinite stream. An
+    unbounded-condition stream-stream join would buffer both streams
+    forever. Inner-join emission is match-driven, so the emitted set
+    equals the batch join of the full inputs (proved in pytest).
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    return lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts"
+            f" AND r.ts <= l.ts + {horizon}"
+            " AND l.event_id <> r.event_id"
+        ),
+    ).select(
+        F.col(f"l.{key}").alias(key),
+        F.col("l.event_id").alias("left_event_id"),
+        F.col("r.event_id").alias("right_event_id"),
+        F.col("l.ts").alias("left_ts"),
+        F.col("r.ts").alias("right_ts"),
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame,
     *,

@@ -102,3 +102,95 @@ def test_stateful_running_counts_accumulate_across_batches(
 
     per_user_emissions = Counter(r.user_id for r in rows)
     assert max(per_user_emissions.values()) == 2
+
+
+def test_stream_dedup_bounded_state_matches_batch_distinct(
+    spark, sf_dir, stream_dir
+):
+    """dropDuplicatesWithinWatermark with a watermark longer than the
+    fixture's time span dedups exactly: one emitted row per key, equal to
+    the batch distinct-key count (shorter watermarks trade exactness for
+    state -- the documented at-least-once behavior)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming import (
+        dedup_stream,
+    )
+
+    schema = _stream_schema(spark, stream_dir)
+    stream = read_events_stream(spark, f"{stream_dir}/batch=*", schema)
+    run_to_memory_sink(
+        dedup_stream(stream, watermark="365 days"),
+        table_name="dedup_out",
+        output_mode="append",
+    )
+    got = spark.table("dedup_out")
+    ev = read_table(spark, sf_dir, "events")
+    want = ev.select("user_id", "event_type").distinct().count()
+    assert got.count() == want
+    assert got.select("user_id", "event_type").distinct().count() == want
+
+
+def test_stream_static_enrichment_matches_batch_join(
+    spark, sf_dir, stream_dir
+):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming import (
+        enrich_stream,
+    )
+
+    schema = _stream_schema(spark, stream_dir)
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .selectExpr("c_custkey AS user_id", "c_mktsegment")
+    )
+    stream = read_events_stream(spark, f"{stream_dir}/batch=*", schema)
+    run_to_memory_sink(
+        enrich_stream(stream, dim, "user_id"),
+        table_name="enrich_out",
+        output_mode="append",
+    )
+    got = spark.table("enrich_out")
+    ev = read_table(spark, sf_dir, "events")
+    want = ev.join(dim, "user_id", "left")
+    assert got.count() == want.count()
+    assert (
+        got.where("c_mktsegment IS NOT NULL").count()
+        == want.where("c_mktsegment IS NOT NULL").count()
+    ) and got.where("c_mktsegment IS NOT NULL").count() > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream_dir):
+    """Inner watermarked stream-stream join emits exactly the batch join
+    of the full inputs (match-driven emission); the time-bound condition
+    is what makes join state evictable on an unbounded stream."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming import (
+        correlate_streams,
+    )
+
+    schema = _stream_schema(spark, stream_dir)
+    mk = lambda: read_events_stream(spark, f"{stream_dir}/batch=*", schema)
+    run_to_memory_sink(
+        correlate_streams(mk(), mk()),
+        table_name="corr_out",
+        output_mode="append",
+    )
+    got = {
+        (r.left_event_id, r.right_event_id)
+        for r in spark.table("corr_out").collect()
+    }
+    ev = read_table(spark, sf_dir, "events")
+    l, r = ev.alias("l"), ev.alias("r")
+    import pyspark.sql.functions as F
+
+    want = {
+        (row.a, row.b)
+        for row in l.join(
+            r,
+            F.expr(
+                "l.user_id = r.user_id AND r.ts >= l.ts"
+                " AND r.ts <= l.ts + INTERVAL 1 HOUR"
+                " AND l.event_id <> r.event_id"
+            ),
+        )
+        .select(F.col("l.event_id").alias("a"), F.col("r.event_id").alias("b"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
