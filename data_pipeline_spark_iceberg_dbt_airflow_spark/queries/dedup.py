@@ -15,14 +15,16 @@ near-dup variants merged into one two-branch query that SHARES the
 materialized shingle index -- previously each rebuilt it (the top-2 bench
 cost, VERDICT r2).
 
-Cross-engine determinism: every hash is ``md5`` over an explicit UTF-8
-string (hex output is identical in Spark and DuckDB). MinHash permutation
-values are the first 60 bits of the md5 as a BIGINT (Spark ``conv(hex, 16,
-10)``, DuckDB ``CAST('0x' || hex AS BIGINT)`` -- verified equal), so the
-per-doc MIN aggregates over fixed-width numeric buffers: Spark can only
-HashAggregate fixed-width buffers, and a MIN over the raw hex STRING
+Cross-engine determinism: every hash bottoms out in ``md5`` over an
+explicit UTF-8 string (hex output is identical in Spark and DuckDB; the
+28-bit prefix lifts to BIGINT via Spark ``conv(hex, 16, 10)`` = DuckDB
+``CAST('0x' || hex AS BIGINT)``, verified equal). MinHash permutations
+are Carter-Wegman multiply-adds over that ONE base hash (see ``MH_P``),
+so (a) each shingle row is md5-hashed once, not NUM_PERM times, and (b)
+the per-doc MIN aggregates over fixed-width BIGINT buffers: Spark can
+only HashAggregate fixed-width buffers, and a MIN over a raw hex STRING
 silently degrades the whole signature build to a double SortAggregate
-(measured 4.8s -> 1.3s at sf0.1 from this one change).
+(measured 4.8s -> 1.3s at sf0.1 from the numeric-buffer change alone).
 
 Scale design (100 TB):
 - Exact dedup is a single hash-shuffle on md5(text) -- the canonical
@@ -121,13 +123,22 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shingle"),
         )
     )
-    keep = (
+    # The df-cap drops HOT shingles, and hot shingles are few by
+    # definition (df > DF_CAP can hold for at most n_rows/DF_CAP distinct
+    # shingles) -- so ship the DROP set as a broadcast anti-join instead
+    # of shuffle-joining the full index against the (nearly-everything)
+    # keep set: the only shuffle left in the cap is the df count itself.
+    drop = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= DF_CAP)
+        .where(F.col("df") > DF_CAP)
         .select("shingle")
     )
-    out = sh.join(keep, "shingle").select("doc_id", "shingle").persist()
+    out = (
+        sh.join(F.broadcast(drop), "shingle", "left_anti")
+        .select("doc_id", "shingle")
+        .persist()
+    )
     _INDEX_CACHE[key] = out
     return out
 
@@ -195,6 +206,28 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 NUM_PERM = 8
 ROWS_PER_BAND = 2
 
+#: Carter-Wegman permutation family: perm_s(h) = (a_s*h + b_s) mod MH_P
+#: over a 28-bit base hash h = md5 prefix. ONE md5 per shingle row feeds
+#: all NUM_PERM permutations as multiply-adds (the classic minhash hash
+#: family) -- vs hashing '<seed>|shingle' NUM_PERM times, which spends
+#: 8x the md5 + string-concat work for the same independence guarantee.
+#: MH_P = 2^31 - 1 (prime > the 2^28 base-hash universe); a_s*h fits
+#: BIGINT (< 2^59). Coefficients are md5-derived once and inlined as
+#: literals in BOTH engines.
+MH_P = 2147483647
+
+
+def _mh_coeffs(s: int) -> tuple[int, int]:
+    import hashlib
+
+    a = (
+        int.from_bytes(hashlib.md5(f"a|{s}".encode()).digest()[:8], "big")
+        % (MH_P - 1)
+        + 1
+    )
+    b = int.from_bytes(hashlib.md5(f"b|{s}".encode()).digest()[:8], "big") % MH_P
+    return a, b
+
 
 def _pair_jaccard(
     sh: DataFrame, cand: DataFrame | None
@@ -241,32 +274,23 @@ def _pair_jaccard(
 def _minhash_candidates(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band, band_key)."""
     # All NUM_PERM min-hashes in ONE map-side-combinable groupBy(doc_id) --
-    # no seeds x shingles row expansion, no per-(doc, seed) shuffle. Each
-    # permutation is min over the 60-bit BIGINT prefix of
-    # md5('<seed>|' || shingle): numeric, so the buffer is fixed-width and
-    # the aggregate stays a HashAggregate (a min over the hex STRING forces
-    # SortAggregate); identical to the oracle's CROSS JOIN seeds branch.
-    minh = sh.groupBy("doc_id").agg(
+    # no seeds x shingles row expansion, no per-(doc, seed) shuffle. ONE
+    # 28-bit md5 base hash per shingle row; each permutation is a
+    # Carter-Wegman multiply-add over it (see MH_P). Buffers are BIGINT,
+    # so the aggregate stays a HashAggregate (a min over a hex STRING
+    # would force SortAggregate); identical to the oracle's seeds branch.
+    base = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    hashed = sh.withColumn("h0", base)
+    minh = hashed.groupBy("doc_id").agg(
         *[
             F.min(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.encode(
-                                F.concat_ws(
-                                    "|", F.lit(str(s)), F.col("shingle")
-                                ),
-                                "UTF-8",
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint")
+                (F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MH_P)
             ).alias(f"m{s}")
-            for s in range(NUM_PERM)
+            for s, (a, b) in (
+                (s, _mh_coeffs(s)) for s in range(NUM_PERM)
+            )
         ]
     )
     # Band keys row-side: band b = seeds [b*r, b*r+r), key = comma-join in
@@ -314,14 +338,20 @@ _ORACLE_NGRAM_BRANCH = f"""
                   >= {JACCARD_THRESHOLD})
 """
 
+_ORACLE_SEED_ROWS = ", ".join(
+    f"({s}, {a}, {b})" for s, (a, b) in ((s, _mh_coeffs(s)) for s in range(NUM_PERM))
+)
+
 _ORACLE_MINHASH_BRANCH = f"""
-        seeds AS (SELECT unnest(range({NUM_PERM})) AS seed),
+        seeds(seed, a, b) AS (SELECT * FROM (VALUES {_ORACLE_SEED_ROWS})),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h0
+            FROM capped),
         minh AS (
             SELECT doc_id, seed,
-                   MIN(CAST(('0x' || substr(
-                       md5(CAST(seed AS VARCHAR) || '|' || shingle), 1, 15))
-                       AS BIGINT)) AS minh
-            FROM capped CROSS JOIN seeds
+                   MIN((a * h0 + b) % {MH_P}) AS minh
+            FROM hashed CROSS JOIN seeds
             GROUP BY doc_id, seed),
         bands AS (
             SELECT doc_id, seed // {ROWS_PER_BAND} AS band,
