@@ -78,6 +78,26 @@ def _convert_ns(df: DataFrame, ns_cols: list[str]) -> DataFrame:
     return df
 
 
+#: (session id, path) -> scan DataFrame. The testdata tables are immutable,
+#: so re-running file listing + footer schema resolution on every
+#: ``read_table`` call (~0.1-0.25 s of pure driver work per query) buys
+#: nothing; a DataFrame is an immutable plan, safe to share. This is the
+#: local-mode analog of what a real deployment gets from catalog tables:
+#: the metastore caches file-level metadata so repeated scans of an
+#: unchanged table never re-list the object store. Writers in this module
+#: write to OTHER paths (never into a testdata dir), so entries can't go
+#: stale.
+_SCAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _raw_scan(spark: SparkSession, path: str) -> DataFrame:
+    key = (id(spark), path, "raw")
+    cached = _SCAN_CACHE.get(key)
+    if cached is None:
+        cached = _SCAN_CACHE[key] = spark.read.parquet(path)
+    return cached
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one testdata table (S7: table scan).
 
@@ -91,10 +111,16 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bounds into the scan before converting.
     """
     path = table_path(sf_dir, name)
+    key = (id(spark), path)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     ns_cols = _nanos_columns(path)
     if ns_cols:
         _ensure_nanos_conf(spark)
-    return _convert_ns(spark.read.parquet(path), ns_cols)
+    df = _convert_ns(_raw_scan(spark, path), ns_cols)
+    _SCAN_CACHE[key] = df
+    return df
 
 
 #: UTC epoch for ns-bound arithmetic (integer, no float roundtrip).
@@ -135,7 +161,7 @@ def scan_time_range(
     path = table_path(sf_dir, name)
     ns_cols = _nanos_columns(path)
     _ensure_nanos_conf(spark)
-    df = spark.read.parquet(path)
+    df = _raw_scan(spark, path)
     if ts_col in ns_cols:
         if lo_iso is not None:
             df = df.filter(F.col(ts_col) >= F.lit(_iso_to_ns(lo_iso)))
