@@ -18,9 +18,15 @@ matter which engine or plan computed it. The oracle SQL uses the same
 formula verbatim. Variance/stddev are derived from exact sums of x and x^2
 (scale 8 covers squared 4-decimal values).
 
-Cost note: Spark decimal sums stay inside whole-stage codegen (Tungsten
-Decimal128); at 100 TB this is the same single-shuffle partial+final
-HashAggregate as a double sum, just with 128-bit accumulators.
+Cost note: the plan shape is identical to a double sum (one map-side-
+combinable HashAggregate, one shuffle of tiny partials), but the per-row
+cost is not free: sum buffers wider than DECIMAL(18) take Spark's
+non-compact (BigDecimal-backed) path, measured ~2-3x a double sum at
+sf0.1 (e.g. the 8-measure Q1 aggregate: ~0.5s double vs ~1.8s decimal).
+That multiplier is flat in data size and buys order-independence, which
+double sums cannot provide at any price -- at 100 TB the aggregate is
+scan-bound and the trade disappears into IO; don't "optimize" it back to
+doubles, the differential gate will catch the last-bit drift.
 """
 
 from __future__ import annotations
