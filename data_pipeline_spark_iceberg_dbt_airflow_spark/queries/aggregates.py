@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions import det
 from ..io import read_table, register_views
+from ..operators.salted import salted_group_agg
 from .registry import register
 
 
@@ -115,21 +116,16 @@ SALT_BUCKETS = 16
 )
 def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
-    # phase 1: salt spreads each hot key over SALT_BUCKETS reducers.
-    # Decimal partials (not doubles) so the phase-2 re-sum stays exact.
-    partial = (
-        ev.withColumn("salt", F.col("event_id") % SALT_BUCKETS)
-        .groupBy("event_type", "salt")
-        .agg(
-            F.count(F.lit(1)).alias("c"),
-            F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
-        )
-    )
-    # phase 2: keys x salts rows -- negligible; re-sum exact decimals.
-    totals = partial.groupBy("event_type").agg(
-        F.sum("c").alias("events"),
-        F.sum("s").cast("double").alias("total_value"),
-    )
+    # Two-phase salted rewrite via the reusable operator; decimal partials
+    # (not doubles) so the phase-2 re-sum stays exact.
+    totals = salted_group_agg(
+        ev,
+        ["event_type"],
+        salt=F.col("event_id"),
+        buckets=SALT_BUCKETS,
+        count_alias="events",
+        sums={"total_value": F.col("value").cast("decimal(27,6)")},
+    ).withColumn("total_value", F.col("total_value").cast("double"))
     distinct = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("distinct_users")
     )

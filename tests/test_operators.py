@@ -164,3 +164,18 @@ def test_rollup_cube_api_parity(spark, sf_dir):
     # ROLLUP's 3 grouping sets are a strict subset of CUBE's 4: everything
     # rollup emits appears in cube, and cube adds the priority-only slices.
     assert rollup_rows < cube_rows
+
+
+def test_read_table_memoizes_scan_per_session(spark, sf_dir):
+    """read_table returns the SAME DataFrame object for repeated reads of
+    an immutable testdata table (file listing + footer schema resolution
+    happen once per session), and the plan it memoizes stays correct."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+
+    a = read_table(spark, sf_dir, "orders")
+    b = read_table(spark, sf_dir, "orders")
+    assert a is b
+    assert a.count() == b.count() > 0
+    # Different tables and different sf_dirs get distinct entries.
+    c = read_table(spark, sf_dir, "nation")
+    assert c is not a and "n_nationkey" in c.columns

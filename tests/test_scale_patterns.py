@@ -165,3 +165,53 @@ def test_det_sum_matches_decimal_reference(spark):
         assert got == want, (got, want, vals)
 
     prop()
+
+
+# --- skew salting: exactness under an extreme hot key -----------------------
+
+
+def test_salted_agg_exact_under_extreme_skew(spark):
+    """95% of 200k rows share one key; the salted two-phase rewrite must
+    return bit-identical counts/sums/mins/maxes to the direct groupBy
+    (decimal partials make the re-sum order-independent), while phase 1
+    spreads the hot key over 32 reducers."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.salted import (
+        salted_group_agg,
+    )
+
+    df = spark.range(200_000).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 101).cast("string")))
+        .alias("key"),
+        ((F.col("id") % 997) / 7.0).alias("v"),
+        "id",
+    )
+    got = salted_group_agg(
+        df,
+        ["key"],
+        salt=F.col("id"),
+        buckets=32,
+        count_alias="n",
+        sums={"sv": F.col("v").cast("decimal(27,6)")},
+        mins={"mn": F.col("v")},
+        maxes={"mx": F.col("v")},
+    ).select("key", "n", F.col("sv").cast("double").alias("sv"), "mn", "mx")
+    want = df.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("sv"),
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+    )
+    g = {r.key: (r.n, r.sv, r.mn, r.mx) for r in got.collect()}
+    w = {r.key: (r.n, r.sv, r.mn, r.mx) for r in want.collect()}
+    assert g == w and g["hot"][0] == 190_000
+    # the rewrite really is two grouping phases: partial+final pairs for
+    # BOTH the salted and the re-aggregation stage = 4 HashAggregates.
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert plan.count("HashAggregate") >= 4, plan
