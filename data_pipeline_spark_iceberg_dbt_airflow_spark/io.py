@@ -78,6 +78,32 @@ def _convert_ns(df: DataFrame, ns_cols: list[str]) -> DataFrame:
     return df
 
 
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-TZ TimestampType.
+
+    Ordinary microsecond parquet timestamps (isAdjustedToUTC=false -- what
+    most real-world writers produce) surface as TIMESTAMP_NTZ in Spark 4,
+    while the ns-normalized testdata columns surface as TimestampType.
+    With the session pinned to UTC the cast is value-preserving.
+
+    Applied by ``scan_time_range`` AFTER its pushed predicates (so the
+    time-filtered scan has one uniform output type), deliberately NOT by
+    ``read_table``: a cast at the scan would sit under every later
+    timestamp predicate and defeat parquet row-group pruning -- the wrong
+    trade. Operators that need instant semantics on an arbitrary scan
+    (``unix_micros``) cast at the point of use instead, where the cast is
+    a projection, not a filter obstacle. (Divergence caught by the
+    empty-input differential sweep, whose schema-preserving fixtures
+    round-trip through a µs writer.)
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    return df
+
+
 #: (session id, path) -> scan DataFrame. The testdata tables are immutable,
 #: so re-running file listing + footer schema resolution on every
 #: ``read_table`` call (~0.1-0.25 s of pure driver work per query) buys
@@ -174,7 +200,7 @@ def scan_time_range(
             df = df.filter(F.col(ts_col) >= F.lit(lo_iso).cast("timestamp"))
         if hi_iso is not None:
             df = df.filter(F.col(ts_col) < F.lit(hi_iso).cast("timestamp"))
-    return df
+    return _normalize_ntz(df)
 
 
 def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:

@@ -77,7 +77,10 @@ def window_events_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w3 = w.rowsBetween(-2, 0)
-    us = F.unix_micros("ts")
+    # Cast-at-use: unix_micros requires instant (session-TZ) timestamps;
+    # µs parquet arrives as TIMESTAMP_NTZ. The cast is a projection here,
+    # never an obstacle to scan pruning (see io._normalize_ntz).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.select(
         "event_id",
         "user_id",
