@@ -1,0 +1,87 @@
+"""Incremental materialization -- process only what's new.
+
+The reference's whole pipeline is incremental in shape: an hourly append
+of ~3 rows into the raw table
+(/root/reference/Iceberg-dbt-project/dags/bitcoin_pipeline_dag.py:19,
+scripts/extract_bitcoin_prices.py:193) followed by full-refresh dbt
+models. dbt's own scale answer for the model layer is the INCREMENTAL
+materialization (is_incremental() + a high-watermark predicate); this
+module provides that materialization for the runner: at 100 TB you do not
+rebuild a fact table per run, you transform the rows that arrived since
+the last run and append.
+
+Semantics (mirroring dbt's defaults):
+- First run = full build of the target.
+- Later runs filter the source to ``watermark_col > max(watermark_col in
+  target)`` and append the transformed delta. The high-watermark read is
+  one column-pruned aggregate over the target -- parquet column stats
+  make it metadata-cheap, and on Iceberg it comes straight from manifest
+  min/max.
+- Rows at-or-before the watermark that arrive LATE are dropped, dbt's
+  documented incremental caveat; ``lookback`` re-opens a margin of
+  ``watermark_col > hw - lookback`` for them, paired with ``unique_key``
+  dedup so reprocessed rows don't double-append (the standard
+  late-arrival recipe). The anti-join touches only the reprocessed
+  window's keys against the target's keys -- at scale, restrict the
+  target-side scan to recent partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _target_exists(spark: SparkSession, path: str) -> bool:
+    try:
+        spark.read.parquet(path)
+        return True
+    except Exception:
+        return False
+
+
+def incremental_append(
+    spark: SparkSession,
+    source: DataFrame,
+    target_path: str,
+    *,
+    watermark_col: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    lookback: Column | Any | None = None,
+    unique_key: str | None = None,
+) -> DataFrame:
+    """Materialize ``transform(source)`` into ``target_path`` incrementally.
+
+    Returns the post-write target DataFrame. ``transform`` must be
+    row-local with respect to ``watermark_col`` windows (a projection /
+    filter / per-row derivation) -- the same restriction dbt's incremental
+    models live with: aggregates over all history need a full-refresh
+    model instead.
+    """
+    first_run = not _target_exists(spark, target_path)
+    if first_run:
+        delta = source
+    else:
+        target = spark.read.parquet(target_path)
+        hw = target.agg(F.max(watermark_col).alias("hw")).collect()[0]["hw"]
+        if hw is None:
+            delta = source
+        elif lookback is not None:
+            delta = source.where(
+                F.col(watermark_col) > (F.lit(hw) - lookback)
+            )
+            if unique_key is not None:
+                seen = target.where(
+                    F.col(watermark_col) > (F.lit(hw) - lookback)
+                ).select(unique_key)
+                delta = delta.join(seen, unique_key, "left_anti")
+        else:
+            delta = source.where(F.col(watermark_col) > F.lit(hw))
+    out = transform(delta) if transform is not None else delta
+    out.write.mode("append" if not first_run else "overwrite").parquet(
+        target_path
+    )
+    return spark.read.parquet(target_path)

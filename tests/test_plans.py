@@ -182,3 +182,84 @@ def test_global_shuffle_avoids_global_window(spark, sf_dir):
     # exactly one SinglePartition exchange -- the 256-row offset cumsum,
     # never the documents table itself
     assert plan.count("SinglePartition") == 1, plan
+
+
+# --- incremental materialization --------------------------------------------
+
+
+def test_incremental_append_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """Three incremental runs over a growing source converge to exactly
+    the full-rebuild result; a no-new-data run appends nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.incremental import (
+        incremental_append,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    c1, c2 = ev.selectExpr(
+        "percentile_approx(ts, 0.33)", "percentile_approx(ts, 0.66)"
+    ).collect()[0]
+    transform = lambda df: df.select(
+        "event_id", "ts", "user_id", (F.col("value") * 2).alias("v2")
+    )
+    tgt = str(tmp_path / "fct_events")
+    for cut in (c1, c2, None):
+        src = ev.where(F.col("ts") <= cut) if cut is not None else ev
+        out = incremental_append(
+            spark, src, tgt, watermark_col="ts", transform=transform
+        )
+    want = transform(ev)
+    assert out.count() == want.count() == ev.count()
+    dsum = lambda df: df.agg(
+        F.sum(F.col("v2").cast("decimal(27,6)"))
+    ).collect()[0][0]
+    assert dsum(out) == dsum(want)
+    # idempotent on an unchanged source
+    again = incremental_append(
+        spark, ev, tgt, watermark_col="ts", transform=transform
+    )
+    assert again.count() == want.count()
+
+
+def test_incremental_lookback_recovers_late_rows_once(spark, tmp_path):
+    """A row arriving LATE (ts at the watermark boundary's past) is lost
+    by the plain watermark predicate -- dbt's documented caveat -- and
+    recovered exactly once by lookback + unique_key dedup."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.incremental import (
+        incremental_append,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    mk = lambda rows: spark.createDataFrame(rows, "id bigint, ts timestamp")
+    base = [(1, t0), (2, t0 + dt.timedelta(hours=2))]
+    late = (3, t0 + dt.timedelta(hours=1))  # older than hw after run 1
+    tgt_plain = str(tmp_path / "plain")
+    tgt_lb = str(tmp_path / "lb")
+    for tgt, kw in (
+        (tgt_plain, {}),
+        (
+            tgt_lb,
+            {
+                "lookback": F.expr("INTERVAL 3 HOURS"),
+                "unique_key": "id",
+            },
+        ),
+    ):
+        incremental_append(spark, mk(base), tgt, watermark_col="ts", **kw)
+        out = incremental_append(
+            spark, mk(base + [late]), tgt, watermark_col="ts", **kw
+        )
+        # run again with the same source: no duplicates may appear
+        out = incremental_append(
+            spark, mk(base + [late]), tgt, watermark_col="ts", **kw
+        )
+        got = sorted(r.id for r in out.collect())
+        if tgt is tgt_plain:
+            assert got == [1, 2], got  # late row silently dropped
+        else:
+            assert got == [1, 2, 3], got  # recovered, exactly once
