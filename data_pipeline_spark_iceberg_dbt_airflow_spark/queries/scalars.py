@@ -84,6 +84,12 @@ def scalar_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUBSTR(o_orderpriority, 1, 3) AS prio_prefix,
                o_orderstatus || '/' || o_orderpriority AS status_prio,
                regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
+               levenshtein(o_orderstatus, 'O') AS status_edit_dist,
+               translate(o_orderpriority, '-', '_') AS prio_underscored,
+               lpad(o_orderstatus, 3, '*') AS status_lpad,
+               rpad(o_orderstatus, 3, '*') AS status_rpad,
+               reverse(o_orderpriority) AS prio_reversed,
+               strpos(o_orderpriority, 'URGENT') AS urgent_pos,
                CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1 ELSE 0 END
                    AS is_urgent,
                CAST(o_orderdate AS DATE) AS order_date,
@@ -125,6 +131,16 @@ def scalar_row_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("o_orderpriority", 1, 3).alias("prio_prefix"),
         F.concat_ws("/", "o_orderstatus", "o_orderpriority").alias("status_prio"),
         F.regexp_replace("o_orderpriority", "[0-9]+", "#").alias("prio_masked"),
+        # levenshtein is the classic DP distance in both engines (exact
+        # ints); instr/strpos are both 1-based with 0 = not found.
+        F.levenshtein(F.col("o_orderstatus"), F.lit("O")).alias(
+            "status_edit_dist"
+        ),
+        F.translate("o_orderpriority", "-", "_").alias("prio_underscored"),
+        F.lpad("o_orderstatus", 3, "*").alias("status_lpad"),
+        F.rpad("o_orderstatus", 3, "*").alias("status_rpad"),
+        F.reverse("o_orderpriority").alias("prio_reversed"),
+        F.instr("o_orderpriority", "URGENT").alias("urgent_pos"),
         F.when(F.col("o_orderpriority").like("%URGENT%"), F.lit(1))
         .otherwise(F.lit(0))
         .alias("is_urgent"),

@@ -47,6 +47,11 @@ from .registry import register
             SELECT user_id FROM events WHERE event_type = 'click'
             EXCEPT ALL
             SELECT user_id FROM events WHERE event_type = 'purchase')
+        UNION ALL
+        SELECT 'intersect_all' AS op, user_id AS key FROM (
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT ALL
+            SELECT user_id FROM events WHERE event_type = 'purchase')
     """,
     doc="U1-distinct + U2 + U3 set-operation family, consolidated (was "
     "setop_union_distinct / setop_intersect_buyers / setop_except_non_"
@@ -57,7 +62,8 @@ from .registry import register
     "(the set-op rendering of the anti join); op='except_all' = multiset "
     "difference where each click-occurrence cancels one "
     "purchase-occurrence (exceptAll keeps multiplicities -- no distinct "
-    "pass).",
+    "pass); op='intersect_all' = the multiset meet (min of per-key "
+    "multiplicities on the two sides).",
     tags=("setop",),
 )
 def setop_family(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,4 +91,5 @@ def setop_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_tag(orders_k.intersect(rich_k), "intersect"))
         .unionByName(_tag(cust_k.subtract(orders_k), "except"))
         .unionByName(_tag(clicks.exceptAll(purchases), "except_all"))
+        .unionByName(_tag(clicks.intersectAll(purchases), "intersect_all"))
     )

@@ -76,6 +76,10 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
                COUNT(*) AS n_docs,
                COUNT(*) FILTER (WHERE substr({_ORACLE_HASH}, 1, 2) < '1a')
                    AS n_sampled,
+               COUNT(*) FILTER (WHERE
+                   substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <
+                   CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                        THEN '40' ELSE 'cc' END) AS n_mixture,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1, 2
@@ -85,11 +89,15 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
     "split via hex thresholds 0xcc/0xe6 on md5(doc_id), counted per "
     "(split, lang), with n_sampled additionally counting the ~10% subset "
     "whose hex prefix falls below 0x1a (26/256 = 10.2%) -- the same "
-    "membership test a sampling pass applies at scan time. Pure "
-    "projection + one tiny aggregation; a document can never migrate "
-    "between splits (or in/out of the sample) when the corpus grows, "
-    "unlike fraction-based randomSplit -- the backfill-safe replacement "
-    "for rand().",
+    "membership test a sampling pass applies at scan time. n_mixture is "
+    "CURRICULUM MIXTURE sampling: each source gets its own rate (25% for "
+    "src0-4, 80% for the rest -- the up/down-weighting a training-data "
+    "recipe applies per source), decided on an INDEPENDENT hash channel "
+    "(md5('mix|'||doc_id)) so mixture membership does not correlate with "
+    "the plain sample. Pure projection + one tiny aggregation; a document "
+    "can never migrate between splits (or in/out of any sample) when the "
+    "corpus grows, unlike fraction-based randomSplit -- the backfill-safe "
+    "replacement for rand().",
     tags=("training", "llm-data", "sampling"),
 )
 def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,13 +105,34 @@ def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = (
         F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
     )
+    mix_pfx = F.substring(
+        F.md5(
+            F.encode(
+                F.concat(F.lit("mix|"), F.col("doc_id").cast("string")),
+                "UTF-8",
+            )
+        ),
+        1,
+        2,
+    )
+    mix_thresh = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
+        F.lit("40"),
+    ).otherwise(F.lit("cc"))
     return (
         read_table(spark, sf_dir, "documents")
-        .select(split.alias("split"), "lang", "n_chars", prefix.alias("pfx"))
+        .select(
+            split.alias("split"),
+            "lang",
+            "n_chars",
+            prefix.alias("pfx"),
+            (mix_pfx < mix_thresh).alias("in_mix"),
+        )
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(F.col("pfx") < "1a").alias("n_sampled"),
+            F.count_if(F.col("in_mix")).alias("n_mixture"),
             F.sum("n_chars").alias("total_chars"),
         )
     )

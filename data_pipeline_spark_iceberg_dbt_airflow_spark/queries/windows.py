@@ -103,6 +103,13 @@ def window_events_family(spark: SparkSession, sf_dir: str) -> DataFrame:
                DENSE_RANK() OVER wv AS price_dense_rank,
                NTILE(4) OVER (PARTITION BY o_orderpriority
                               ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+               PERCENT_RANK() OVER wv AS price_pct_rank,
+               CUME_DIST() OVER wv AS price_cume_dist,
+               NTH_VALUE(o_totalprice, 2) OVER
+                   (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS second_price,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -138,6 +145,20 @@ def window_orders_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w_val).alias("price_rank"),
         F.dense_rank().over(w_val).alias("price_dense_rank"),
         F.ntile(4).over(w_row).alias("quartile"),
+        # percent_rank/cume_dist are value-ranking functions (tie-stable);
+        # (rank-1)/(n-1) and rank/n are integer-ratio doubles, so both
+        # engines produce bit-identical values. nth_value depends on row
+        # order -> unique tiebreak + explicit full frame (the default
+        # frame would return NULL before row 2).
+        F.percent_rank().over(w_val).alias("price_pct_rank"),
+        F.cume_dist().over(w_val).alias("price_cume_dist"),
+        F.nth_value("o_totalprice", 2)
+        .over(
+            w_row.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("second_price"),
         F.sum(F.col("o_totalprice").cast("decimal(27,2)"))
         .over(w_cum)
         .cast("double")
