@@ -1,0 +1,142 @@
+"""End-to-end LLM training-data curation pipeline, composed on the runner.
+
+The reference's orchestration story is a 3-task DAG over one fact chain
+(/root/reference/Iceberg-dbt-project/dags/bitcoin_pipeline_dag.py:26-44);
+this module is the same control plane driving the engine's LLM-data
+operator families as ONE dependency-ordered pipeline -- the shape a
+training-data build actually has:
+
+    raw documents
+      ├── doc_clusters   (near-dup connected components, queries/dedup)
+      ├── doc_quality    (text stats / quality score, queries/text)
+      └── curated        = canonical cluster members ∩ quality gate
+            ├── assigned = deterministic hash split train/val/test
+            ├── chunks   = overlapping context windows over curated text
+            └── packed   = chunks binned into fixed char budgets per lang
+
+Every stage is the registry operator (or its formula) -- this module adds
+no new semantics, only the dbt-style composition: each model is a
+``refs -> DataFrame`` function; the runner topologically orders them,
+memoizes results, and applies the retry policy. At 100 TB each model
+boundary is where a real pipeline materializes a table (swap the
+in-memory handoff for ``incremental_append`` targets); the stage DAG and
+the operator plans are unchanged by that swap, which is the point of
+keeping orchestration and semantics separate.
+
+Scale notes: curated is built with LEFT SEMI / inner joins on doc_id
+(16-byte keys, never text); chunking is the map-side sequence+posexplode
+fan-out; packing windows stay per-(lang) shard. The quality gate and
+canonical filter run BEFORE chunking, so the expensive fan-out touches
+only surviving documents -- filter early, explode late.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import read_table
+from ..queries.dedup import dedup_cluster_components
+from ..queries.text import text_profile
+from ..queries.training import CHUNK_SIZE, CHUNK_STRIDE, PACK_BUDGET, _doc_hash
+from .runner import Model, PipelineRunner, RunConfig
+
+#: Quality gate: drop the bottom of the quality-score distribution.
+MIN_QUALITY = 0.35
+
+
+def build_llm_curation_pipeline(
+    spark: SparkSession, sf_dir: str, config: RunConfig | None = None
+) -> PipelineRunner:
+    runner = PipelineRunner(config or RunConfig(retries=1, schedule=None))
+
+    runner.add(
+        Model("raw_documents", lambda: read_table(spark, sf_dir, "documents"))
+    )
+    runner.add(
+        Model("doc_clusters", lambda: dedup_cluster_components(spark, sf_dir))
+    )
+    runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
+
+    def curated(
+        raw: DataFrame, clusters: DataFrame, quality: DataFrame
+    ) -> DataFrame:
+        keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
+        good = quality.where(F.col("quality_score") >= MIN_QUALITY).select(
+            "doc_id"
+        )
+        return raw.join(keep, "doc_id", "left_semi").join(
+            good, "doc_id", "left_semi"
+        )
+
+    runner.add(
+        Model(
+            "curated",
+            curated,
+            refs=("raw_documents", "doc_clusters", "doc_quality"),
+        )
+    )
+
+    def assigned(cur: DataFrame) -> DataFrame:
+        pfx = F.substring(_doc_hash(), 1, 2)
+        split = (
+            F.when(pfx < "cc", "train")
+            .when(pfx < "e6", "val")
+            .otherwise("test")
+        )
+        return cur.select("doc_id", "lang", split.alias("split"))
+
+    runner.add(Model("assigned", assigned, refs=("curated",)))
+
+    def chunks(cur: DataFrame) -> DataFrame:
+        n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
+        return (
+            cur.where(F.col("n_chars") > 0)
+            .select(
+                "doc_id",
+                "lang",
+                F.posexplode(F.sequence(F.lit(0), n_chunks)).alias(
+                    "chunk_idx", "_i"
+                ),
+                F.col("text"),
+            )
+            .select(
+                "doc_id",
+                "lang",
+                "chunk_idx",
+                F.substring(
+                    "text", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_SIZE
+                ).alias("chunk"),
+            )
+        )
+
+    runner.add(Model("chunks", chunks, refs=("curated",)))
+
+    def packed(ch: DataFrame) -> DataFrame:
+        sized = ch.select(
+            "doc_id", "lang", "chunk_idx", F.length("chunk").alias("chars")
+        )
+        w = Window.partitionBy("lang").orderBy("doc_id", "chunk_idx")
+        cum = F.sum("chars").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return sized.select(
+            "doc_id",
+            "lang",
+            "chunk_idx",
+            "chars",
+            F.floor((cum - F.col("chars")) / PACK_BUDGET)
+            .cast("bigint")
+            .alias("bin_id"),
+        )
+
+    runner.add(Model("packed", packed, refs=("chunks",)))
+    return runner
+
+
+def run_llm_curation(
+    spark: SparkSession, sf_dir: str, targets: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Build and execute the curation DAG; returns every stage by name."""
+    return build_llm_curation_pipeline(spark, sf_dir).run(targets)

@@ -263,3 +263,73 @@ def test_incremental_lookback_recovers_late_rows_once(spark, tmp_path):
             assert got == [1, 2], got  # late row silently dropped
         else:
             assert got == [1, 2, 3], got  # recovered, exactly once
+
+
+# --- end-to-end LLM curation pipeline ---------------------------------------
+
+
+def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
+    """The composed curation DAG (dedup clusters ∩ quality gate -> split /
+    chunk / pack) holds its cross-stage invariants."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        MIN_QUALITY,
+        run_llm_curation,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        CHUNK_STRIDE,
+        PACK_BUDGET,
+    )
+
+    out = run_llm_curation(spark, sf_dir)
+    raw_n = out["raw_documents"].count()
+    cur = out["curated"]
+    cur_n = cur.count()
+    assert 0 < cur_n < raw_n
+    # curated docs are canonical: no two share a near-dup cluster
+    clusters = out["doc_clusters"]
+    per_cluster = (
+        cur.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+        .groupBy("cluster_id")
+        .count()
+    )
+    assert per_cluster.where("count > 1").count() == 0
+    # and all pass the quality gate
+    q = out["doc_quality"].select("doc_id", "quality_score")
+    assert (
+        cur.join(q, "doc_id")
+        .where(F.col("quality_score") < MIN_QUALITY)
+        .count()
+        == 0
+    )
+    # split covers every curated doc exactly once
+    assert out["assigned"].count() == cur_n
+    assert (
+        out["assigned"].select("split").distinct().count() <= 3
+    )
+    # chunking: every curated doc with text emits ceil-based chunk count
+    chunks = out["chunks"]
+    per_doc = chunks.groupBy("doc_id").count()
+    expect = cur.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        (F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE) + 1).alias("want"),
+    )
+    assert (
+        per_doc.join(expect, "doc_id")
+        .where(F.col("count") != F.col("want"))
+        .count()
+        == 0
+    )
+    assert per_doc.count() == expect.count()
+    # packing: no bin exceeds the budget except via its LAST chunk
+    # (running-sum bucketing closes a bin only after crossing the budget)
+    packed = out["packed"]
+    fills = packed.groupBy("lang", "bin_id").agg(
+        F.sum("chars").alias("fill"), F.max("chars").alias("biggest")
+    )
+    assert (
+        fills.where(F.col("fill") - F.col("biggest") >= PACK_BUDGET).count()
+        == 0
+    )
+    assert packed.count() == chunks.count()
