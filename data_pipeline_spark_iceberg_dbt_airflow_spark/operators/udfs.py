@@ -32,8 +32,11 @@ from pyspark.sql import functions as F
 SHORT, LONG = 200, 400
 
 
-def band_of(n_chars: int) -> str:
-    """The scalar function all three renderings share."""
+def band_of(n_chars: int | None) -> str | None:
+    """The scalar function all three renderings share. NULL in -> NULL
+    out (SQL propagation; a bare ELSE would misfile NULL as 'long')."""
+    if n_chars is None:
+        return None
     if n_chars < SHORT:
         return "short"
     if n_chars < LONG:
@@ -50,11 +53,13 @@ def band_pandas_udf() -> Column:
     """X2: vectorized pandas_udf over the same function."""
 
     def kernel(n: pd.Series) -> pd.Series:
-        return pd.cut(
+        out = pd.cut(
             n,
             bins=[-1, SHORT - 1, LONG - 1, float("inf")],
             labels=["short", "medium", "long"],
-        ).astype(str)
+        ).astype(object)
+        out[n.isna()] = None  # pd.cut leaves NaN; astype(str) would stringify
+        return out
 
     return F.pandas_udf(kernel, "string")(F.col("n_chars"))
 
@@ -63,7 +68,8 @@ def band_builtin() -> Column:
     """The built-in-expression rendering (what the hot path should use,
     and what the DuckDB oracle mirrors)."""
     return (
-        F.when(F.col("n_chars") < SHORT, "short")
+        F.when(F.col("n_chars").isNull(), F.lit(None).cast("string"))
+        .when(F.col("n_chars") < SHORT, "short")
         .when(F.col("n_chars") < LONG, "medium")
         .otherwise("long")
     )
@@ -88,11 +94,13 @@ def doc_bands_mapinpandas(docs: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             out = b[["doc_id", "n_chars"]].copy()
-            out["band"] = pd.cut(
+            band = pd.cut(
                 b["n_chars"],
                 bins=[-1, SHORT - 1, LONG - 1, float("inf")],
                 labels=["short", "medium", "long"],
-            ).astype(str)
+            ).astype(object)
+            band[b["n_chars"].isna()] = None
+            out["band"] = band
             yield out
 
     return docs.mapInPandas(fn, "doc_id bigint, n_chars bigint, band string")

@@ -129,7 +129,18 @@ def agg_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("distinct_users")
     )
-    return distinct.join(totals, "event_type")
+    # Null-SAFE reassembly join: groupBy keeps a NULL-key group (SQL
+    # semantics, both engines) but a plain equi-join would silently drop
+    # it when recombining the two aggregate subplans -- caught by the
+    # null-injection differential sweep.
+    return (
+        distinct.join(
+            totals,
+            distinct["event_type"].eqNullSafe(totals["event_type"]),
+        )
+        .drop(totals["event_type"])
+        .select("event_type", "distinct_users", "events", "total_value")
+    )
 
 
 @register(

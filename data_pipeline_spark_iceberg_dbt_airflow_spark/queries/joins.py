@@ -336,11 +336,20 @@ def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doesn't matter.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("event_type"))
+        .orderBy(F.asc_nulls_last("ts"), F.asc_nulls_last("event_type"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # A purchase with NULL event time has no as-of point: emit NULL
+    # (matches the oracle's correlated `c.ts <= p.ts`, which no click can
+    # satisfy). Without the guard, nulls-last ordering would hand the
+    # NULL-ts row a frame spanning every click.
     return (
-        marked.withColumn("last_click_ts", F.max("click_ts").over(w))
+        marked.withColumn(
+            "last_click_ts",
+            F.when(
+                F.col("ts").isNotNull(), F.max("click_ts").over(w)
+            ),
+        )
         .filter(F.col("event_type") == "purchase")
         .select("event_id", "user_id", "ts", "last_click_ts")
     )

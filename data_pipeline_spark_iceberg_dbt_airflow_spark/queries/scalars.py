@@ -44,7 +44,10 @@ from .registry import register
                CAST(props->>'k' AS BIGINT) AS struct_k,
                len(json_keys(props)) AS map_size,
                array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
-               (json_extract(props, '$.missing') IS NOT NULL) AS has_missing
+               CASE WHEN props IS NULL THEN CAST(NULL AS INT)
+                    ELSE CAST(json_extract(props, '$.missing') IS NOT NULL
+                              AS INT)
+               END AS has_missing
         FROM events
     """,
     doc="F8/F13 JSON + map families, consolidated (was scalar_json_get + "
@@ -70,7 +73,11 @@ def scalar_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_json("props", schema).getField("k").alias("struct_k"),
         F.size(m).alias("map_size"),
         F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
-        F.map_contains_key(m, F.lit("missing")).alias("has_missing"),
+        # INT, not BOOLEAN: a nullable boolean lands in pandas as object-
+        # None on the Spark side but float-NaN on the DuckDB side -- the
+        # hash can never match. Nullable ints degrade to float64 NaN on
+        # BOTH sides. (null-injection sweep finding)
+        F.map_contains_key(m, F.lit("missing")).cast("int").alias("has_missing"),
     )
 
 
@@ -82,7 +89,7 @@ def scalar_json_map_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                LOWER(o_orderstatus) AS status_lower,
                LENGTH(o_orderpriority) AS prio_len,
                SUBSTR(o_orderpriority, 1, 3) AS prio_prefix,
-               o_orderstatus || '/' || o_orderpriority AS status_prio,
+               concat_ws('/', o_orderstatus, o_orderpriority) AS status_prio,
                regexp_replace(o_orderpriority, '[0-9]+', '#', 'g') AS prio_masked,
                levenshtein(o_orderstatus, 'O') AS status_edit_dist,
                translate(o_orderpriority, '-', '_') AS prio_underscored,

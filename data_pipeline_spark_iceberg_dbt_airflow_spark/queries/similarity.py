@@ -388,11 +388,19 @@ def _cosine_pandas_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """
     import numpy as np
 
-    av = np.stack(a.to_numpy()).astype(np.float64)
-    bv = np.stack(b.to_numpy()).astype(np.float64)
-    num = (av * bv).sum(axis=1)
-    den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-    return pd.Series(num / den)
+    # NULL-aware: a missing vector yields a NULL cosine (matching the
+    # JVM fold, where dot(NULL, x) is NULL) instead of crashing np.stack
+    # -- caught by the null-injection differential sweep.
+    valid = a.notna() & b.notna()
+    out: list[float | None] = [None] * len(a)
+    if valid.any():
+        av = np.stack(a[valid].to_numpy()).astype(np.float64)
+        bv = np.stack(b[valid].to_numpy()).astype(np.float64)
+        num = (av * bv).sum(axis=1)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        for pos, val in zip(np.flatnonzero(valid.to_numpy()), num / den):
+            out[pos] = float(val)
+    return pd.Series(out, dtype=object)
 
 
 def _cosine_pandas():

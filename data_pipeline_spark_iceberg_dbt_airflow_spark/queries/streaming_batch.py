@@ -49,6 +49,7 @@ SESSION_GAP = "6 hours"
                COUNT(*) AS events,
                {det.oracle_dsum("value")} AS total_value
         FROM events
+        WHERE ts IS NOT NULL
         GROUP BY 2, 3, 4
         UNION ALL
         SELECT 'sliding' AS kind, win_start, win_start + INTERVAL 1 DAY AS win_end,
@@ -59,7 +60,8 @@ SESSION_GAP = "6 hours"
                    time_bucket(INTERVAL 12 HOUR, CAST(ts AS TIMESTAMP))
                        - k.k * INTERVAL 12 HOUR AS win_start
             FROM events
-            CROSS JOIN (SELECT unnest(range(2)) AS k) k)
+            CROSS JOIN (SELECT unnest(range(2)) AS k) k
+            WHERE ts IS NOT NULL)
         GROUP BY 2, 3, 4
     """,
     doc="T1 tumbling + sliding event-time windows, consolidated (was "
@@ -76,7 +78,9 @@ SESSION_GAP = "6 hours"
     tags=("streaming", "window-agg"),
 )
 def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    # No event time, no window: F.window DROPS null-ts rows; the filter
+    # (and its oracle mirror) makes that streaming semantic explicit.
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
 
     def _agg(windowed: DataFrame, kind: str) -> DataFrame:
         return windowed.agg(
@@ -101,7 +105,8 @@ def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_windows",
     oracle="""
-        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE ts IS NOT NULL),
         marked AS (
             SELECT user_id, ts,
                    CASE WHEN LAG(ts) OVER w IS NULL
@@ -132,7 +137,7 @@ def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session-window"),
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
+    ev = read_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     return (
         ev.groupBy(F.session_window("ts", SESSION_GAP), "user_id")
         .agg(F.count(F.lit(1)).alias("events"))

@@ -21,7 +21,8 @@ from .registry import register
     "udf_doc_bands",
     oracle=f"""
         SELECT doc_id, n_chars,
-               CASE WHEN n_chars < {SHORT} THEN 'short'
+               CASE WHEN n_chars IS NULL THEN NULL
+                    WHEN n_chars < {SHORT} THEN 'short'
                     WHEN n_chars < {LONG} THEN 'medium'
                     ELSE 'long' END AS band
         FROM documents

@@ -74,7 +74,12 @@ def window_events_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_desc = Window.partitionBy("user_id").orderBy(
         F.desc("ts"), F.desc("event_id")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last: Spark's ASC default is NULLS FIRST, DuckDB's (and
+    # the analytic convention) is NULLS LAST -- alignment matters the
+    # moment the ordering column is nullable (null-injection sweep).
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     w3 = w.rowsBetween(-2, 0)
     # Cast-at-use: unix_micros requires instant (session-TZ) timestamps;
@@ -135,7 +140,7 @@ def window_orders_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_cum = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -210,8 +215,12 @@ def window_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value").alias("day_cnt"),
         det.davg("value").alias("avg_value"),
     )
-    wd = Window.partitionBy("event_type").orderBy("day")
-    w7 = Window.partitionBy("event_type").orderBy("day_num").rangeBetween(-6, 0)
+    wd = Window.partitionBy("event_type").orderBy(F.asc_nulls_last("day"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy(F.asc_nulls_last("day_num"))
+        .rangeBetween(-6, 0)
+    )
     prev = F.lag("avg_value").over(wd)
     rolling_sum = (
         F.sum(F.col("day_sum").cast("decimal(27,6)")).over(w7).cast("double")

@@ -53,6 +53,10 @@ def _canon_value(v: Any) -> Any:
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, (pd.Timestamp, dt.datetime)):
+        # pd.NaT is a datetime instance; it must canonicalize as NULL
+        # (Spark surfaces NULL timestamps as None, DuckDB as NaT).
+        if pd.isna(v):
+            return None
         return pd.Timestamp(v).isoformat()
     if isinstance(v, dt.date):
         # Spark DATE -> datetime.date; DuckDB DATE -> midnight datetime64.
