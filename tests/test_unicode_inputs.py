@@ -1,0 +1,71 @@
+"""Unicode-text differential sweep.
+
+Spark runs Java regex/string semantics, DuckDB runs RE2/UTF-8 -- a drift
+risk for every text operator (`\\s` classes, length() code-point counts,
+case mapping, md5 over multi-byte text). This sweep rewrites the
+documents corpus with accents, CJK, emoji, tabs, NBSP, and sharp-s
+case-folding traps, then re-runs the text/dedup/training/UDF query
+families differentially. Zero expected divergences: both engines count
+code points for length(), treat NBSP as non-\\s, and md5 the identical
+UTF-8 bytes.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import duckdb
+import pytest
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import TABLES, table_path
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
+from tests.oracle import compare, run_oracle
+
+FAMILIES = ("text", "dedup", "train", "udf", "multimodal")
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("uni_sf")
+    src_dir = "/root/testdata/sf0.001"
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(table_path(src_dir, t), base / f"{t}.parquet")
+    con = duckdb.connect()
+    try:
+        con.execute(rf"""
+        COPY (
+          SELECT doc_id,
+                 CASE doc_id % 6
+                   WHEN 0 THEN 'Caf'||chr(233)||' r'||chr(233)||'sum'
+                               ||chr(233)||' '||text
+                   WHEN 1 THEN chr(20013)||chr(25991)||chr(27979)
+                               ||chr(35797)||' '||text
+                   WHEN 2 THEN replace(text, ' ', chr(9))
+                   WHEN 3 THEN chr(128512)||' '||text
+                   WHEN 4 THEN upper(text)||' '||chr(223)
+                   ELSE text||chr(10)||chr(160)||'fin'
+                 END AS text,
+                 lang, source, n_chars
+          FROM read_parquet('{table_path(src_dir, "documents")}')
+        ) TO '{base / "documents.parquet"}' (FORMAT PARQUET)
+        """)
+    finally:
+        con.close()
+    return str(base)
+
+
+def test_text_families_survive_unicode(spark, unicode_sf_dir):
+    failures = []
+    for name, spec in all_queries().items():
+        if not any(k in name for k in FAMILIES):
+            continue
+        try:
+            df = spec.spark_fn(spark, unicode_sf_dir)
+            if spec.oracle is not None:
+                compare(df, run_oracle(spec.oracle, unicode_sf_dir))
+            else:
+                df.count()
+        except Exception as ex:
+            failures.append(f"{name}: {type(ex).__name__} {str(ex)[:160]}")
+    assert not failures, "\n".join(failures)
