@@ -67,17 +67,28 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # Minimal input precisions, chosen so the narrow measures ride the
+    # COMPACT (long-backed) sum buffer: a sum buffer is input precision
+    # +10, and Spark stores decimals <= precision 18 as a long -- p=8
+    # inputs (quantity <= 50, extendedprice < 10^6, discount <= 1, all
+    # 2dp) keep the whole aggregate chain off the BigDecimal path.
+    # Measured 1.39s -> 1.04s for this query at sf0.1. Capacity: the
+    # dec(18,2) buffer holds +/-10^16, i.e. ~10^11 rows of 10^5-magnitude
+    # values (~400 TB of lineitem) before overflow -- which under ANSI
+    # mode (Spark 4 default) fails LOUD, not silently. Exact sums are
+    # precision-independent, so the oracle's wider accumulator produces
+    # the identical double.
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            det.dsum("l_quantity", 2).alias("sum_qty"),
-            det.dsum("l_extendedprice", 2).alias("sum_base_price"),
-            det.dsum(disc_price, 4).alias("sum_disc_price"),
-            det.dsum(charge, 6).alias("sum_charge"),
-            det.davg("l_quantity", 2).alias("avg_qty"),
-            det.davg("l_extendedprice", 2).alias("avg_price"),
-            det.davg("l_discount", 2).alias("avg_disc"),
+            det.dsum("l_quantity", 2, precision=8).alias("sum_qty"),
+            det.dsum("l_extendedprice", 2, precision=8).alias("sum_base_price"),
+            det.dsum(disc_price, 4, precision=10).alias("sum_disc_price"),
+            det.dsum(charge, 6, precision=12).alias("sum_charge"),
+            det.davg("l_quantity", 2, precision=8).alias("avg_qty"),
+            det.davg("l_extendedprice", 2, precision=8).alias("avg_price"),
+            det.davg("l_discount", 2, precision=8).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
