@@ -155,3 +155,12 @@ def test_cluster_components_is_equivalence_closure(spark, sf_dir):
         .count()
     )
     assert not_min == 0, "cluster_id is not the minimum member"
+
+
+def test_ann_pair_mining_is_blocked_equi_join(spark, sf_dir):
+    """The within-cell pair miner must stay a plain equi-join on the
+    (cell, block_i, block_j) keys -- the hot-cell-salting layout -- and
+    never degrade to a cartesian product."""
+    plan = _plan(spark, sf_dir, "sim_ann_family")
+    assert "CartesianProduct" not in plan, plan
+    assert "i_b" in plan and "j_b" in plan, "block-pair keys left the join"
