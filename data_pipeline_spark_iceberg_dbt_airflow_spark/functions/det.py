@@ -68,6 +68,32 @@ def dstddev_samp(col: str | Column) -> Column:
     return F.sqrt(dvar_samp(col))
 
 
+def dsum_cube(col: str | Column, scale: int = 9, precision: int = 33) -> Column:
+    """Exact sum of cubes (for deterministic skewness)."""
+    c = _c(col)
+    return F.sum((c * c * c).cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def dskew_samp(col: str | Column) -> Column:
+    """Deterministic adjusted sample skewness (Fisher-Pearson G1) from
+    exact power sums. Every double operation after the exact sums is
+    written as the IDENTICAL expression tree in :func:`oracle_dskew_samp`
+    -- including ``m2 * sqrt(m2)`` instead of ``pow(m2, 1.5)``, because
+    sqrt/multiply are IEEE-correctly-rounded everywhere while libm pow
+    may differ in the last ulp between engines. NULL when n <= 2 or the
+    variance is 0 (constant group)."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    s1, s2, s3 = dsum(col), dsum_sq(col), dsum_cube(col)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    return F.when(
+        (n > 2) & (m2 > 0),
+        (F.sqrt(n * (n - 1)) / (n - 2)) * (m3 / (m2 * F.sqrt(m2))),
+    ).otherwise(F.lit(None))
+
+
 def oracle_dsum(expr: str, scale: int = 6, precision: int = 27) -> str:
     """The oracle-SQL rendering of ``dsum`` (identical formula for DuckDB)."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL({precision},{scale}))) AS DOUBLE)"
@@ -96,3 +122,26 @@ def oracle_dvar_samp(expr: str) -> str:
 
 def oracle_dstddev_samp(expr: str) -> str:
     return f"SQRT({oracle_dvar_samp(expr)})"
+
+
+def oracle_dsum_cube(expr: str, scale: int = 9, precision: int = 33) -> str:
+    return (
+        f"CAST(SUM(CAST((({expr}) * ({expr}) * ({expr}))"
+        f" AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    )
+
+
+def oracle_dskew_samp(expr: str) -> str:
+    """Identical expression tree to :func:`dskew_samp` (operation order
+    and association included -- bit-for-bit double parity)."""
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s1, s2, s3 = oracle_dsum(expr), oracle_dsum_sq(expr), oracle_dsum_cube(expr)
+    m = f"({s1} / {n})"
+    s2n = f"({s2} / {n})"
+    m2 = f"({s2n} - {m} * {m})"
+    m3 = f"({s3} / {n} - 3 * {m} * {s2n} + 2 * {m} * {m} * {m})"
+    return (
+        f"(CASE WHEN {n} > 2 AND {m2} > 0 THEN"
+        f" (SQRT({n} * ({n} - 1)) / ({n} - 2)) * ({m3} / ({m2} * SQRT({m2})))"
+        " ELSE NULL END)"
+    )

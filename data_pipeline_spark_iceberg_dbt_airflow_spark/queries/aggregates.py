@@ -208,6 +208,7 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag,
                {det.oracle_dstddev_samp("l_quantity")} AS qty_stddev,
                {det.oracle_dvar_samp("l_quantity")} AS qty_var,
+               {det.oracle_dskew_samp("l_quantity")} AS qty_skew,
                {det.oracle_davg("l_quantity", 2)} AS qty_avg,
                quantile_cont(l_quantity, 0.5) AS median_qty,
                MIN(l_quantity) AS min_qty,
@@ -216,9 +217,10 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
     """,
     doc="A4 dispersion + percentile family, merged (was agg_stats_dispersion "
-    "+ agg_median_quantity): sample stddev/variance from exact sums of x "
-    "and x^2 (functions/det.py -- order-independent, unlike the streaming-"
-    "moment implementations both engines use natively), interpolated "
+    "+ agg_median_quantity): sample stddev/variance/adjusted-skewness from "
+    "exact sums of x, x^2, x^3 (functions/det.py -- order-independent, "
+    "unlike the streaming-moment implementations both engines use "
+    "natively; skewness avoids libm pow via m2*sqrt(m2)), interpolated "
     "median (Spark percentile() == DuckDB quantile_cont; l_quantity is "
     "integer-valued so the midpoint is exactly representable), min/max. "
     "One shuffle; the exact percentile collects per-group values -- at "
@@ -230,6 +232,7 @@ def agg_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         det.dstddev_samp("l_quantity").alias("qty_stddev"),
         det.dvar_samp("l_quantity").alias("qty_var"),
+        det.dskew_samp("l_quantity").alias("qty_skew"),
         det.davg("l_quantity", 2).alias("qty_avg"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.min("l_quantity").alias("min_qty"),
