@@ -124,6 +124,33 @@ def oracle_dstddev_samp(expr: str) -> str:
     return f"SQRT({oracle_dvar_samp(expr)})"
 
 
+def dsum_quart(
+    col: str | Column, scale: int = 12, precision: int = 28
+) -> Column:
+    """Exact sum of fourth powers (for deterministic kurtosis)."""
+    c = _c(col)
+    return F.sum(
+        (c * c * c * c).cast(f"decimal({precision},{scale})")
+    ).cast("double")
+
+
+def dkurt_samp(col: str | Column) -> Column:
+    """Deterministic adjusted excess kurtosis (sample G2) from exact
+    power sums; identical expression tree in :func:`oracle_dkurt_samp`.
+    NULL when n <= 3 or the variance is 0."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    s1, s2, s3, s4 = dsum(col), dsum_sq(col), dsum_cube(col), dsum_quart(col)
+    m = s1 / n
+    m2 = s2 / n - m * m
+    m4 = s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    return F.when(
+        (n > 3) & (m2 > 0),
+        ((n + 1) * (m4 / (m2 * m2) - 3) + 6)
+        * ((n - 1) / ((n - 2) * (n - 3))),
+    ).otherwise(F.lit(None))
+
+
 def oracle_dsum_cube(expr: str, scale: int = 9, precision: int = 33) -> str:
     return (
         f"CAST(SUM(CAST((({expr}) * ({expr}) * ({expr}))"
@@ -143,5 +170,31 @@ def oracle_dskew_samp(expr: str) -> str:
     return (
         f"(CASE WHEN {n} > 2 AND {m2} > 0 THEN"
         f" (SQRT({n} * ({n} - 1)) / ({n} - 2)) * ({m3} / ({m2} * SQRT({m2})))"
+        " ELSE NULL END)"
+    )
+
+
+def oracle_dsum_quart(expr: str, scale: int = 12, precision: int = 28) -> str:
+    return (
+        f"CAST(SUM(CAST((({expr}) * ({expr}) * ({expr}) * ({expr}))"
+        f" AS DECIMAL({precision},{scale}))) AS DOUBLE)"
+    )
+
+
+def oracle_dkurt_samp(expr: str) -> str:
+    n = f"CAST(COUNT({expr}) AS DOUBLE)"
+    s2, s3, s4 = oracle_dsum_sq(expr), oracle_dsum_cube(expr), oracle_dsum_quart(expr)
+    m = f"({oracle_dsum(expr)} / {n})"
+    s2n = f"({s2} / {n})"
+    s3n = f"({s3} / {n})"
+    m2 = f"({s2n} - {m} * {m})"
+    m4 = (
+        f"({s4} / {n} - 4 * {m} * {s3n} + 6 * {m} * {m} * {s2n}"
+        f" - 3 * {m} * {m} * {m} * {m})"
+    )
+    return (
+        f"(CASE WHEN {n} > 3 AND {m2} > 0 THEN"
+        f" (({n} + 1) * ({m4} / ({m2} * {m2}) - 3) + 6)"
+        f" * (({n} - 1) / (({n} - 2) * ({n} - 3)))"
         " ELSE NULL END)"
     )

@@ -209,6 +209,7 @@ def agg_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
                {det.oracle_dstddev_samp("l_quantity")} AS qty_stddev,
                {det.oracle_dvar_samp("l_quantity")} AS qty_var,
                {det.oracle_dskew_samp("l_quantity")} AS qty_skew,
+               {det.oracle_dkurt_samp("l_quantity")} AS qty_kurt,
                {det.oracle_davg("l_quantity", 2)} AS qty_avg,
                quantile_cont(l_quantity, 0.5) AS median_qty,
                MIN(l_quantity) AS min_qty,
@@ -233,6 +234,7 @@ def agg_stats_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         det.dstddev_samp("l_quantity").alias("qty_stddev"),
         det.dvar_samp("l_quantity").alias("qty_var"),
         det.dskew_samp("l_quantity").alias("qty_skew"),
+        det.dkurt_samp("l_quantity").alias("qty_kurt"),
         det.davg("l_quantity", 2).alias("qty_avg"),
         F.percentile("l_quantity", 0.5).alias("median_qty"),
         F.min("l_quantity").alias("min_qty"),
