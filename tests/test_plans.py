@@ -333,3 +333,39 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         == 0
     )
     assert packed.count() == chunks.count()
+
+
+def test_llm_quality_stage_materializes_incrementally(spark, sf_dir, tmp_path):
+    """SCALING.md's model-boundary claim, demonstrated: the text-quality
+    stage is row-local, so it can be swapped from an in-memory handoff to
+    an incremental_append target -- two runs over a growing corpus
+    converge to the full rebuild, and the second run transforms only the
+    delta. (The dedup-cluster stage is deliberately NOT incremental: its
+    semantics are corpus-global, which is why it stays a full-refresh
+    model.)"""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.incremental import (
+        incremental_append,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        text_profile,
+    )
+
+    full = text_profile(spark, sf_dir).select(
+        "doc_id", "lang", "quality_score"
+    )
+    mid = full.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    tgt = str(tmp_path / "doc_quality")
+    for bound in (mid, None):
+        src = full.where(F.col("doc_id") <= bound) if bound else full
+        out = incremental_append(spark, src, tgt, watermark_col="doc_id")
+    assert out.count() == full.count()
+    # value parity with the full rebuild, row for row
+    joined = out.alias("i").join(full.alias("f"), "doc_id")
+    assert (
+        joined.where(
+            ~F.col("i.quality_score").eqNullSafe(F.col("f.quality_score"))
+        ).count()
+        == 0
+    )
