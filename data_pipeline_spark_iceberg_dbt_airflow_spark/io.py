@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,8 +105,38 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
-#: (session id, path) -> scan DataFrame. The testdata tables are immutable,
-#: so re-running file listing + footer schema resolution on every
+#: Session object -> its lifetime-unique token. Keyed on the live wrapper
+#: object (weakly, so this map can't keep sessions alive); the token itself
+#: comes from the JVM app (applicationId embeds a timestamp), so a recycled
+#: CPython id() can never alias a stopped session's cache entries -- the
+#: round-3 advisor finding against the old ``id(spark)`` keys.
+_SESSION_TOKENS: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def session_token(spark: SparkSession) -> str:
+    """A key for ``spark`` that is unique across the process's lifetime.
+
+    ``applicationId:startTime`` -- stable for all Python wrappers of one
+    JVM session, never reused by a later session. When the wrapper object
+    is garbage-collected, its cache entries are purged (finalizer), so the
+    module caches stay bounded by the number of LIVE sessions.
+    """
+    tok = _SESSION_TOKENS.get(spark)
+    if tok is None:
+        sc = spark.sparkContext
+        tok = f"{sc.applicationId}:{sc.startTime}"
+        _SESSION_TOKENS[spark] = tok
+        weakref.finalize(spark, _purge_scan_cache, tok)
+    return tok
+
+
+def _purge_scan_cache(tok: str) -> None:
+    for k in [k for k in _SCAN_CACHE if k[0] == tok]:
+        del _SCAN_CACHE[k]
+
+
+#: (session token, path) -> scan DataFrame. The testdata tables are
+#: immutable, so re-running file listing + footer schema resolution on every
 #: ``read_table`` call (~0.1-0.25 s of pure driver work per query) buys
 #: nothing; a DataFrame is an immutable plan, safe to share. This is the
 #: local-mode analog of what a real deployment gets from catalog tables:
@@ -117,7 +148,7 @@ _SCAN_CACHE: dict[tuple, DataFrame] = {}
 
 
 def _raw_scan(spark: SparkSession, path: str) -> DataFrame:
-    key = (id(spark), path, "raw")
+    key = (session_token(spark), path, "raw")
     cached = _SCAN_CACHE.get(key)
     if cached is None:
         cached = _SCAN_CACHE[key] = spark.read.parquet(path)
@@ -137,7 +168,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bounds into the scan before converting.
     """
     path = table_path(sf_dir, name)
-    key = (id(spark), path)
+    key = (session_token(spark), path)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached

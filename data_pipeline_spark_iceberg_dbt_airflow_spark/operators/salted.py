@@ -63,8 +63,11 @@ def salted_group_agg(
     p1 += [F.sum(c).alias(f"__s_{n}") for n, c in sums.items()]
     p1 += [F.min(c).alias(f"__mn_{n}") for n, c in mins.items()]
     p1 += [F.max(c).alias(f"__mx_{n}") for n, c in maxes.items()]
+    # pmod, not %: Spark's remainder preserves sign, so a signed salt
+    # expression (hash()/xxhash64) under % would fan out to 2*buckets-1
+    # distinct values and weaken the ~1/buckets-per-reducer guarantee.
     partial = (
-        df.withColumn("__salt", salt % F.lit(buckets))
+        df.withColumn("__salt", F.pmod(salt, F.lit(buckets)))
         .groupBy(*keys, "__salt")
         .agg(*p1)
     )

@@ -31,16 +31,24 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
+    # Only a definitive path-not-found means "first run". Any other read
+    # failure (permissions, corrupt footer, listing error) must abort:
+    # treating it as not-exists would flip the write to mode('overwrite')
+    # and destroy the existing materialized target on a transient fault.
     try:
         spark.read.parquet(path)
         return True
-    except Exception:
-        return False
+    except AnalysisException as ex:
+        cls = ex.getCondition() if hasattr(ex, "getCondition") else None
+        if cls == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(ex):
+            return False
+        raise
 
 
 def incremental_append(

@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import read_table, widen_for_compute
+from ..io import read_table, session_token, widen_for_compute
 from .registry import register
 
 #: Shingles appearing in more than this many docs are dropped (stop-shingle
@@ -97,8 +97,10 @@ def _tokens_col() -> F.Column:
 
 #: One persisted shingle index per (JVM session, sf_dir). Bounded by the
 #: number of distinct corpora a session touches (not by invocation count),
-#: and releasable -- the round-2 persist()-per-call leak is gone.
-_INDEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: and releasable -- the round-2 persist()-per-call leak is gone. Keyed on
+#: the session-lifetime token (io.session_token), not id(spark): a recycled
+#: CPython id can never alias a stopped session's persisted plans.
+_INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +114,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline makes at 100 TB rather than re-scanning text per consumer --
     and freed via :func:`release_shingle_index`.
     """
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     # Shingling is the CPU-bound stage of the whole dedup family; make sure
@@ -153,8 +155,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def release_shingle_index(spark: SparkSession | None = None) -> None:
     """Unpersist cached shingle indexes (all, or one session's)."""
+    tok = None if spark is None else session_token(spark)
     for key in list(_INDEX_CACHE):
-        if spark is None or key[0] == id(spark):
+        if tok is None or key[0] == tok:
             _INDEX_CACHE.pop(key).unpersist()
 
 
@@ -371,9 +374,14 @@ _ORACLE_MINHASH_BRANCH = f"""
             FROM bands a
             JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
                         AND a.doc_id < b.doc_id),
-        -- Equal band keys => equal min-hashes => a shared capped shingle,
-        -- so every LSH candidate pair already appears in the inverted-index
-        -- join: minhash-verified = ngram-verified restricted to candidates.
+        -- Equal band keys usually mean a shared capped shingle, but the
+        -- 28-bit md5-prefix base hash CAN collide across distinct
+        -- shingles, so a raw LSH candidate need not share one. The
+        -- subset property holds for VERIFIED pairs: a no-shared-shingle
+        -- candidate has true Jaccard 0 (< 0.5) and is dropped
+        -- identically by this intersection join and by the Spark
+        -- left-join flag, so minhash-VERIFIED = ngram-verified
+        -- restricted to candidates.
         minhash_pairs AS (
             SELECT p.doc_a, p.doc_b, p.jaccard
             FROM ngram_pairs p
@@ -400,10 +408,12 @@ _ORACLE_MINHASH_BRANCH = f"""
     "band keys are 1 row per (doc, band), so the candidate join input is "
     "4 rows/doc regardless of document length: the 100 TB path). Both "
     "candidate sets are VERIFIED against true shingle Jaccard >= 0.5, so "
-    "both branches emit exact values. The minhash-verified set is BY "
-    "CONSTRUCTION a subset of the ngram-verified set (equal band keys "
-    "mean equal min-hashes, which mean a shared capped shingle), so the "
-    "expensive intersection-count join runs ONCE: the LSH candidate set "
+    "both branches emit exact values. The minhash-VERIFIED set is a "
+    "subset of the ngram-verified set: a raw LSH candidate without a "
+    "shared shingle is possible (the 28-bit md5-prefix hash can collide "
+    "across shingles) but has Jaccard < 0.5 and fails the gate on both "
+    "engines identically, so the expensive intersection-count join runs "
+    "ONCE: the LSH candidate set "
     "left-joins onto the verified ngram pairs as a flag and each row "
     "explodes into its method markers -- round-3 change; the r2 shape "
     "verified minhash candidates through a second shingle intersection.",
@@ -506,6 +516,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stress corpus: ~1s per round, 3 rounds to converge; the edge
     # materialization above dominates end-to-end cost.
     prev_sum = None
+    converged = False
     for _ in range(MAX_CC_ITERATIONS):
         neigh = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -526,8 +537,17 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).collect()[0][0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Emitting partially-propagated labels would be silently WRONG
+        # (and would legitimately mismatch the transitive-closure oracle);
+        # fail loudly instead (round-3 advisor finding).
+        raise RuntimeError(
+            f"label propagation did not converge in {MAX_CC_ITERATIONS} "
+            "rounds; component diameter exceeds the backstop"
+        )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     lab = docs.join(labels, "doc_id", "left").select(
         "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")

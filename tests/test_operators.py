@@ -179,3 +179,39 @@ def test_read_table_memoizes_scan_per_session(spark, sf_dir):
     # Different tables and different sf_dirs get distinct entries.
     c = read_table(spark, sf_dir, "nation")
     assert c is not a and "n_nationkey" in c.columns
+
+
+def test_scan_cache_cannot_alias_recycled_session_ids(spark):
+    """Cache keys are session-LIFETIME tokens, not id(spark): a new session
+    occupying a dead session's CPython id must not be served the dead
+    session's cached plans, and a collected session's entries are purged
+    (round-3 advisor finding). Simulated with duck-typed sessions so the
+    id-reuse scenario is deterministic rather than allocator luck."""
+    import gc
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark import io as io_mod
+
+    class _FakeSC:
+        def __init__(self, app_id, start):
+            self.applicationId, self.startTime = app_id, start
+
+    class _FakeSession:
+        def __init__(self, app_id, start):
+            self.sparkContext = _FakeSC(app_id, start)
+
+    dead = _FakeSession("local-1111", 1)
+    tok_dead = io_mod.session_token(dead)
+    sentinel = object()
+    io_mod._SCAN_CACHE[(tok_dead, "/fake/path")] = sentinel
+    dead_id = id(dead)
+    del dead
+    gc.collect()
+    # Finalizer purged the dead session's entries...
+    assert (tok_dead, "/fake/path") not in io_mod._SCAN_CACHE
+    # ...and even a new session landing on the SAME id() gets a different
+    # token, so it could never have aliased them anyway.
+    reborn = _FakeSession("local-2222", 2)
+    assert io_mod.session_token(reborn) != tok_dead
+    del dead_id, reborn
+    # The real session's token is stable across calls (memoized weakly).
+    assert io_mod.session_token(spark) == io_mod.session_token(spark)

@@ -222,6 +222,28 @@ def test_incremental_append_matches_full_rebuild(spark, sf_dir, tmp_path):
     assert again.count() == want.count()
 
 
+def test_incremental_target_probe_raises_on_non_missing_failure(
+    spark, tmp_path
+):
+    """_target_exists treats ONLY a definitive path-not-found as 'first
+    run'. Any other read failure must raise: silently reporting
+    first_run=True would flip the write to overwrite and destroy the
+    existing target on a transient fault (round-3 advisor finding)."""
+    import pytest
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.incremental import (
+        _target_exists,
+    )
+
+    assert _target_exists(spark, str(tmp_path / "never_written")) is False
+    # An existing-but-unreadable target (here: a dir with no parquet
+    # footers to infer a schema from) is NOT "does not exist".
+    broken = tmp_path / "broken_target"
+    broken.mkdir()
+    with pytest.raises(Exception, match="(?i)schema|parquet"):
+        _target_exists(spark, str(broken))
+
+
 def test_incremental_lookback_recovers_late_rows_once(spark, tmp_path):
     """A row arriving LATE (ts at the watermark boundary's past) is lost
     by the plain watermark predicate -- dbt's documented caveat -- and
