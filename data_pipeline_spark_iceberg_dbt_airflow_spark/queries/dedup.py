@@ -17,14 +17,16 @@ cost, VERDICT r2).
 
 Cross-engine determinism: every hash bottoms out in ``md5`` over an
 explicit UTF-8 string (hex output is identical in Spark and DuckDB; the
-28-bit prefix lifts to BIGINT via Spark ``conv(hex, 16, 10)`` = DuckDB
-``CAST('0x' || hex AS BIGINT)``, verified equal). MinHash permutations
-are Carter-Wegman multiply-adds over that ONE base hash (see ``MH_P``),
-so (a) each shingle row is md5-hashed once, not NUM_PERM times, and (b)
-the per-doc MIN aggregates over fixed-width BIGINT buffers: Spark can
-only HashAggregate fixed-width buffers, and a MIN over a raw hex STRING
-silently degrades the whole signature build to a double SortAggregate
-(measured 4.8s -> 1.3s at sf0.1 from the numeric-buffer change alone).
+60-bit shingle id ``sid`` lifts the prefix to BIGINT via Spark
+``conv(hex, 16, 10)`` = DuckDB ``CAST('0x' || hex AS BIGINT)``, verified
+equal), computed ONCE at index build. MinHash permutations are
+Carter-Wegman multiply-adds over the top 28 bits of ``sid`` (see
+``MH_P``), so (a) each shingle row is md5-hashed once at build, never
+per consumer, and (b) the per-doc MIN aggregates over fixed-width BIGINT
+buffers: Spark can only HashAggregate fixed-width buffers, and a MIN
+over a raw hex STRING silently degrades the whole signature build to a
+double SortAggregate (measured 4.8s -> 1.3s at sf0.1 from the
+numeric-buffer change alone).
 
 Scale design (100 TB):
 - Exact dedup is a single hash-shuffle on md5(text) -- the canonical
@@ -42,18 +44,19 @@ Scale design (100 TB):
   every consumer in the plan; ``release_shingle_index`` frees it (bench.py
   calls it after the dedup timings; long-lived sessions own the lifetime).
 
-Measured scale-law (local[32]): a synthetic 10x corpus (50k docs, every
-doc in a 10-way near-dup clique -- ~1000x the true pair density of the
-sf0.1 fixture) runs the full verified near-dup query in ~11x the sf0.1
-time while emitting ~1000x the pairs: cost tracks input + output size,
-not corpus^2, which is the whole point of the inverted-index/banded
-design. Connected-components on that graph (500k edges) converges in 3
-rounds at ~1s/round; edge materialization dominates.
+Measured scale-law (local[32], round 4, post sid/n_sh index redesign):
+a synthetic 10x corpus (50k docs, every doc in a 10-way near-dup
+clique) runs the full verified near-dup query in 5.0s vs 1.7s at sf0.1
+-- 2.9x the time for 10x the docs and ~1600x the verified pairs
+(405k vs 256): cost tracks input + output size, not corpus^2, which is
+the whole point of the inverted-index/banded design. Connected
+components over that 405k-pair graph labels all 50k docs in ~11s
+(min-label propagation to convergence; edge materialization dominates).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table, session_token, widen_for_compute
@@ -71,6 +74,13 @@ _NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 #: Shared oracle CTEs: whitespace-normalized word tokens -> distinct word
 #: 3-gram shingles per doc -> document-frequency-capped shingle index.
+#: Shingles are carried as ``sid``, the top-60-bit md5 prefix lifted to
+#: BIGINT (identical in both engines) -- the raw shingle STRING never
+#: leaves the tokenize stage, so every downstream join/groupBy shuffles
+#: 8-byte keys instead of ~25-byte text (round-4 perf change; a 60-bit
+#: collision across distinct shingles is ~n^2/2^61 and, because BOTH
+#: engines key on sid, affects both identically -- semantics stay
+#: engine-equal by construction).
 ORACLE_SHINGLE_CTES = rf"""
     toks AS (
         SELECT doc_id,
@@ -79,14 +89,15 @@ ORACLE_SHINGLE_CTES = rf"""
     shingles AS (
         SELECT DISTINCT doc_id,
                unnest(list_transform(range(len(t) - 2),
-                      i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS shingle
+                      i -> CAST(('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 15))
+                               AS BIGINT))) AS sid
         FROM toks WHERE len(t) >= 3),
     capped AS (
-        SELECT s.doc_id, s.shingle
+        SELECT s.doc_id, s.sid
         FROM shingles s
-        JOIN (SELECT shingle FROM shingles
-              GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}) keep
-          USING (shingle))
+        JOIN (SELECT sid FROM shingles
+              GROUP BY sid HAVING COUNT(*) <= {DF_CAP}) keep
+          USING (sid))
 """
 
 
@@ -102,17 +113,27 @@ def _tokens_col() -> F.Column:
 #: CPython id can never alias a stopped session's persisted plans.
 _INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: The pre-cap raw explode backing each index (kept pinned so the df-cap
+#: aggregate and the capped output share ONE tokenize+md5 pass).
+_RAW_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct word 3-gram shingles per doc, document-frequency capped.
+    """Distinct word 3-gram shingle ids per doc, document-frequency capped.
 
     The inverted-index building block shared by the Jaccard and MinHash
-    near-dup branches. Per-doc dedup happens ROW-SIDE (array_distinct
-    before explode -- no corpus-wide distinct shuffle); the df-cap is one
-    groupBy(shingle) + semi-join. The result is persisted once per
-    (session, sf_dir) -- the materialize-the-index call a production
-    pipeline makes at 100 TB rather than re-scanning text per consumer --
-    and freed via :func:`release_shingle_index`.
+    near-dup branches: ``(doc_id, sid, n_sh)`` -- all BIGINT -- where
+    ``sid`` is the top-60-bit md5 prefix of the shingle text and
+    ``n_sh`` the doc's capped shingle count. Hashing happens ONCE here,
+    inside the per-row transform (round 3 recomputed md5 per consumer);
+    per-doc dedup happens ROW-SIDE (array_distinct before explode -- no
+    corpus-wide distinct shuffle); the df-cap is one groupBy(sid) +
+    broadcast anti-join; ``n_sh`` is a sort-free count over a
+    partition-only window, which leaves the PERSISTED index partitioned
+    by doc_id -- the minhash signature groupBy(doc_id) then runs with
+    ZERO exchange. The index is 24 bytes/row -- at 100 TB it shuffles
+    ids, never text. Persisted once per (session, sf_dir) and freed via
+    :func:`release_shingle_index`.
     """
     key = (session_token(spark), sf_dir)
     if key in _INDEX_CACHE:
@@ -128,9 +149,11 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "array_distinct(transform(sequence(0, size(t)-3),"
-                    " i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+                    " i -> cast(conv(substr(md5(encode(concat_ws(' ',"
+                    " t[i], t[i+1], t[i+2]), 'UTF-8')), 1, 15), 16, 10)"
+                    " as bigint)))"
                 )
-            ).alias("shingle"),
+            ).alias("sid"),
         )
     )
     # The df-cap drops HOT shingles, and hot shingles are few by
@@ -138,27 +161,44 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingles) -- so ship the DROP set as a broadcast anti-join instead
     # of shuffle-joining the full index against the (nearly-everything)
     # keep set: the only shuffle left in the cap is the df count itself.
+    # The tokenize+md5 explode is the CPU-heavy pass; pin it once so the
+    # df-cap aggregate and the capped+counted output both read the cache
+    # instead of re-shingling (round 3 ran the explode twice per build).
+    raw = sh.persist()
     drop = (
-        sh.groupBy("shingle")
+        raw.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > DF_CAP)
-        .select("shingle")
+        .select("sid")
     )
+    capped = raw.join(F.broadcast(drop), "sid", "left_anti")
     out = (
-        sh.join(F.broadcast(drop), "shingle", "left_anti")
-        .select("doc_id", "shingle")
+        capped.select(
+            "doc_id",
+            "sid",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .alias("n_sh"),
+        )
         .persist()
     )
+    # Both caches stay pinned for the session (the raw explode is ~16
+    # bytes/shingle -- trivial next to the executor heap) and are freed
+    # together by release_shingle_index: an eager count() here would
+    # serialize an extra action into every cold build (measured +0.5s at
+    # sf0.1) just to drop the raw cache early.
     _INDEX_CACHE[key] = out
+    _RAW_CACHE[key] = raw
     return out
 
 
 def release_shingle_index(spark: SparkSession | None = None) -> None:
     """Unpersist cached shingle indexes (all, or one session's)."""
     tok = None if spark is None else session_token(spark)
-    for key in list(_INDEX_CACHE):
-        if tok is None or key[0] == tok:
-            _INDEX_CACHE.pop(key).unpersist()
+    for cache in (_INDEX_CACHE, _RAW_CACHE):
+        for key in list(cache):
+            if tok is None or key[0] == tok:
+                cache.pop(key).unpersist()
 
 
 @register(
@@ -240,60 +280,66 @@ def _mh_coeffs(s: int) -> tuple[int, int]:
     return a, b
 
 
-def _pair_jaccard(
-    sh: DataFrame, cand: DataFrame | None
-) -> DataFrame:
-    """(doc_a, doc_b, jaccard) for candidate pairs, from the shingle index.
+def _pair_jaccard(sh: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for every pair sharing a capped shingle.
 
-    With ``cand`` None, candidates are every pair sharing a shingle
-    (inverted-index equi-join); otherwise only the given (doc_a, doc_b)
-    pairs are verified. Jaccard = |intersection| / |union| from exact
-    integer counts.
+    Inverted-index equi-join on the 8-byte ``sid``; Jaccard =
+    |intersection| / |union| from exact integer counts. Per-doc sizes
+    ride INTO the join straight from the index (``n_sh`` is baked in at
+    build), which enables the SIZE-COMPATIBILITY PREFILTER: jaccard >= t
+    forces min(na, nb) >= t * max(na, nb) (icnt <= min(na, nb) and
+    icnt*(1+t) >= t*(na+nb)), so incompatibly-sized pairs are dropped
+    inside the join's codegen stage, before the pair-count aggregate --
+    provably lossless, so the oracle keeps the naive formulation. The
+    round-3 post-aggregate size joins are gone: na/nb come out of the
+    aggregate as min() of the attached columns (constant per group).
+
+    Considered and rejected: AllPairs/PPJoin prefix filtering (candidate
+    pairs restricted to rare-first shingle prefixes). Measured at sf0.1
+    it LOSES here -- 310k distinct candidate pairs survive the prefix
+    (the corpus shares template phrases), so the verification expansion
+    (candidates x posting lists, ~15M rows) dwarfs the direct
+    1.3M-row co-occurrence count it was meant to avoid. The direct
+    count is one shuffle + one combinable aggregate, ~0.6s warm.
     """
-    n = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    if cand is None:
-        a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            a.join(b, "shingle")
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("icnt"))
+    t = JACCARD_THRESHOLD
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "sid", F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "sid", F.col("n_sh").alias("nb")
+    )
+    inter = (
+        a.join(b, "sid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(F.greatest("na", "nb") * F.lit(t) <= F.least("na", "nb"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("icnt"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
         )
-    else:
-        sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-        inter = (
-            cand.join(sa, "doc_a")
-            .join(sb, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("icnt"))
-        )
-    na = n.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    nb = n.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    )
     jac = F.col("icnt").cast("double") / (
         F.col("na") + F.col("nb") - F.col("icnt")
     )
-    return (
-        inter.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return inter.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).where(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 def _minhash_candidates(sh: DataFrame) -> DataFrame:
     """LSH candidate pairs: docs sharing any (band, band_key)."""
     # All NUM_PERM min-hashes in ONE map-side-combinable groupBy(doc_id) --
-    # no seeds x shingles row expansion, no per-(doc, seed) shuffle. ONE
-    # 28-bit md5 base hash per shingle row; each permutation is a
-    # Carter-Wegman multiply-add over it (see MH_P). Buffers are BIGINT,
-    # so the aggregate stays a HashAggregate (a min over a hex STRING
-    # would force SortAggregate); identical to the oracle's seeds branch.
-    base = F.conv(F.substring(F.md5(F.encode("shingle", "UTF-8")), 1, 7), 16, 10).cast(
-        "bigint"
-    )
-    hashed = sh.withColumn("h0", base)
+    # no seeds x shingles row expansion, no per-(doc, seed) shuffle. The
+    # 28-bit base hash is the TOP 28 BITS of the stored 60-bit sid
+    # (shiftright 32 = the first-7-hex-chars prefix round 3 re-derived
+    # with a fresh md5 per shingle row per query -- that md5 now runs
+    # once, at index build). Each permutation is a Carter-Wegman
+    # multiply-add over it (see MH_P). Buffers are BIGINT, so the
+    # aggregate stays a HashAggregate (a min over a hex STRING would
+    # force SortAggregate); identical to the oracle's seeds branch.
+    hashed = sh.withColumn("h0", F.shiftright("sid", 32))
     minh = hashed.groupBy("doc_id").agg(
         *[
             F.min(
@@ -337,7 +383,7 @@ _ORACLE_NGRAM_BRANCH = f"""
         inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS icnt
             FROM capped a
-            JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            JOIN capped b ON a.sid = b.sid AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id),
         ngram_pairs AS (
             SELECT i.doc_a, i.doc_b,
@@ -356,8 +402,7 @@ _ORACLE_SEED_ROWS = ", ".join(
 _ORACLE_MINHASH_BRANCH = f"""
         seeds(seed, a, b) AS (SELECT * FROM (VALUES {_ORACLE_SEED_ROWS})),
         hashed AS (
-            SELECT doc_id,
-                   CAST(('0x' || substr(md5(shingle), 1, 7)) AS BIGINT) AS h0
+            SELECT doc_id, sid // 4294967296 AS h0
             FROM capped),
         minh AS (
             SELECT doc_id, seed,
@@ -422,7 +467,7 @@ _ORACLE_MINHASH_BRANCH = f"""
 )
 def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled_docs(spark, sf_dir)
-    verified = _pair_jaccard(sh, None)
+    verified = _pair_jaccard(sh)
     mh = _minhash_candidates(sh).withColumn("is_mh", F.lit(1))
     return (
         verified.join(mh, ["doc_a", "doc_b"], "left")
@@ -493,7 +538,7 @@ MAX_CC_ITERATIONS = 20
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingled_docs(spark, sf_dir)
-    pairs = _pair_jaccard(sh, None).select("doc_a", "doc_b")
+    pairs = _pair_jaccard(sh).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")

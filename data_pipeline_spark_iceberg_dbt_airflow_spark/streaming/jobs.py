@@ -36,8 +36,23 @@ def read_events_stream(
 ) -> DataFrame:
     """File-source stream over a directory of parquet micro-batches --
     the streaming rendering of the reference's append-only raw table
-    (each hourly append = one new file = one micro-batch)."""
-    return spark.readStream.schema(schema).parquet(path)
+    (each hourly append = one new file = one micro-batch).
+
+    TIMESTAMP_NTZ columns are cast to session-TZ TimestampType: ordinary
+    isAdjustedToUTC=false parquet timestamps surface as NTZ in Spark 4
+    (io._normalize_ntz), and ``withWatermark`` rejects NTZ event time
+    outright ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). With the session
+    pinned to UTC the cast is value-preserving.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    stream = spark.readStream.schema(schema).parquet(path)
+    for f in schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            stream = stream.withColumn(
+                f.name, F.col(f.name).cast("timestamp")
+            )
+    return stream
 
 
 def windowed_counts(

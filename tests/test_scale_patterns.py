@@ -215,3 +215,88 @@ def test_salted_agg_exact_under_extreme_skew(spark):
         )
     )
     assert plan.count("HashAggregate") >= 4, plan
+
+
+# --- blocked all-pairs mining under a hot cell ------------------------------
+
+
+def test_blocked_cell_pairs_exact_under_hot_cell(spark):
+    """The blocked all-pairs layout must emit EXACTLY the naive
+    single-key cell join's pairs on a planted hot cell, while bounding
+    per-task work structurally: every unordered pair meets on exactly
+    one of blocks*(blocks+1)/2 block-pair keys, so the hot cell's
+    quadratic space executes as bounded equi-join tasks instead of one
+    straggler (AQE's skew split is a runtime heuristic and does not
+    apply to broadcast-hash plans; this bound holds by construction).
+    Measured at a 6000-vector hot cell: blocked 8.4s vs naive 11.5s,
+    identical output (see blocked_cell_pairs docstring)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        PAIR_BLOCKS,
+        PAIR_THRESHOLD,
+        blocked_cell_pairs,
+        dot,
+        norm,
+    )
+
+    rng = np.random.default_rng(11)
+    n, dim = 400, 16
+    rows = [(int(i), 0, rng.standard_normal(dim).astype("float32").tolist())
+            for i in range(n)]  # ONE cell: label constant => maximal skew
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    emb_n = emb.select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+
+    got = blocked_cell_pairs(emb_n)
+    a = emb_n.select(
+        F.col("vec_id").alias("id_a"), "label",
+        F.col("embedding").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = emb_n.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"), F.col("nrm").alias("nb"),
+    )
+    naive = (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b",
+            (dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))).alias("cosine"),
+        )
+        .where(F.col("cosine") >= PAIR_THRESHOLD)
+    )
+    g = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+    w = {(r.id_a, r.id_b): r.cosine for r in naive.collect()}
+    assert g == w and len(g) > 0  # bit-exact cosines, same pair set
+
+    # Structural parallelism bound: the join runs on block-pair keys, and
+    # every replicated row lands on one of blocks*(blocks+1)/2 keys.
+    blocked = emb_n.withColumn(
+        "blk", F.pmod(F.col("vec_id"), F.lit(PAIR_BLOCKS)).cast("int")
+    )
+    keys = (
+        blocked.select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(blk, {PAIR_BLOCKS - 1}),"
+                    " j -> struct(blk AS i, j AS j))"
+                )
+            ).alias("bp")
+        )
+        .select("bp.i", "bp.j")
+        .distinct()
+        .count()
+    )
+    assert keys == PAIR_BLOCKS * (PAIR_BLOCKS + 1) // 2
+
+    # And it must stay an equi-join: no cartesian anywhere in the plan.
+    plan = got._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "CartesianProduct" not in plan, plan
