@@ -37,6 +37,13 @@ from pyspark.sql import functions as F
 from ..functions import det
 from ..io import read_table, register_views
 from ..operators.salted import salted_group_agg
+from .dedup import (
+    CONTAM_BENCH_MOD,
+    CONTAM_MIN_OVERLAP,
+    ORACLE_SHINGLE_CTES,
+    contaminated_docs,
+    shingled_docs,
+)
 from .registry import register
 
 
@@ -277,7 +284,8 @@ def agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "quality_referential_summary",
-    oracle="""
+    oracle=f"""
+        WITH {ORACLE_SHINGLE_CTES}
         SELECT
             (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
                 AS null_custkeys,
@@ -288,15 +296,28 @@ def agg_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
                    (SELECT 1 FROM customer c
                     WHERE c.c_custkey = o.o_custkey))
-                AS orphan_orders
+                AS orphan_orders,
+            (SELECT COUNT(DISTINCT doc_id) FROM (
+                 SELECT t.doc_id
+                 FROM capped t JOIN capped b USING (sid)
+                 WHERE b.doc_id % {CONTAM_BENCH_MOD} = 0
+                   AND t.doc_id % {CONTAM_BENCH_MOD} <> 0
+                 GROUP BY t.doc_id, b.doc_id
+                 HAVING COUNT(*) >= {CONTAM_MIN_OVERLAP}))
+                AS contaminated_docs
     """,
     doc="D3 data-quality checks as a single queryable summary row: "
     "not_null + unique + relationships over orders/customer (the "
     "dbt-test stage, bitcoin_pipeline_dag.py:38-41, rendered as one "
     "DataFrame instead of driver-side booleans -- quality/checks.py "
-    "provides the imperative gate variant). Each check is one aggregate "
-    "or anti-join; the three 1-row results cross-join for free.",
-    tags=("quality", "dq"),
+    "provides the imperative gate variant), plus the LLM-corpus "
+    "decontamination gate (round 4): the count of training documents "
+    "sharing >= CONTAM_MIN_OVERLAP capped shingles with the benchmark "
+    "slice (dedup.contaminated_docs -- broadcast eval posting list, "
+    "streamed corpus, reuses the persisted shingle index). Each check "
+    "is one aggregate or anti-join; the four 1-row results cross-join "
+    "for free.",
+    tags=("quality", "dq", "llm-data"),
 )
 def quality_referential_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders")
@@ -319,4 +340,7 @@ def quality_referential_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("orphan_orders"))
     )
-    return nulls.crossJoin(dups).crossJoin(orphans)
+    contam = contaminated_docs(shingled_docs(spark, sf_dir)).agg(
+        F.countDistinct("doc_id").alias("contaminated_docs")
+    )
+    return nulls.crossJoin(dups).crossJoin(orphans).crossJoin(contam)

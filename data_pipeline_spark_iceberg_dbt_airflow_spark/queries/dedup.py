@@ -201,6 +201,49 @@ def release_shingle_index(spark: SparkSession | None = None) -> None:
                 cache.pop(key).unpersist()
 
 
+#: Decontamination defaults: the benchmark slice is every doc_id divisible
+#: by CONTAM_BENCH_MOD (a stand-in for a real eval-set table -- the
+#: testdata ships no separate benchmark corpus), and a training doc is
+#: contaminated when it shares at least CONTAM_MIN_OVERLAP capped
+#: shingles with ANY single benchmark doc. Mirrored in the oracle.
+CONTAM_BENCH_MOD = 97
+CONTAM_MIN_OVERLAP = 10
+
+
+def contaminated_docs(
+    sh: DataFrame,
+    bench_mod: int = CONTAM_BENCH_MOD,
+    min_overlap: int = CONTAM_MIN_OVERLAP,
+) -> DataFrame:
+    """Benchmark decontamination: training docs overlapping the eval set.
+
+    The standard LLM-corpus hygiene step (n-gram-overlap decontamination):
+    a training document is flagged when it shares >= ``min_overlap``
+    shingles with any one benchmark document. Input is the shared capped
+    shingle index (:func:`shingled_docs`), so tokenize+md5 is never
+    re-run and the DF_CAP stop-shingle bound already protects the join
+    from hot-shingle pair blowup.
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites
+    are thousands of docs, the corpus is billions), so its posting list
+    broadcasts and the training side streams through one broadcast
+    equi-join on the 8-byte sid + one map-side-combinable pair count --
+    the corpus never shuffles. Output: (doc_id, bench_doc, overlap) per
+    contaminated (train, benchmark) pair; dropping flagged docs is then
+    a left_anti join on doc_id.
+    """
+    bench = sh.where(F.col("doc_id") % bench_mod == 0).select(
+        F.col("doc_id").alias("bench_doc"), "sid"
+    )
+    train = sh.where(F.col("doc_id") % bench_mod != 0).select("doc_id", "sid")
+    return (
+        train.join(F.broadcast(bench), "sid")
+        .groupBy("doc_id", "bench_doc")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .where(F.col("overlap") >= min_overlap)
+    )
+
+
 @register(
     "dedup_exact_keep_first",
     oracle=r"""

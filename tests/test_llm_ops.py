@@ -164,3 +164,38 @@ def test_ann_pair_mining_is_blocked_equi_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_ann_family")
     assert "CartesianProduct" not in plan, plan
     assert "i_b" in plan and "j_b" in plan, "block-pair keys left the join"
+
+
+def test_contaminated_docs_flags_planted_overlap(spark, sf_dir):
+    """Decontamination semantics on a planted index: a training doc
+    sharing >= CONTAM_MIN_OVERLAP shingles with a benchmark doc is
+    flagged with the exact overlap count; one sharing fewer is not, and
+    benchmark docs are never flagged against themselves."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        CONTAM_MIN_OVERLAP,
+        contaminated_docs,
+    )
+
+    k = CONTAM_MIN_OVERLAP
+    rows = []
+    # benchmark doc 0 (0 % 97 == 0) holds sids 0..k+4
+    rows += [(0, s, k + 5) for s in range(k + 5)]
+    # train doc 1 shares exactly k sids -> flagged with overlap == k
+    rows += [(1, s, k) for s in range(k)]
+    # train doc 2 shares k-1 sids -> below threshold, not flagged
+    rows += [(2, s, k - 1) for s in range(k - 1)]
+    # benchmark doc 97 shares everything with doc 0 but is bench-side
+    rows += [(97, s, k + 5) for s in range(k + 5)]
+    sh = spark.createDataFrame(rows, "doc_id long, sid long, n_sh long")
+    got = {
+        (r["doc_id"], r["bench_doc"]): r["overlap"]
+        for r in contaminated_docs(sh).collect()
+    }
+    assert got == {(1, 0): k, (1, 97): k}, got
+
+
+def test_contamination_bench_side_is_broadcast(spark, sf_dir):
+    """The eval-set posting list must broadcast; the corpus side must
+    stream through a BroadcastHashJoin, never shuffle for the join."""
+    plan = _plan(spark, sf_dir, "quality_referential_summary")
+    assert "BroadcastHashJoin" in plan, plan
