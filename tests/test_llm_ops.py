@@ -199,3 +199,54 @@ def test_contamination_bench_side_is_broadcast(spark, sf_dir):
     stream through a BroadcastHashJoin, never shuffle for the join."""
     plan = _plan(spark, sf_dir, "quality_referential_summary")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quantized_rerank_recovers_exact_topk(spark, sf_dir):
+    """int8 retrieve + exact rerank recall vs the exact brute-force
+    top-k on the fixed corpus: with RERANK_N > TOP_K headroom the
+    two-stage result should recover the exact answer set here (recall
+    is the quantization-error knob; a miss would mean the int8 stage
+    dropped a true winner below rank RERANK_N)."""
+    bf = {
+        (r["id_a"], r["id_b"])
+        for r in _run(spark, sf_dir, "sim_topk_bruteforce").collect()
+    }
+    fam = _run(spark, sf_dir, "sim_ann_family")
+    q8 = {
+        (r["id_a"], r["id_b"])
+        for r in fam.where(F.col("method") == "q8").collect()
+    }
+    assert bf == q8, f"missed: {bf - q8}, extra: {q8 - bf}"
+
+
+def test_quantized_codes_are_int8_range(spark, sf_dir):
+    """Symmetric quantization must land every code in [-127, 127]."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        _normed,
+        quantized_rerank_topk,  # noqa: F401  (import sanity)
+    )
+    from pyspark.sql import functions as FF
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    mx = FF.array_max(
+        FF.transform(FF.col("embedding"), lambda x: FF.abs(x.cast("double")))
+    )
+    scl = FF.when(mx > 0, FF.lit(127.0) / mx).otherwise(FF.lit(0.0))
+    bad = (
+        emb.select(
+            FF.transform(
+                FF.col("embedding"),
+                lambda x: FF.floor(x.cast("double") * scl + FF.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("qv")
+        )
+        .where(
+            FF.exists(
+                FF.col("qv"), lambda q: (q > 127) | (q < -127) | q.isNull()
+            )
+        )
+        .count()
+    )
+    assert bad == 0
