@@ -93,8 +93,17 @@ def _toks() -> Column:
                    list_min(list_transform(range(len(wt) - 3),
                        i -> md5(wt[i+1] || ' ' || wt[i+2] || ' ' || wt[i+3]
                                 || ' ' || wt[i+4])))
-               ELSE NULL END AS fingerprint
-        FROM c
+               ELSE NULL END AS fingerprint,
+               CASE WHEN len(wt) >= 2 THEN
+                   CAST(list_max(list_transform(
+                            list_distinct(g2),
+                            d -> len(list_filter(g2, x -> x = d))))
+                        AS DOUBLE) / len(g2)
+               ELSE NULL END AS rep_2gram_frac
+        FROM (SELECT *,
+                     list_transform(range(len(wt) - 1),
+                         i -> wt[i+1] || ' ' || wt[i+2]) AS g2
+              FROM c)
     """,
     doc="Per-document text profile, consolidated (was text_stats + "
     "text_quality + text_langid + text_token_bpe's per-row count + "
@@ -109,7 +118,14 @@ def _toks() -> Column:
     "the deliverable; a deployment swaps in an n-gram frequency model "
     "over identical plumbing); and the rolling-hash fingerprint "
     "(winnowing-lite: md5 over each word 4-gram, keep the lexicographic "
-    "min -- near-dup docs sharing their minimal 4-gram collide). ONE "
+    "min -- near-dup docs sharing their minimal 4-gram collide); and the "
+    "Gopher-style repetition signal rep_2gram_frac (round 4: fraction of "
+    "word 2-grams claimed by the single most-repeated 2-gram, the "
+    "standard boilerplate/degenerate-text filter). Spark computes the "
+    "top-gram count as an O(n log n) sorted-run fold (array_sort + one "
+    "aggregate pass); the oracle states the naive distinct-count-max "
+    "formula -- both are exact integer counts, so they hash-match by "
+    "construction. ONE "
     "codegen'd scan, zero KEY shuffle, zero Python (the only exchange is "
     "the guarded round-robin widen for under-split scans): at 100 TB this "
     "emits the whole curation record per document for the cost of "
@@ -155,7 +171,25 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 'UTF-8')))"
         )
     )
-    return docs.withColumn("wt", wt).select(
+    # Top-2-gram count via one fold over the SORTED gram array: equal
+    # grams are adjacent after the sort, so the longest run IS the max
+    # frequency -- O(n log n) row-side, no per-distinct rescans (the
+    # oracle's naive formula is O(n * distinct); both count exactly).
+    top2 = F.expr(
+        "aggregate("
+        " array_sort(g2),"
+        " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+        " (acc, g) -> named_struct("
+        "   'prev', g,"
+        "   'run', IF(g <=> acc.prev, acc.run + 1, 1),"
+        "   'best', GREATEST(acc.best, IF(g <=> acc.prev, acc.run + 1, 1))),"
+        " acc -> acc.best)"
+    )
+    g2 = F.expr(
+        "transform(sequence(0, size(wt) - 2),"
+        " i -> concat_ws(' ', wt[i], wt[i+1]))"
+    )
+    return docs.withColumn("wt", wt).withColumn("g2", g2).select(
         "doc_id",
         "lang",
         char_cnt.alias("char_cnt"),
@@ -176,4 +210,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("quality_score"),
         pred.alias("pred_lang"),
         F.when(F.size("wt") >= 4, fp).alias("fingerprint"),
+        F.when(
+            F.size("wt") >= 2, top2.cast("double") / F.size("g2")
+        ).alias("rep_2gram_frac"),
     )
