@@ -251,6 +251,77 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+#: Column capturing unparseable input lines in read_jsonl/read_csv.
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """JSON-lines batch source with an EXPLICIT schema and a quarantine
+    column (the reference's upstream data is REST JSON, README.md:139-166;
+    this is the batch-file equivalent of that shape).
+
+    Scale posture:
+    - Schema inference is banned: inferring would add a FULL extra pass
+      over the input before the real read -- at 100 TB that doubles scan
+      cost. Callers pass the contract schema (a StructType or DDL
+      string), and drift shows up as quarantined rows, not silent
+      re-typing.
+    - PERMISSIVE + ``_corrupt_record``: a malformed line lands as one row
+      with every data column NULL and the raw line preserved -- the
+      filter-and-quarantine pattern (count them, route them to a dead
+      letter table, never abort a day-long job at line 3 billion).
+      FAILFAST is what you want in CI, not in a bulk backfill.
+    - multiLine stays off: line-delimited JSON splits by newline, so a
+      100 TB input parallelizes per-block; a multiLine document must be
+      parsed whole-file.
+
+    Spark caveat: a query referencing ONLY ``_corrupt_record`` from a
+    raw file scan raises QUERY_ONLY_CORRUPT_RECORD_COLUMN -- cache the
+    frame (or select data columns alongside) before filtering on it.
+    """
+    full = _with_corrupt_col(spark, schema)
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    delimiter: str = ",",
+) -> DataFrame:
+    """CSV batch source: explicit schema + quarantine column, same
+    posture as :func:`read_jsonl` (no inference pass, PERMISSIVE parse
+    errors into ``_corrupt_record``)."""
+    full = _with_corrupt_col(spark, schema)
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+
+
+def _with_corrupt_col(spark: SparkSession, schema):
+    """Append the corrupt-record column to a StructType or DDL schema."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

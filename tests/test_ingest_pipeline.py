@@ -343,3 +343,95 @@ def test_snapshots_scan_requires_iceberg(spark):
         pytest.skip("iceberg present: covered by integration deployment")
     with pytest.raises(Exception):
         read_snapshots(spark, "nonexistent.table").collect()
+
+
+# --- file source formats (JSONL / CSV) --------------------------------------
+
+_DOCS_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def test_jsonl_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """Documents written as JSON-lines and read back through read_jsonl
+    (explicit schema, no inference pass) must reproduce the parquet rows
+    exactly, with nothing quarantined."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        CORRUPT_COL,
+        read_jsonl,
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.json(out)
+    back = read_jsonl(spark, out, _DOCS_DDL).cache()
+    assert back.where(back[CORRUPT_COL].isNotNull()).count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.drop(CORRUPT_COL).collect()))
+    assert a == b
+    back.unpersist()
+
+
+def test_csv_roundtrip_matches_parquet(spark, sf_dir, tmp_path):
+    """Same contract for CSV (header on, default quoting)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        CORRUPT_COL,
+        read_csv,
+        read_table,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_csv")
+    docs.write.option("header", "true").csv(out)
+    back = read_csv(spark, out, _DOCS_DDL).cache()
+    assert back.where(back[CORRUPT_COL].isNotNull()).count() == 0
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.drop(CORRUPT_COL).collect()))
+    assert a == b
+    back.unpersist()
+
+
+def test_jsonl_malformed_lines_are_quarantined(spark, tmp_path):
+    """A malformed line must become one quarantine row (data columns
+    NULL, raw line preserved in _corrupt_record) without aborting the
+    read -- the dead-letter pattern for dirty bulk inputs."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        CORRUPT_COL,
+        read_jsonl,
+    )
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "fine", "lang": "en", "source": "s", "n_chars": 4}\n'
+    )
+    back = read_jsonl(spark, str(p), _DOCS_DDL).cache()
+    good = back.where(back[CORRUPT_COL].isNull())
+    bad = back.where(back[CORRUPT_COL].isNotNull())
+    assert sorted(r["doc_id"] for r in good.collect()) == [1, 2]
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert bad_rows[0][CORRUPT_COL] == "this is not json at all"
+    assert bad_rows[0]["doc_id"] is None
+    back.unpersist()
+
+
+def test_csv_type_mismatch_is_quarantined(spark, tmp_path):
+    """A CSV row whose column fails the declared type lands in
+    quarantine instead of silently nulling just that cell."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        CORRUPT_COL,
+        read_csv,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        "1,ok,en,s,2\n"
+        "not_a_number,broken,en,s,5\n"
+    )
+    back = read_csv(spark, str(p), _DOCS_DDL).cache()
+    assert [r["doc_id"] for r in back.where(back[CORRUPT_COL].isNull()).collect()] == [1]
+    bad = back.where(back[CORRUPT_COL].isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["doc_id"] is None
+    back.unpersist()
