@@ -9,7 +9,8 @@ training-data build actually has:
     raw documents
       ├── doc_clusters   (near-dup connected components, queries/dedup)
       ├── doc_quality    (text stats / quality score, queries/text)
-      └── curated        = canonical cluster members ∩ quality gate
+      ├── contaminated   (benchmark-overlap screen, queries/dedup)
+      └── curated        = canonical ∩ quality gate ∖ contaminated
             ├── assigned = deterministic hash split train/val/test
             ├── chunks   = overlapping context windows over curated text
             └── packed   = chunks binned into fixed char budgets per lang
@@ -37,7 +38,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..io import read_table
-from ..queries.dedup import dedup_cluster_components
+from ..queries.dedup import (
+    contaminated_docs,
+    dedup_cluster_components,
+    shingled_docs,
+)
 from ..queries.text import text_profile
 from ..queries.training import CHUNK_SIZE, CHUNK_STRIDE, PACK_BUDGET, _doc_hash
 from .runner import Model, PipelineRunner, RunConfig
@@ -58,23 +63,36 @@ def build_llm_curation_pipeline(
         Model("doc_clusters", lambda: dedup_cluster_components(spark, sf_dir))
     )
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
+    runner.add(
+        Model(
+            "contaminated",
+            lambda: contaminated_docs(shingled_docs(spark, sf_dir)),
+        )
+    )
 
     def curated(
-        raw: DataFrame, clusters: DataFrame, quality: DataFrame
+        raw: DataFrame,
+        clusters: DataFrame,
+        quality: DataFrame,
+        contam: DataFrame,
     ) -> DataFrame:
         keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
         good = quality.where(F.col("quality_score") >= MIN_QUALITY).select(
             "doc_id"
         )
-        return raw.join(keep, "doc_id", "left_semi").join(
-            good, "doc_id", "left_semi"
+        # Decontamination is a LEFT ANTI on doc_id: flagged docs (and
+        # nothing else) leave the corpus before the chunk fan-out.
+        return (
+            raw.join(keep, "doc_id", "left_semi")
+            .join(good, "doc_id", "left_semi")
+            .join(contam.select("doc_id"), "doc_id", "left_anti")
         )
 
     runner.add(
         Model(
             "curated",
             curated,
-            refs=("raw_documents", "doc_clusters", "doc_quality"),
+            refs=("raw_documents", "doc_clusters", "doc_quality", "contaminated"),
         )
     )
 

@@ -325,6 +325,13 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
         == 0
     )
+    # and no curated doc is benchmark-contaminated (left-anti screen)
+    assert (
+        cur.join(
+            out["contaminated"].select("doc_id").distinct(), "doc_id"
+        ).count()
+        == 0
+    )
     # split covers every curated doc exactly once
     assert out["assigned"].count() == cur_n
     assert (
