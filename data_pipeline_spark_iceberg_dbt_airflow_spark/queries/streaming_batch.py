@@ -63,6 +63,17 @@ SESSION_GAP = "6 hours"
             CROSS JOIN (SELECT unnest(range(2)) AS k) k
             WHERE ts IS NOT NULL)
         GROUP BY 2, 3, 4
+        UNION ALL
+        SELECT 'rollup' AS kind,
+               time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP)) AS win_start,
+               time_bucket(INTERVAL 1 DAY, CAST(ts AS TIMESTAMP))
+                   + INTERVAL 1 DAY AS win_end,
+               event_type,
+               COUNT(*) AS events,
+               {det.oracle_dsum("value")} AS total_value
+        FROM events
+        WHERE ts IS NOT NULL
+        GROUP BY 2, 3, 4
     """,
     doc="T1 tumbling + sliding event-time windows, consolidated (was "
     "stream_tumbling_daily + stream_sliding_day_half): kind='tumbling' "
@@ -73,7 +84,14 @@ SESSION_GAP = "6 hours"
     "landing in window/slide = 2 overlapping windows -- Spark expands "
     "rows BEFORE the partial aggregate (the oracle mirrors the expansion "
     "with an explicit 2-way shift-join). Overlap factor is the scale "
-    "cost knob.",
+    "cost knob. kind='rollup' (round 4) is the continuous-aggregate "
+    "pattern: the DAILY result is re-aggregated FROM HOURLY partials "
+    "(counts sum; value partials stay in exact DECIMAL until the final "
+    "cast, so re-aggregation is lossless by construction) while the "
+    "oracle states the direct daily formula -- the hash match proves "
+    "coarse rollups can reuse a materialized fine-grained aggregate "
+    "instead of rescanning raw events, which is how a 100 TB hypertable "
+    "serves day/month/year resolutions off one hourly table.",
     bench=True,
     tags=("streaming", "window-agg"),
 )
@@ -99,7 +117,33 @@ def stream_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding = _agg(
         ev.groupBy(F.window("ts", "1 day", "12 hours"), "event_type"), "sliding"
     )
-    return tumbling.unionByName(sliding)
+    # rollup: daily FROM hourly partials. The hourly level keeps the
+    # value sum in exact DECIMAL (summing the cast-to-double hourly
+    # results instead would reintroduce order-dependent float error);
+    # only the final daily value casts to double, so the two-level path
+    # is bit-identical to the direct daily aggregate the oracle states.
+    hourly = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("dec_value"),
+    )
+    rollup = (
+        hourly.groupBy(
+            F.window(F.col("window.start"), "1 day"), "event_type"
+        )
+        .agg(
+            F.sum("events").alias("events"),
+            F.sum("dec_value").cast("double").alias("total_value"),
+        )
+        .select(
+            F.lit("rollup").alias("kind"),
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "events",
+            "total_value",
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(rollup)
 
 
 @register(
