@@ -250,3 +250,45 @@ def test_quantized_codes_are_int8_range(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_contamination_respects_stop_shingle_cap(spark, sf_dir):
+    """Boilerplate is not contamination: a shingle shared by more than
+    DF_CAP documents is dropped by the index cap, so it creates no
+    (train, benchmark) pairs -- only RARE shared shingles count toward
+    the overlap threshold. This is the same skew guard that keeps the
+    inverted-index join linear: one viral template line cannot fan out
+    into docs x benchmark candidate pairs."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        CONTAM_MIN_OVERLAP,
+        DF_CAP,
+        contaminated_docs,
+    )
+
+    k = CONTAM_MIN_OVERLAP
+    rows = []
+    # one "viral" shingle (sid=999) in DF_CAP+2 docs, incl. benchmark 0
+    viral_docs = [0] + list(range(1, DF_CAP + 2))
+    rows += [(d, 999, 1) for d in viral_docs]
+    # doc 1 ALSO shares k rare shingles with benchmark doc 0
+    rows += [(0, s, k + 1) for s in range(k)]
+    rows += [(1, s, k + 1) for s in range(k)]
+    sh_all = spark.createDataFrame(rows, "doc_id long, sid long, n_sh long")
+    # apply the DF_CAP exactly as shingled_docs does (these fixtures
+    # bypass the builder, so cap here)
+    from pyspark.sql import functions as FF
+
+    drop = (
+        sh_all.groupBy("sid")
+        .agg(FF.count(FF.lit(1)).alias("df"))
+        .where(FF.col("df") > DF_CAP)
+        .select("sid")
+    )
+    sh = sh_all.join(FF.broadcast(drop), "sid", "left_anti")
+    got = {
+        (r["doc_id"], r["bench_doc"]): r["overlap"]
+        for r in contaminated_docs(sh).collect()
+    }
+    # doc 1 flagged via the k rare shingles alone; the viral shingle
+    # contributed nothing (no other doc reaches the threshold)
+    assert got == {(1, 0): k}, got
