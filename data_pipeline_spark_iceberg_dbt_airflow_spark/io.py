@@ -372,6 +372,52 @@ def write_table(
     w.parquet(target)
 
 
+def write_training_shards(
+    df: DataFrame,
+    target: str,
+    *,
+    order_col: str = "shuffle_pos",
+    shards: int = 8,
+    records_per_file: int | None = None,
+    partition_by: list[str] | None = None,
+) -> None:
+    """Emit the final training shards: contiguous slices of the
+    deterministic global order (the last mile after
+    ``train_global_shuffle``).
+
+    - ``repartitionByRange(shards, order_col)`` makes shard k a
+      CONTIGUOUS slice of the shuffled order -- a trainer streaming
+      shard files in filename order replays the global permutation
+      without any further sort. A round-robin repartition would balance
+      sizes but interleave positions, forcing consumers to re-shuffle.
+    - ``sortWithinPartitions(order_col)`` orders rows INSIDE each shard
+      file; combined with range partitioning this is a full distributed
+      sort, but the expensive exchange is priced once at write time, not
+      per training epoch.
+    - ``maxRecordsPerFile`` bounds file row counts, so one fat shard
+      cannot produce a multi-GB file that breaks downstream loaders --
+      the writer splits it into numbered parts (still
+      position-contiguous, since rows arrive sorted).
+    - ``partition_by`` (e.g. ``["split"]``) lays train/val/test out as
+      separate directory trees so a trainer's scan prunes to its split.
+
+    Scale: shard count should track total rows / target shard size, not
+    executor count; range boundaries come from Spark's sampling, and
+    skew is impossible by construction (the order column is a dense
+    deterministic rank).
+    """
+    w = (
+        df.repartitionByRange(shards, F.col(order_col))
+        .sortWithinPartitions(order_col)
+        .write.mode("overwrite")
+    )
+    if records_per_file:
+        w = w.option("maxRecordsPerFile", records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(target)
+
+
 def ensure_namespace(spark: SparkSession, name: str) -> None:
     """S9: idempotent namespace DDL (``CREATE NAMESPACE IF NOT EXISTS``,
     extract_bitcoin_prices.py:128). Works against any catalog -- the

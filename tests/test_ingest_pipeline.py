@@ -435,3 +435,48 @@ def test_csv_type_mismatch_is_quarantined(spark, tmp_path):
     bad = back.where(back[CORRUPT_COL].isNotNull()).collect()
     assert len(bad) == 1 and bad[0]["doc_id"] is None
     back.unpersist()
+
+
+def test_training_shards_replay_global_order(spark, sf_dir, tmp_path):
+    """write_training_shards must produce parquet files that (a) hold
+    the exact input rows, (b) are position-contiguous (file min/max
+    ranges never overlap, so filename-order streaming replays the
+    global shuffle), and (c) respect the records-per-file bound."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        write_training_shards,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        train_global_shuffle,
+    )
+
+    shuffled = train_global_shuffle(spark, sf_dir)
+    n = shuffled.count()
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        shuffled, out, shards=4, records_per_file=max(1, n // 10)
+    )
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) >= 4
+    ranges = []
+    total = 0
+    for f in files:
+        t = pq.read_table(f, columns=["shuffle_pos"]).to_pydict()[
+            "shuffle_pos"
+        ]
+        assert len(t) <= max(1, n // 10)
+        assert t == sorted(t), "rows inside a shard file are not ordered"
+        ranges.append((min(t), max(t)))
+        total += len(t)
+    assert total == n
+    # contiguity: sorted by min, each file's range ends before the next
+    # begins, and together they tile 1..n exactly
+    ranges.sort()
+    assert ranges[0][0] == 1
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi < b_lo, "shard position ranges overlap"
+    assert ranges[-1][1] == n
