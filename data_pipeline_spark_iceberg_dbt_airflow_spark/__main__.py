@@ -1,0 +1,148 @@
+"""Command-line surface: ``python -m data_pipeline_spark_iceberg_dbt_airflow_spark``.
+
+The reference is driven from the command line / an Airflow DAG (its
+ingestion script runs under ``spark-submit``, the models under ``dbt run``
+and ``dbt test`` -- /root/reference/Iceberg-dbt-project/dags/
+bitcoin_pipeline_dag.py:26-44). This module is the engine's equivalent
+operational surface, one subcommand per stage:
+
+    query <name> --sf DIR [--limit N] [--explain]   run a registry query
+    list                                            list registry entries
+    pipeline --sf DIR [--out DIR]                   run the curation DAG
+    check --sf DIR                                  run the dbt-style DQ gate
+
+Everything routes through the same library code the tests and the driver
+contract exercise; the CLI adds argument parsing and exit codes only
+(0 = success; ``check`` exits 1 when a quality check fails, which is the
+Airflow task-failure contract of the reference's test stage).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF = "/root/testdata/sf0.01"
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="python -m data_pipeline_spark_iceberg_dbt_airflow_spark",
+        description="PySpark analytics engine CLI",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf", default=DEFAULT_SF)
+    q.add_argument("--limit", type=int, default=20)
+    q.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of rows",
+    )
+
+    sub.add_parser("list", help="list registered queries")
+
+    pl = sub.add_parser("pipeline", help="run the LLM curation pipeline")
+    pl.add_argument("--sf", default=DEFAULT_SF)
+    pl.add_argument(
+        "--out",
+        default=None,
+        help="write the packed output (and shard files) under this dir",
+    )
+
+    c = sub.add_parser("check", help="run the data-quality gate")
+    c.add_argument("--sf", default=DEFAULT_SF)
+    return p
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark`` is injectable for tests; when omitted a
+    session is created and stopped here."""
+    args = _build_parser().parse_args(argv)
+    from .session import get_spark_session
+
+    own_session = spark is None
+    if own_session:
+        spark = get_spark_session("cli")
+    try:
+        return _dispatch(args, spark)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+def _dispatch(args: argparse.Namespace, spark) -> int:
+    from .queries import all_queries
+
+    if args.cmd == "list":
+        for name, spec in sorted(all_queries().items()):
+            tags = ",".join(spec.tags)
+            print(f"{name}\t[{tags}]")
+        return 0
+
+    if args.cmd == "query":
+        specs = all_queries()
+        if args.name not in specs:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = specs[args.name].spark_fn(spark, args.sf)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "pipeline":
+        from .io import write_training_shards
+        from .plans.llm_pipeline import run_llm_curation
+
+        out = run_llm_curation(spark, args.sf)
+        counts = {name: df.count() for name, df in out.items()}
+        for name, n in counts.items():
+            print(f"{name}\t{n}")
+        if args.out:
+            from pyspark.sql import functions as F
+            from pyspark.sql.window import Window
+
+            packed = out["packed"]
+            # CLI convenience at interactive scale: a single global rank
+            # renders the pack order as one shard key. A 100 TB run uses
+            # train_global_shuffle's 2-phase rank instead of this
+            # single-partition window -- see queries/training.py.
+            ordered = packed.withColumn(
+                "shuffle_pos",
+                F.row_number().over(
+                    Window.orderBy("lang", "bin_id", "doc_id", "chunk_id")
+                ),
+            )
+            write_training_shards(ordered, args.out, shards=4)
+            print(f"shards written to {args.out}")
+        return 0
+
+    if args.cmd == "check":
+        from .io import read_table
+        from .quality.checks import (
+            not_null,
+            relationships,
+            run_checks,
+            unique,
+        )
+
+        orders = read_table(spark, args.sf, "orders")
+        customer = read_table(spark, args.sf, "customer")
+        results = [
+            not_null(orders, "o_orderkey"),
+            unique(orders, "o_orderkey"),
+            relationships(orders, "o_custkey", customer, "c_custkey"),
+        ]
+        for r in results:
+            print(r)
+        return 0 if run_checks(results) else 1
+
+    raise AssertionError(f"unhandled command {args.cmd}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

