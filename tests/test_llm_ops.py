@@ -292,3 +292,41 @@ def test_contamination_respects_stop_shingle_cap(spark, sf_dir):
     # doc 1 flagged via the k rare shingles alone; the viral shingle
     # contributed nothing (no other doc reaches the threshold)
     assert got == {(1, 0): k}, got
+
+
+def test_semantic_clusters_over_embedding_pairs(spark, sf_dir):
+    """Semantic dedup composes from existing operators: embedding-cosine
+    near-dup pairs (blocked_cell_pairs) feed the same connected-components
+    operator the n-gram path uses (operators/graph.py). Invariants: every
+    edge endpoint gets a label, both endpoints of every pair share a
+    label, and each label is the minimum member id of its component."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        _normed,
+        blocked_cell_pairs,
+    )
+
+    pairs = blocked_cell_pairs(_normed(spark, sf_dir)).select(
+        "id_a", "id_b"
+    )
+    n_pairs = pairs.count()
+    assert n_pairs > 0, "fixture corpus produced no cosine pairs"
+    labels = connected_components(pairs)
+    lab_a = labels.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "label", "la"
+    )
+    lab_b = labels.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "label", "lb"
+    )
+    joined = pairs.join(lab_a, "id_a").join(lab_b, "id_b")
+    assert joined.count() == n_pairs, "an edge endpoint is unlabeled"
+    assert joined.where(F.col("la") != F.col("lb")).count() == 0
+    bad_min = (
+        labels.groupBy("label")
+        .agg(F.min("doc_id").alias("mn"))
+        .where(F.col("label") != F.col("mn"))
+        .count()
+    )
+    assert bad_min == 0, "label is not the component's minimum id"
