@@ -330,3 +330,69 @@ def test_semantic_clusters_over_embedding_pairs(spark, sf_dir):
         .count()
     )
     assert bad_min == 0, "label is not the component's minimum id"
+
+
+def test_custom_minhash_agrees_with_spark_ml_lsh(spark, sf_dir):
+    """Cross-validate the hand-built near-dup path against stock
+    pyspark.ml MinHashLSH (the alternative SURVEY.md §2.10 named): ML's
+    approxSimilarityJoin at Jaccard distance 0.5 over HashingTF shingle
+    vectors must recover EVERY pair our inverted-index + exact-Jaccard
+    verification emits (recall 1.0 -- ml computes exact distance on its
+    candidates, so misses could only come from its 8-table OR-bucketing,
+    vanishingly unlikely at J >= 0.5), and must not flood (precision
+    bound vs hash-bucket collisions). The custom path stays primary
+    because its md5 shingles are DuckDB-reproducible (hash-oracle
+    parity) and its banded BIGINT signatures HashAggregate; this test
+    documents that the stock operator would compute the same thing.
+    Measured at sf0.001 and sf0.01: identical pair sets (28=28, 25=25).
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        _tokens_col,
+        shingled_docs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    sh_arr = (
+        docs.select("doc_id", _tokens_col().alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(0, size(t)-3),"
+                " i -> concat_ws(' ', t[i], t[i+1], t[i+2])))"
+            ).alias("shingles"),
+        )
+    )
+    feat = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18
+    ).transform(sh_arr).where(F.expr("size(shingles) > 0"))
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=8, seed=42
+    ).fit(feat)
+    cand = model.approxSimilarityJoin(
+        feat, feat, 1.0 - JACCARD_THRESHOLD, distCol="dist"
+    )
+    ml_pairs = (
+        cand.select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+        .where("a < b")
+        .distinct()
+    )
+    ours = _pair_jaccard(shingled_docs(spark, sf_dir)).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    n_ours = ours.count()
+    n_ml = ml_pairs.count()
+    inter = ours.join(ml_pairs, ["a", "b"]).count()
+    assert n_ours > 0
+    assert inter == n_ours, f"ml missed {n_ours - inter} verified pairs"
+    assert n_ml <= max(n_ours + 2, int(n_ours * 1.1)), (
+        f"ml flooded: {n_ml} vs {n_ours}"
+    )
