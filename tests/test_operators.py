@@ -215,3 +215,131 @@ def test_scan_cache_cannot_alias_recycled_session_ids(spark):
     del dead_id, reborn
     # The real session's token is stable across calls (memoized weakly).
     assert io_mod.session_token(spark) == io_mod.session_token(spark)
+
+
+# --- round 4: UDAF / grouped-map / cogrouped-map / UDTF tiers ---------------
+
+
+def test_grouped_agg_udaf_matches_builtin_avg(spark, sf_dir):
+    """The grouped-agg pandas_udf (UDAF tier) must agree with F.avg per
+    language to 1e-9 (pandas mean is float64 pairwise; not bit-exact)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.udfs import (
+        mean_chars_grouped_agg,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang")
+        .agg(mean_chars_grouped_agg().alias("m"))
+        .collect()
+    }
+    want = {
+        r["lang"]: r["m"]
+        for r in docs.groupBy("lang").agg(F.avg("n_chars").alias("m")).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None
+        else:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+def test_applyinpandas_grouped_map_matches_window(spark, sf_dir):
+    """The grouped-map tier's per-lang rank must equal the declarative
+    row_number window, and its bands the builtin CASE."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.udfs import (
+        band_builtin,
+        bands_ranked_applyinpandas,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    got = {
+        (r["lang"], r["doc_id"]): (r["band"], r["chars_rank"])
+        for r in bands_ranked_applyinpandas(docs).collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.desc_nulls_last("n_chars"), F.asc("doc_id")
+    )
+    want = {
+        (r["lang"], r["doc_id"]): (r["band"], r["chars_rank"])
+        for r in docs.select(
+            "lang",
+            "doc_id",
+            band_builtin().alias("band"),
+            F.row_number().over(w).alias("chars_rank"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_cogrouped_asof_matches_windowed_join(spark, sf_dir):
+    """The cogroup+merge_asof rendering must reproduce the windowed J6
+    as-of join row-for-row, NULL event times included."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.udfs import (
+        asof_cogrouped,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        all_queries,
+    )
+
+    events = read_table(spark, sf_dir, "events")
+    got = {
+        r["event_id"]: (r["ts"], r["last_click_ts"])
+        for r in asof_cogrouped(events).collect()
+    }
+    want = {
+        r["event_id"]: (r["ts"], r["last_click_ts"])
+        for r in all_queries()["join_asof_last_click"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+
+
+def test_udtf_chunker_matches_declarative_chunker(spark, sf_dir):
+    """The Python UDTF (lateral table function) must emit exactly the
+    declarative sequence+posexplode chunker's rows."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.udfs import (
+        make_chunk_udtf,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        all_queries,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    spark.udtf.register("chunk_doc", make_chunk_udtf())
+    read_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "udtf_docs"
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in spark.sql(
+            f"""
+            SELECT d.doc_id, c.chunk_idx, c.chunk
+            FROM udtf_docs d,
+                 LATERAL chunk_doc(d.text, {CHUNK_SIZE}, {CHUNK_STRIDE}) c
+            WHERE d.n_chars > 0
+            """
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk"]
+        for r in all_queries()["train_chunk_documents"]
+        .spark_fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
