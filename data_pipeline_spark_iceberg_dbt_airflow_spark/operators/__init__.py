@@ -1,4 +1,5 @@
-"""Custom operators: UDF tiers (SURVEY.md §2.10) and multimodal columns."""
+"""Custom operators: UDF tiers (SURVEY.md §2.10), multimodal columns,
+graph (connected components), and skew salting."""
 
 from .multimodal import (  # noqa: F401
     FEATURE_DIM,
@@ -9,11 +10,17 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     synth_media,
 )
+from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
+from .salted import salted_group_agg  # noqa: F401
 from .udfs import (  # noqa: F401
+    asof_cogrouped,
     band_builtin,
     band_of,
     band_pandas_udf,
     band_udf,
+    bands_ranked_applyinpandas,
     doc_bands,
     doc_bands_mapinpandas,
+    make_chunk_udtf,
+    mean_chars_grouped_agg,
 )
