@@ -232,6 +232,13 @@ def contaminated_docs(
     the corpus never shuffles. Output: (doc_id, bench_doc, overlap) per
     contaminated (train, benchmark) pair; dropping flagged docs is then
     a left_anti join on doc_id.
+
+    Measured scale-law (local[32], round 4, cached index both sides):
+    the sf0.1 corpus (5k docs, 2 contaminated pairs) screens in 0.55s;
+    a 10x replicated corpus (50k docs, 4,353 pairs -- every replica of
+    a benchmark doc overlaps it) screens in 0.80s. 10x the input and
+    ~2000x the output for 1.4x wall-clock: cost tracks the
+    broadcast-join probe volume, never corpus x benchmark.
     """
     bench = sh.where(F.col("doc_id") % bench_mod == 0).select(
         F.col("doc_id").alias("bench_doc"), "sid"
