@@ -194,3 +194,66 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_streaming_hourly_rollup_serves_daily(spark, sf_dir, stream_dir):
+    """The continuous-aggregate loop, end to end with a REAL stream: a
+    Structured Streaming job materializes HOURLY windowed counts (what a
+    deployment keeps in its hourly table); a batch rollup over that
+    materialized output -- day bucket = window of the hourly win_start,
+    counts summed -- must equal the direct daily aggregate over the raw
+    events. Only finalized hourly windows (watermark passed) can roll
+    up, mirroring production where the daily table trails the watermark.
+    """
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    schema = _stream_schema(spark, stream_dir)
+    stream = read_events_stream(spark, f"{stream_dir}/batch=*", schema)
+    run_to_memory_sink(
+        windowed_counts(stream, window="1 hour"),
+        table_name="rollup_hourly",
+        output_mode="append",
+    )
+    hourly = spark.table("rollup_hourly")
+    assert hourly.count() > 0
+    got = {
+        (r.day_start, r.event_type): r.events
+        for r in hourly.groupBy(
+            F.window("win_start", "1 day").alias("day"), "event_type"
+        )
+        .agg(F.sum("events").alias("events"))
+        .select(
+            F.col("day.start").alias("day_start"), "event_type", "events"
+        )
+        .collect()
+    }
+    events = read_table(spark, sf_dir, "events")
+    direct = {
+        (r.day_start, r.event_type): r.events
+        for r in events.where(F.col("ts").isNotNull())
+        .groupBy(F.window("ts", "1 day").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            F.col("day.start").alias("day_start"), "event_type", "events"
+        )
+        .collect()
+    }
+    # Days fully covered by finalized hourly windows must match exactly;
+    # the trailing day(s) the watermark hasn't closed may be partial.
+    max_ts = events.agg({"ts": "max"}).collect()[0][0]
+    wm = max_ts - dt.timedelta(hours=1)
+    full_days = {
+        k: v
+        for k, v in direct.items()
+        if k[0] + dt.timedelta(days=1) <= wm.replace(
+            minute=0, second=0, microsecond=0
+        )
+    }
+    assert len(full_days) > 0
+    for k, v in full_days.items():
+        assert got.get(k) == v, (k, got.get(k), v)
+    # and nothing the rollup emitted for those days disagrees
+    partial = {k for k in got if k not in direct}
+    assert not partial, f"rollup produced unknown day keys: {partial}"
