@@ -28,7 +28,7 @@ exact integers (deterministic, order-free), never float aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table, widen_for_compute
@@ -214,3 +214,47 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("wt") >= 2, top2.cast("double") / F.size("g2")
         ).alias("rep_2gram_frac"),
     )
+
+
+#: Reserved vocabulary slots (ids 0..3); real tokens start at id 4.
+SPECIAL_TOKENS = ("<pad>", "<unk>", "<bos>", "<eos>")
+
+
+def build_vocab(docs: DataFrame, size: int = 1000) -> DataFrame:
+    """Tokenizer-vocabulary builder: top-``size`` whitespace tokens by
+    frequency, assigned dense contiguous ids after the reserved specials
+    (<pad>=0 <unk>=1 <bos>=2 <eos>=3).
+
+    The precursor every tokenizer training run needs: scan the corpus
+    once, count tokens, keep the head of the frequency distribution.
+    Determinism: ties break lexicographically, so the same corpus always
+    yields the same (token -> id) map regardless of partitioning -- a
+    vocab that drifts between runs silently re-labels every training
+    shard.
+
+    Scale shape: one map-side-combinable groupBy(token) count (the only
+    full shuffle; token strings are short), then a TakeOrdered top-V --
+    per-partition heaps, never a global sort of the distinct-token set
+    (which at 100 TB is billions of rows of long tail). The id-assigning
+    window runs AFTER the limit, over at most ``size`` rows -- a bounded
+    SinglePartition window, same class as the 256-row offset table in
+    train_global_shuffle. OOV handling is the consumer's lookup default
+    to <unk>.
+    """
+    counts = (
+        docs.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    top = counts.orderBy(F.desc("count"), F.asc("token")).limit(size)
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    ranked = top.select(
+        "token",
+        "count",
+        (F.row_number().over(w) + len(SPECIAL_TOKENS) - 1).alias("token_id"),
+    )
+    specials = docs.sparkSession.createDataFrame(
+        [(t, 0, i) for i, t in enumerate(SPECIAL_TOKENS)],
+        "token string, count long, token_id int",
+    )
+    return specials.unionByName(ranked.select("token", "count", "token_id"))

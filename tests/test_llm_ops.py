@@ -396,3 +396,47 @@ def test_custom_minhash_agrees_with_spark_ml_lsh(spark, sf_dir):
     assert n_ml <= max(n_ours + 2, int(n_ours * 1.1)), (
         f"ml flooded: {n_ml} vs {n_ours}"
     )
+
+
+def test_vocab_builder_deterministic_and_ranked(spark, sf_dir):
+    """build_vocab: specials hold ids 0..3, real tokens get dense
+    contiguous ids from 4 ranked by (count desc, token asc), counts are
+    the true corpus frequencies, and the map is identical under a
+    different input partitioning (determinism -- a drifting vocab would
+    silently re-label every shard)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        SPECIAL_TOKENS,
+        build_vocab,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    v = build_vocab(docs, size=50).collect()
+    by_id = {r["token_id"]: (r["token"], r["count"]) for r in v}
+    assert len(by_id) == len(v), "duplicate token_id"
+    for i, tok in enumerate(SPECIAL_TOKENS):
+        assert by_id[i][0] == tok
+    real = sorted(
+        (r for r in v if r["token_id"] >= len(SPECIAL_TOKENS)),
+        key=lambda r: r["token_id"],
+    )
+    assert [r["token_id"] for r in real] == list(
+        range(len(SPECIAL_TOKENS), len(SPECIAL_TOKENS) + len(real))
+    )
+    keys = [(-r["count"], r["token"]) for r in real]
+    assert keys == sorted(keys), "ids do not follow (count desc, token asc)"
+    # true frequency spot-check on the top token
+    top = real[0]
+    from pyspark.sql import functions as F
+
+    true_cnt = (
+        docs.select(F.explode(F.expr(r"regexp_extract_all(text, '\\S+', 0)")).alias("t"))
+        .where(F.col("t") == top["token"])
+        .count()
+    )
+    assert top["count"] == true_cnt
+    # partitioning-independence
+    v2 = build_vocab(docs.repartition(13), size=50).collect()
+    assert {(r["token"], r["token_id"]) for r in v} == {
+        (r["token"], r["token_id"]) for r in v2
+    }
