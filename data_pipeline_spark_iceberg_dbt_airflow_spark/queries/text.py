@@ -258,3 +258,53 @@ def build_vocab(docs: DataFrame, size: int = 1000) -> DataFrame:
         "token string, count long, token_id int",
     )
     return specials.unionByName(ranked.select("token", "count", "token_id"))
+
+
+#: build_vocab id of the OOV fallback token.
+UNK_ID = SPECIAL_TOKENS.index("<unk>")
+
+
+def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Encode documents to token-id arrays against a ``build_vocab``
+    vocabulary (OOV tokens -> <unk>): the final text-side step before
+    chunk/pack/shuffle/shard turn ids into training sequences.
+
+    Plan shape: posexplode tokens with their positions, ONE broadcast
+    equi-join against the vocab (vocabularies are 32k-256k rows -- far
+    under broadcast thresholds; the corpus side never shuffles for the
+    lookup), then per-doc reassembly via a map-side-combinable
+    collect_list sorted by position (array_sort on (pos, id) structs --
+    order is restored deterministically regardless of which partition
+    delivered which token, so the aggregate needs no ordered shuffle).
+    Documents with no tokens encode as empty arrays via the final left
+    join. At 100 TB the explode multiplies rows ~tokens-per-doc but
+    carries only (doc_id, pos, 8-byte id) -- never text -- into the
+    single groupBy shuffle.
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "token")
+    )
+    enc = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    ).select(
+        "doc_id",
+        F.struct(
+            F.col("pos"),
+            F.coalesce("token_id", F.lit(UNK_ID)).alias("tid"),
+        ).alias("pt"),
+    )
+    assembled = enc.groupBy("doc_id").agg(
+        F.expr("transform(array_sort(collect_list(pt)), x -> x.tid)").alias(
+            "token_ids"
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                "token_ids", F.expr("CAST(array() AS ARRAY<INT>)")
+            ).alias("token_ids"),
+        )
+    )

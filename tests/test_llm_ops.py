@@ -440,3 +440,34 @@ def test_vocab_builder_deterministic_and_ranked(spark, sf_dir):
     assert {(r["token"], r["token_id"]) for r in v} == {
         (r["token"], r["token_id"]) for r in v2
     }
+
+
+def test_encode_docs_matches_python_reference(spark, sf_dir):
+    """encode_docs must reproduce a driver-side reference encoding
+    exactly: same token order, OOV -> <unk>, tokenless docs -> empty
+    arrays -- under a skewed repartitioning (position reassembly must
+    not depend on which partition delivered which token)."""
+    import re
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        UNK_ID,
+        build_vocab,
+        encode_docs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, size=10)
+    vmap = {r["token"]: r["token_id"] for r in vocab.collect()}
+    got = {
+        r["doc_id"]: list(r["token_ids"])
+        for r in encode_docs(docs.repartition(17), vocab).collect()
+    }
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = re.findall(r"\S+", r["text"]) if r["text"] is not None else []
+        want[r["doc_id"]] = [vmap.get(t, UNK_ID) for t in toks]
+    assert got == want
+    assert any(UNK_ID in ids for ids in want.values()), (
+        "fixture corpus produced no OOV tokens; vocab too large for test"
+    )
