@@ -11,6 +11,12 @@ from .multimodal import (  # noqa: F401
     synth_media,
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
+from .pii import (  # noqa: F401
+    PII_PATTERNS,
+    pii_count,
+    redact_pii,
+    synth_pii,
+)
 from .salted import salted_group_agg  # noqa: F401
 from .udfs import (  # noqa: F401
     asof_cogrouped,

@@ -32,6 +32,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table, widen_for_compute
+from ..operators.pii import (
+    PII_PATTERNS,
+    pii_count,
+    pii_count_sql,
+    redact_pii,
+    redact_pii_sql,
+    synth_pii,
+    synth_pii_sql,
+)
 from .registry import register
 
 #: English stopword marker set for quality scoring (tiny on purpose: the
@@ -66,7 +75,8 @@ def _toks() -> Column:
                    len(regexp_extract_all(text,
                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS bpe_tokens,
                    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')
-                       AS wt
+                       AS wt,
+                   {synth_pii_sql()} AS ptext
             FROM documents)
         SELECT doc_id, lang,
                char_cnt, token_cnt, uniq_token_cnt, punct_cnt, bpe_tokens,
@@ -99,7 +109,12 @@ def _toks() -> Column:
                             list_distinct(g2),
                             d -> len(list_filter(g2, x -> x = d))))
                         AS DOUBLE) / len(g2)
-               ELSE NULL END AS rep_2gram_frac
+               ELSE NULL END AS rep_2gram_frac,
+               {pii_count_sql("ptext", "email")} AS pii_email_cnt,
+               {pii_count_sql("ptext", "phone")} AS pii_phone_cnt,
+               {pii_count_sql("ptext", "ip")} AS pii_ip_cnt,
+               {pii_count_sql("ptext", "ssn")} AS pii_ssn_cnt,
+               md5({redact_pii_sql("ptext")}) AS pii_clean_hash
         FROM (SELECT *,
                      list_transform(range(len(wt) - 1),
                          i -> wt[i+1] || ' ' || wt[i+2]) AS g2
@@ -121,7 +136,14 @@ def _toks() -> Column:
     "min -- near-dup docs sharing their minimal 4-gram collide); and the "
     "Gopher-style repetition signal rep_2gram_frac (round 4: fraction of "
     "word 2-grams claimed by the single most-repeated 2-gram, the "
-    "standard boilerplate/degenerate-text filter). Spark computes the "
+    "standard boilerplate/degenerate-text filter); and the PII facet "
+    "(round 4, operators/pii.py): per-type detection counts (email/"
+    "phone/IPv4/SSN-shaped, engine-portable regex dialect) plus the "
+    "md5 of the tag-redacted text -- detection and redaction are the "
+    "real curation operators, run over deterministically synthesized "
+    "spans (synth_pii; the word-salad corpus is PII-free, same posture "
+    "as synth_media) and hash-checked span-for-span against DuckDB's "
+    "RE2. Spark computes the "
     "top-gram count as an O(n log n) sorted-run fold (array_sort + one "
     "aggregate pass); the oracle states the naive distinct-count-max "
     "formula -- both are exact integer counts, so they hash-match by "
@@ -136,7 +158,9 @@ def _toks() -> Column:
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Regexp/array work is CPU-bound; a single-split scan would run it all
     # on one core. The widen is a guarded no-op on well-split inputs.
-    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
+    # synth_pii plants deterministic PII spans (the corpus itself is
+    # PII-free word salad) so the detect/redact columns are exercised.
+    docs = synth_pii(widen_for_compute(read_table(spark, sf_dir, "documents")))
     t = _toks()
     token_cnt = F.size(t)
     char_cnt = F.length("text")
@@ -213,6 +237,13 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.size("wt") >= 2, top2.cast("double") / F.size("g2")
         ).alias("rep_2gram_frac"),
+        *[
+            pii_count(F.col("ptext"), n).alias(f"pii_{n}_cnt")
+            for n, _, _ in PII_PATTERNS
+        ],
+        F.md5(F.encode(redact_pii(F.col("ptext")), "UTF-8")).alias(
+            "pii_clean_hash"
+        ),
     )
 
 

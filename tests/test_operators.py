@@ -343,3 +343,50 @@ def test_udtf_chunker_matches_declarative_chunker(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_pii_detect_and_redact_handcrafted(spark):
+    """The PII regex dialect on handcrafted spans: counts per type,
+    tag substitution, NULL propagation, and shape disjointness (a
+    phone never counts as an SSN and vice versa)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.pii import (
+        PII_PATTERNS,
+        pii_count,
+        redact_pii,
+    )
+
+    rows = [
+        (0, "write bob.smith+x@mail.example.org or ann@ex.io today"),
+        (1, "call 555-123-4567 or 555-000-1111 now"),
+        (2, "host 10.0.255.3 and 192.168.1.100"),
+        (3, "ssn 123-45-6789 on file"),
+        (4, "mixed a@b.co 555-123-4567 10.1.2.3 111-22-3333"),
+        (5, "none here: 1234-567-8901 is too long, a@b misses a tld"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            *[
+                pii_count(F.col("text"), n).alias(n)
+                for n, _, _ in PII_PATTERNS
+            ],
+            redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (got[0]["email"], got[0]["phone"], got[0]["ip"], got[0]["ssn"]) == (
+        2, 0, 0, 0,
+    )
+    assert got[1]["phone"] == 2 and got[1]["ssn"] == 0
+    assert got[2]["ip"] == 2
+    assert got[3]["ssn"] == 1 and got[3]["phone"] == 0
+    assert got[4]["red"] == "mixed [EMAIL] [PHONE] [IP] [SSN]"
+    # 1234-567-8901: \b requires the match to start at a word edge, and
+    # a leading digit run of 4 can't -- no partial phone match.
+    assert got[5]["phone"] == 0 and got[5]["email"] == 0
+    assert got[5]["red"] == rows[5][1]
+    assert got[6]["email"] is None and got[6]["red"] is None
