@@ -71,6 +71,13 @@ DF_CAP = 100
 #: Near-dup verification threshold on true n-gram Jaccard.
 JACCARD_THRESHOLD = 0.5
 
+#: Line-level dedup: normalized tokens per "line" (the corpus carries no
+#: newlines, so fixed windows stand in for newline splits), and the
+#: minimum corpus-wide occurrence count for a line to enter the
+#: boilerplate strip-list. Mirrored in the oracle.
+LINE_TOKENS = 10
+LINE_MIN_DUP = 2
+
 _NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 
 #: Shared oracle CTEs: whitespace-normalized word tokens -> distinct word
@@ -254,50 +261,109 @@ def contaminated_docs(
 
 @register(
     "dedup_exact_keep_first",
-    oracle=r"""
-        SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
-                   AS text_hash,
-               MIN(doc_id) AS keep_doc_id,
-               COUNT(*) AS dup_cnt,
-               COUNT(DISTINCT md5(text)) AS raw_variants,
-               arg_min(lang, doc_id) AS keep_lang,
-               arg_min(source, doc_id) AS keep_source
-        FROM documents
-        GROUP BY 1
+    oracle=rf"""
+        WITH doc_stats AS (
+            SELECT 'doc' AS level,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                       AS text_hash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS dup_cnt,
+                   COUNT(DISTINCT md5(text)) AS raw_variants
+            FROM documents
+            GROUP BY 2),
+        lines AS (
+            SELECT doc_id,
+                   md5(array_to_string(list_slice(wt, i + 1, i + {LINE_TOKENS}), ' '))
+                       AS text_hash
+            FROM (SELECT doc_id,
+                         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS wt
+                  FROM documents),
+                 UNNEST(range(0, len(wt), {LINE_TOKENS})) AS u(i)),
+        line_stats AS (
+            SELECT 'line' AS level, text_hash,
+                   MIN(doc_id) AS keep_doc_id,
+                   COUNT(*) AS dup_cnt,
+                   COUNT(DISTINCT doc_id) AS raw_variants
+            FROM lines
+            GROUP BY 2
+            HAVING COUNT(*) >= {LINE_MIN_DUP}),
+        stats AS (SELECT * FROM doc_stats UNION ALL SELECT * FROM line_stats)
+        SELECT s.level, s.text_hash, s.keep_doc_id, s.dup_cnt,
+               s.raw_variants, d.lang AS keep_lang, d.source AS keep_source
+        FROM stats s JOIN documents d ON d.doc_id = s.keep_doc_id
     """,
     doc="Exact dedup, hash-groupBy + keep-first-row merged (was "
-    "dedup_exact_hash + dedup_keep_first_normalized): one surviving row "
-    "per normalized-content digest (lowercase, collapsed whitespace), "
-    "with the duplicate count, the count of distinct RAW digests inside "
-    "the group (how many byte-level variants the normalization folded), "
-    "and the survivor's full attributes. The aggregate carries ONLY "
-    "fixed-width buffers (min key, counts) so it stays a map-side-"
-    "combinable HashAggregate on the 128-bit digest (min_by over string "
+    "dedup_exact_hash + dedup_keep_first_normalized), plus the "
+    "line-level pass (round 4) under a `level` marker. level='doc': one "
+    "surviving row per normalized-content digest (lowercase, collapsed "
+    "whitespace), with the duplicate count, the count of distinct RAW "
+    "digests inside the group (how many byte-level variants the "
+    "normalization folded), and the survivor's full attributes. "
+    "level='line': the RefinedWeb/C4-style intra-corpus span dedup -- "
+    "text is segmented into fixed 10-token lines (the corpus carries no "
+    "newlines; a real crawl splits on them with identical plumbing) and "
+    "every line occurring >= 2 times anywhere in the corpus is emitted "
+    "with its occurrence count (dup_cnt) and distinct-document reach "
+    "(raw_variants): exactly the boilerplate strip-list a curation "
+    "pipeline joins back against the corpus. Both branches carry ONLY "
+    "fixed-width buffers (min key, counts) so they stay map-side-"
+    "combinable HashAggregates on 128-bit digests (min_by over string "
     "columns would silently degrade the whole chain to SortAggregate -- "
     "string buffers are not hash-aggregable); survivor attributes come "
-    "from a second, column-pruned (doc_id, lang, source -- never text) "
-    "equi-join on the keep key. Plan-asserted no-Sort in "
-    "tests/test_llm_ops.py. Never orderBy/dropDuplicates on raw text, "
-    "which shuffles full documents; the digest is 16 bytes.",
+    "from ONE shared, column-pruned (doc_id, lang, source -- never "
+    "text) equi-join on the keep key, serving both branches after the "
+    "union. Plan-asserted no-Sort in tests/test_llm_ops.py. "
+    "Never orderBy/dropDuplicates on raw text, which shuffles full "
+    "documents; digests are 16 bytes, and the line explode emits "
+    "digests only -- line text dies inside the scan stage's codegen.",
     bench=True,
     tags=("dedup", "llm-data"),
 )
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    stats = docs.groupBy(
-        F.md5(F.encode(F.expr(_NORM), "UTF-8")).alias("text_hash")
-    ).agg(
-        F.min("doc_id").alias("keep_doc_id"),
-        F.count(F.lit(1)).alias("dup_cnt"),
-        F.countDistinct(F.md5(F.encode("text", "UTF-8"))).alias("raw_variants"),
+    doc_stats = (
+        docs.groupBy(F.md5(F.encode(F.expr(_NORM), "UTF-8")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.countDistinct(F.md5(F.encode("text", "UTF-8"))).alias(
+                "raw_variants"
+            ),
+        )
+        .select(F.lit("doc").alias("level"), "*")
+    )
+    # Line segmentation is one map-side transform+explode over the token
+    # array; only the 16-byte line digest leaves the stage. NULL text ->
+    # NULL token array -> explode drops the row (UNNEST(range(0, NULL))
+    # likewise yields nothing in the oracle).
+    lines = docs.withColumn("wt", _tokens_col()).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(wt) - 1, {LINE_TOKENS}),"
+                f" i -> md5(encode(concat_ws(' ', slice(wt, i + 1,"
+                f" {LINE_TOKENS})), 'UTF-8')))"
+            )
+        ).alias("text_hash"),
+    )
+    line_stats = (
+        lines.groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.countDistinct("doc_id").alias("raw_variants"),
+        )
+        .where(F.col("dup_cnt") >= LINE_MIN_DUP)
+        .select(F.lit("line").alias("level"), "*")
     )
     attrs = docs.select(
         F.col("doc_id").alias("keep_doc_id"),
         F.col("lang").alias("keep_lang"),
         F.col("source").alias("keep_source"),
     )
+    stats = doc_stats.unionByName(line_stats)
     return stats.join(attrs, "keep_doc_id").select(
-        "text_hash", "keep_doc_id", "dup_cnt", "raw_variants",
+        "level", "text_hash", "keep_doc_id", "dup_cnt", "raw_variants",
         "keep_lang", "keep_source",
     )
 
