@@ -11,6 +11,12 @@ from .multimodal import (  # noqa: F401
     synth_media,
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
+from .kmeans import (  # noqa: F401
+    MAX_KMEANS_ITERATIONS,
+    assign_clusters,
+    kmeans_cost,
+    kmeans_fit,
+)
 from .pii import (  # noqa: F401
     PII_PATTERNS,
     pii_count,

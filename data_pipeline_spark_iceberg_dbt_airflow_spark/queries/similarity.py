@@ -21,10 +21,14 @@ Scale design (100 TB):
   (bounded, here 8 vectors) and the candidate set streams through one
   scan -- cost O(N x Q), no shuffle of the big side, never an N x N
   crossJoin.
-- IVF restricts candidates to the query's coarse cell (the ``label``
-  column stands in for a k-means assignment): an equi-join on the cell id
-  turns O(N) probes per query into O(N / cells), the standard
-  inverted-file ANN trade.
+- IVF restricts candidates to the query's coarse cell: an equi-join on
+  the cell id turns O(N) probes per query into O(N / cells), the
+  standard inverted-file ANN trade. The oracle-checked entry uses the
+  testdata's ``label`` column as the cell so both engines see the same
+  assignment; a corpus WITHOUT precomputed cells trains its own with
+  ``operators/kmeans.py`` (Lloyd's with literal-inlined centroids --
+  assignment is a zero-shuffle codegen pass; invariant-tested in
+  tests/test_kmeans.py).
 - LSH hashes every vector to one of 64 buckets via 6 sign random
   projections whose +/-1 matrix is derived once from md5 and inlined as
   literals in BOTH engines -- bucket assignment is pure codegen

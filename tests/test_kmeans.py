@@ -1,0 +1,103 @@
+"""Distributed k-means operator (operators/kmeans.py).
+
+k-means is iterative and float-valued, so it carries no SQL oracle;
+correctness is pinned by the Lloyd invariants instead: every row lands
+on its true nearest centroid (checked against an independent NumPy
+recomputation), the objective is non-increasing round over round, the
+model is bit-identical under repartitioning (the decimal-exact update
+claim), and degenerate shapes (k=1, NULL/ragged vectors) behave.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+    assign_clusters,
+    kmeans_cost,
+    kmeans_fit,
+)
+
+K = 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return read_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def model(spark, emb):
+    return kmeans_fit(emb, K, max_iterations=5)
+
+
+def test_model_shape(model):
+    assert sorted(model) == list(range(K))
+    dims = {len(c) for c in model.values()}
+    assert dims == {64}
+    assert all(np.isfinite(c).all() for c in model.values())
+
+
+def test_assignment_is_nearest_centroid(emb, model):
+    """Spark's literal-inlined argmin == NumPy's argmin, every row."""
+    rows = assign_clusters(emb, model).select("vec_id", "embedding", "cluster").collect()
+    cents = np.array([model[i] for i in range(K)])
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        d = ((cents - v) ** 2).sum(axis=1)
+        assert r["cluster"] == int(np.argmin(d)), r["vec_id"]
+
+
+def test_cost_non_increasing(spark, emb):
+    costs = [
+        kmeans_cost(emb, kmeans_fit(emb, K, max_iterations=n))
+        for n in (1, 3, 5)
+    ]
+    assert costs[0] >= costs[1] >= costs[2]
+
+
+def test_deterministic_under_repartitioning(emb, model):
+    """The decimal-exact update makes centroids independent of shuffle
+    arrival order: a 7-partition refit reproduces the model bit-for-bit."""
+    refit = kmeans_fit(emb.repartition(7), K, max_iterations=5)
+    assert refit == model
+
+
+def test_k1_is_global_mean(emb):
+    model = kmeans_fit(emb, 1, max_iterations=3)
+    got = np.array(model[0])
+    arrs = np.array(
+        [r["embedding"] for r in emb.where(F.col("embedding").isNotNull()).collect()],
+        dtype=np.float64,
+    )
+    np.testing.assert_allclose(got, arrs.mean(axis=0), rtol=0, atol=1e-9)
+
+
+def test_null_and_ragged_vectors(spark, model):
+    df = spark.createDataFrame(
+        [(1, None), (2, [0.0] * 3), (3, [float(i) for i in range(64)])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["cluster"] for r in assign_clusters(df, model).collect()}
+    assert out[1] is None and out[2] is None and out[3] is not None
+
+
+def test_assignment_plan_has_no_shuffle(emb, model):
+    """Assignment must stay a map-side codegen expression: no Exchange,
+    no join -- the property that makes a Lloyd round one corpus pass."""
+    plan = assign_clusters(emb, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_cells_are_usable(emb, model):
+    """End-to-end with the ANN family's IVF shape: every non-null vector
+    gets a cell, and cells partition the corpus (sizes sum to N)."""
+    assigned = assign_clusters(emb, model)
+    sizes = assigned.groupBy("cluster").count().collect()
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    assert sum(r["count"] for r in sizes if r["cluster"] is not None) == n
