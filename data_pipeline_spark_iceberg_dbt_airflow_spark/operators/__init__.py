@@ -10,6 +10,12 @@ from .multimodal import (  # noqa: F401
     sample_frames,
     synth_media,
 )
+from .bloom import (  # noqa: F401
+    blocklist_screen,
+    bloom_build,
+    bloom_fp_rate,
+    bloom_might_contain,
+)
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
 from .kmeans import (  # noqa: F401
     MAX_KMEANS_ITERATIONS,
