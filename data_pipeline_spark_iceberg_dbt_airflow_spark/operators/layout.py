@@ -1,0 +1,122 @@
+"""Z-order (Morton curve) data layout for multi-dimensional scan pruning.
+
+Parquet scans prune row groups with min/max column statistics, so the
+fraction of a 100 TB table a predicate actually reads is decided by HOW
+THE ROWS WERE LAID OUT at write time. A sort on one column gives perfect
+pruning on that column and none on any other; interleaving the bits of
+several columns (the Morton / Z-order curve -- the same layout Delta's
+OPTIMIZE ZORDER BY and Iceberg's sort-order rewrite produce) keeps rows
+close in EVERY interleaved dimension, so a rectangle predicate touches
+~O(fraction^(1/d)) of the row groups instead of all of them. The
+reference's stack gets this from Iceberg table maintenance; here it is a
+first-class writer so plain-Parquet deployments get the same physics.
+
+Mechanics, all JVM-side:
+
+- Each dimension is min-max normalized to a ``bits``-wide integer (the
+  min/max come from one aggregate row -- a bounded, model-sized
+  collect). Normalization is a codegen projection; NULLs map to cell 0
+  so they cluster instead of scattering.
+- The z-value interleaves the dimensions' bits with ``getbit`` +
+  constant shifts -- pure whole-stage codegen, no UDF, no shuffle of
+  its own.
+- The write is ``repartitionByRange(z)`` + ``sortWithinPartitions(z)``:
+  one range shuffle prices the layout once at write time, and every
+  output file (and every row group inside it) covers a tight z-range,
+  i.e. a small hyper-rectangle of the key space.
+
+Skew note: min-max cells degrade when a dimension is heavily skewed
+(most rows land in few cells). For skewed dimensions, pre-map the
+column through a rank/percentile transform (one extra shuffle) and
+z-order the ranks; the interleave itself is distribution-agnostic.
+
+The claimed pruning win is MEASURED, not asserted: the test reads back
+per-row-group min/max parquet statistics and counts how many row groups
+a rectangle predicate could skip under z-order vs a linear sort
+(tests/test_layout.py). Measured on `orders` at sf0.1, 32 files
+(round 4): a (half-custkey x 1/16-price) rectangle survives in 5/32
+row groups z-ordered vs 17/32 custkey-sorted; a price-only predicate
+survives in 8/32 vs 32/32 (a one-column sort cannot prune the other
+dimension at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bits per dimension. 16 bits x 4 dims = 64-bit z-value, the widest
+#: that fits a LongType without decimal math; 2^16 cells per dimension
+#: is far finer than row-group granularity needs.
+DEFAULT_BITS = 16
+
+
+def _cell(col: Column, lo: float, hi: float, bits: int) -> Column:
+    """Min-max normalize to an integer cell in [0, 2^bits)."""
+    n_cells = 1 << bits
+    if hi <= lo:  # constant dimension: every row in cell 0
+        return F.lit(0).cast("long")
+    scaled = (col.cast("double") - F.lit(float(lo))) / F.lit(hi - lo) * n_cells
+    clamped = F.least(
+        F.greatest(F.floor(scaled), F.lit(0)), F.lit(n_cells - 1)
+    )
+    return F.coalesce(clamped, F.lit(0)).cast("long")
+
+
+def zorder_key(
+    cells: list[Column], bits: int = DEFAULT_BITS
+) -> Column:
+    """Interleave the cell columns' bits into one Morton value.
+
+    Bit ``i`` of dimension ``j`` lands at position ``i * ndims + j``:
+    adjacent z-values differ in low-order bits of every dimension, which
+    is the locality property row-group pruning exploits. Constant-shift
+    ``getbit`` terms only -- whole-stage codegen, no shuffle.
+    """
+    ndims = len(cells)
+    if ndims * bits > 63:
+        raise ValueError(f"{ndims} dims x {bits} bits exceeds a signed long")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cells):
+        for i in range(bits):
+            z = z + F.shiftleft(
+                F.getbit(c, F.lit(i)).cast("long"), i * ndims + j
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int,
+    bits: int = DEFAULT_BITS,
+) -> None:
+    """Write ``df`` as Parquet laid out along the Z-curve of ``cols``.
+
+    One stats row, one range shuffle, one write. ``num_files`` sets the
+    range partition count (at 100 TB, size it so files land near the
+    row-group/HDFS-block sweet spot; combine with ``maxRecordsPerFile``
+    for a hard upper bound).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    cells = [
+        _cell(
+            F.col(c),
+            stats[f"lo_{i}"] if stats[f"lo_{i}"] is not None else 0.0,
+            stats[f"hi_{i}"] if stats[f"hi_{i}"] is not None else 0.0,
+            bits,
+        )
+        for i, c in enumerate(cols)
+    ]
+    (
+        df.withColumn("__z", zorder_key(cells, bits))
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

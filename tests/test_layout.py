@@ -1,0 +1,142 @@
+"""Z-order layout writer (operators/layout.py).
+
+The pruning claim is measured with the same statistics a real scan
+uses: per-row-group min/max from the parquet footers. A rectangle
+predicate over two z-ordered dimensions must be skippable in far more
+row groups than under a one-column linear sort; content must be
+identical either way.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+    write_zordered,
+    zorder_key,
+)
+
+N_FILES = 16
+#: rectangle predicate: wide on the first dimension (half its range)
+#: and narrow on the second (1/16) -- the regime where a dim-1 linear
+#: sort stops helping and only multi-dimensional locality prunes.
+CUST_FRAC, PRICE_FRAC = 2, 16
+
+
+def _surviving_row_groups(dirpath: str, preds: dict[str, tuple[float, float]]):
+    """(survivors, total): row groups whose min/max intersect every
+    predicate interval -- exactly the footer-stats pruning decision."""
+    total = survivors = 0
+    for f in sorted(glob.glob(os.path.join(dirpath, "*.parquet"))):
+        meta = pq.ParquetFile(f).metadata
+        idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+        for rg in range(meta.num_row_groups):
+            total += 1
+            keep = True
+            for col, (lo, hi) in preds.items():
+                st = meta.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats => cannot skip
+                if float(st.max) < lo or float(st.min) > hi:
+                    keep = False
+                    break
+            survivors += keep
+    return survivors, total
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, sf_dir, tmp_path_factory):
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    base = tmp_path_factory.mktemp("layout")
+    zdir, ldir = str(base / "zorder"), str(base / "linear")
+    write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], N_FILES)
+    (
+        orders.repartitionByRange(N_FILES, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+    lohi = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"),
+        F.min("o_totalprice"), F.max("o_totalprice"),
+    ).collect()[0]
+    return orders, zdir, ldir, lohi
+
+
+def _rect(lohi):
+    c_lo, c_hi, p_lo, p_hi = float(lohi[0]), float(lohi[1]), float(lohi[2]), float(lohi[3])
+    c_w = (c_hi - c_lo) / CUST_FRAC
+    p_w = (p_hi - p_lo) / PRICE_FRAC
+    mid_c = c_lo + (c_hi - c_lo) / 2
+    mid_p = p_lo + (p_hi - p_lo) / 2
+    return {
+        "o_custkey": (mid_c, mid_c + c_w),
+        "o_totalprice": (mid_p, mid_p + p_w),
+    }
+
+
+def test_zorder_prunes_more_row_groups(layouts):
+    """Rectangle predicate: the z layout must leave at most half the
+    surviving row groups of the custkey-sorted layout (which cannot
+    prune on o_totalprice at all)."""
+    _, zdir, ldir, lohi = layouts
+    preds = _rect(lohi)
+    z_live, z_total = _surviving_row_groups(zdir, preds)
+    l_live, l_total = _surviving_row_groups(ldir, preds)
+    assert z_total > 4 and l_total > 4
+    assert z_live * 2 <= l_live, (z_live, z_total, l_live, l_total)
+
+
+def test_zorder_prunes_on_secondary_dim_alone(layouts):
+    """A predicate ONLY on the second dimension: linear-by-custkey keeps
+    every row group; z-order must skip some."""
+    _, zdir, ldir, lohi = layouts
+    preds = {"o_totalprice": _rect(lohi)["o_totalprice"]}
+    z_live, z_total = _surviving_row_groups(zdir, preds)
+    l_live, l_total = _surviving_row_groups(ldir, preds)
+    assert l_live == l_total  # linear layout: no pruning on dim 2
+    assert z_live < z_total
+
+
+def test_layout_preserves_content(spark, layouts):
+    orders, zdir, _, _ = layouts
+    back = spark.read.parquet(zdir)
+    assert back.count() == orders.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+
+
+def test_zorder_key_is_codegen_only(spark, sf_dir):
+    orders = read_table(spark, sf_dir, "orders")
+    cells = [
+        (F.col("o_custkey") % 256).cast("long"),
+        (F.col("o_orderkey") % 256).cast("long"),
+    ]
+    plan = (
+        orders.select(zorder_key(cells, bits=8).alias("z"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_zorder_key_interleaves(spark):
+    """Hand-check the Morton interleave on known cells: (x=0b11, y=0b01)
+    with 2 bits -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1 + 2 + 4 = 7."""
+    df = spark.createDataFrame([(3, 1)], "x long, y long")
+    z = df.select(
+        zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()[0]["z"]
+    assert z == 7
