@@ -406,16 +406,22 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("q_nrm") * F.col("nrm"))
         ).alias("cosine"),
     )
+    # The q8 branch's final exact-cosine rerank rides the SAME shared
+    # window: its scored candidate pairs union in under method='q8'
+    # before the row_number, saving the branch its own ranking shuffle
+    # (identical output -- same partition key, same ordering, same
+    # TOP_K cut).
+    q8_scored = _quantized_rerank_scored(emb_n).select(
+        F.lit("q8").alias("method"), "id_a", "id_b", "cosine"
+    )
     w = Window.partitionBy("method", "id_a").orderBy(
         F.desc("cosine"), F.asc("id_b")
     )
     topk = (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.unionByName(q8_scored)
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("method", "id_a", "id_b", "cosine", "rank")
-    )
-    q8 = quantized_rerank_topk(emb_n).select(
-        F.lit("q8").alias("method"), "id_a", "id_b", "cosine", "rank"
     )
     pairs = blocked_cell_pairs(emb_n).select(
         F.lit("pairs").alias("method"),
@@ -424,10 +430,10 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return topk.unionByName(q8).unionByName(pairs)
+    return topk.unionByName(pairs)
 
 
-def quantized_rerank_topk(
+def _quantized_rerank_scored(
     emb_n: DataFrame, rerank_n: int = QUANT_RERANK_N
 ) -> DataFrame:
     """int8-quantized retrieve + exact-cosine rerank (two-stage ANN).
@@ -504,7 +510,7 @@ def quantized_rerank_topk(
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    rerank = (
+    return (
         bside.join(F.broadcast(cand), "id_b")
         .join(F.broadcast(qside), "id_a")
         .select(
@@ -516,9 +522,19 @@ def quantized_rerank_topk(
             ).alias("cosine"),
         )
     )
+
+
+def quantized_rerank_topk(
+    emb_n: DataFrame, rerank_n: int = QUANT_RERANK_N
+) -> DataFrame:
+    """Standalone rendering of the q8 branch: scored rerank candidates
+    cut to the exact-cosine top-k. Inside ``sim_ann_family`` the scored
+    set instead joins the shared (method, id_a) window -- same result,
+    one less shuffle."""
+    scored = _quantized_rerank_scored(emb_n, rerank_n)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
-        rerank.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= TOP_K)
         .select("id_a", "id_b", "cosine", "rank")
     )
