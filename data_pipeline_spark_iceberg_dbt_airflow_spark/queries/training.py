@@ -273,3 +273,61 @@ def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_pos")).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    stratum_col: str | None = None,
+    seed: str = "ws1",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-k of the
+    Efraimidis-Spirakis exponential keys).
+
+    Curation mixtures need "sample k documents with probability
+    proportional to quality weight" -- reproducibly, so a backfill
+    re-draws the identical sample. Each row gets the key
+    ``ln(u) / w`` where ``u`` is a uniform derived from md5(seed, id)
+    (the repo's engine-portable hash channel, independent of the
+    split/shuffle channels) and ``w`` its weight; the k LARGEST keys
+    are exactly an A-ES weighted draw without replacement
+    [Efraimidis & Spirakis 2006, Inf. Process. Lett. 97(5)]. No rand(),
+    no driver state: membership is a pure row function.
+
+    Scale shape: the key is one scan-local projection. The global cut is
+    ``orderBy(desc).limit(k)`` -- TakeOrderedAndProject, a per-partition
+    heap + one k-row merge, never a full sort. With ``stratum_col`` the
+    cut is a row_number window partitioned by stratum ("k per source"),
+    the same shuffle any per-stratum operator pays. Rows with NULL or
+    non-positive weight are excluded (zero-weight must never be drawn).
+
+    Determinism: u is a pure hex-prefix function of (seed, id); ln and
+    the division are fixed-order per-row IEEE ops, so keys -- and hence
+    the selected set -- are identical across runs and partitionings
+    (pinned in tests/test_llm_ops.py).
+    """
+    w = F.col(weight_col).cast("double")
+    # 13 hex chars = 52 bits, exact in a double; +1 keeps u > 0 so ln(u)
+    # is finite.
+    frac = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / float(16**13 + 1)
+    key = F.log(frac) / w
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn("__wkey", key)
+    if stratum_col is None:
+        out = keyed.orderBy(F.desc("__wkey"), F.asc(id_col)).limit(k)
+    else:
+        win = Window.partitionBy(stratum_col).orderBy(
+            F.desc("__wkey"), F.asc(id_col)
+        )
+        out = keyed.withColumn("__rn", F.row_number().over(win)).where(
+            F.col("__rn") <= k
+        ).drop("__rn")
+    return out.drop("__wkey")

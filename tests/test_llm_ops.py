@@ -471,3 +471,93 @@ def test_encode_docs_matches_python_reference(spark, sf_dir):
     assert any(UNK_ID in ids for ids in want.values()), (
         "fixture corpus produced no OOV tokens; vocab too large for test"
     )
+
+
+# --- weighted sampling ------------------------------------------------------
+
+
+def test_weighted_sample_matches_reference_draw(spark, sf_dir):
+    """The selected set equals an independent Python recomputation of
+    the A-ES keys (same md5 channel, same ln(u)/w ordering)."""
+    import hashlib
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        weighted_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    got = {
+        r["doc_id"]
+        for r in weighted_sample(docs, 25, "w", id_col="doc_id").collect()
+    }
+
+    keys = []
+    for r in docs.collect():
+        h = hashlib.md5(f"ws1{r['doc_id']}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1.0) / float(16**13 + 1)
+        keys.append((math.log(u) / r["w"], -r["doc_id"]))
+    want = {-i for _, i in sorted(keys, reverse=True)[:25]}
+    assert got == want
+
+
+def test_weighted_sample_deterministic_under_repartition(spark, sf_dir):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        weighted_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    a = {r["doc_id"] for r in weighted_sample(docs, 25, "w").collect()}
+    b = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(13), 25, "w").collect()
+    }
+    assert a == b
+
+
+def test_weighted_sample_weight_semantics(spark):
+    """Zero/NULL weights are never drawn; an overwhelming weight is
+    always drawn; k >= n returns every eligible row; stratified mode
+    caps per stratum."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        weighted_sample,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 1.0) for i in range(20)]
+    rows += [(100, "a", 1e12), (101, "b", 0.0), (102, "b", None)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, w double")
+
+    picked = {r["doc_id"] for r in weighted_sample(df, 5, "w").collect()}
+    assert 100 in picked and 101 not in picked and 102 not in picked
+
+    everything = {r["doc_id"] for r in weighted_sample(df, 1000, "w").collect()}
+    assert everything == set(range(20)) | {100}
+
+    per_src = weighted_sample(df, 3, "w", stratum_col="src").groupBy("src").count()
+    assert {(r["src"], r["count"]) for r in per_src.collect()} == {("a", 3), ("b", 3)}
+
+
+def test_weighted_sample_global_cut_is_take_ordered(spark, sf_dir):
+    """The global top-k must be TakeOrderedAndProject (per-partition
+    heap), never a full global Sort."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        weighted_sample,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") + 1).cast("double").alias("w")
+    )
+    plan = (
+        weighted_sample(docs, 10, "w")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
