@@ -54,6 +54,15 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("check", help="run the data-quality gate")
     c.add_argument("--sf", default=DEFAULT_SF)
+
+    # table-maintenance analog of Iceberg's sort-order rewrite / Delta's
+    # OPTIMIZE ZORDER BY, for plain-Parquet deployments
+    z = sub.add_parser("layout", help="rewrite a table Z-ordered")
+    z.add_argument("table")
+    z.add_argument("--cols", required=True, help="comma-separated dimensions")
+    z.add_argument("--out", required=True)
+    z.add_argument("--sf", default=DEFAULT_SF)
+    z.add_argument("--files", type=int, default=32)
     return p
 
 
@@ -119,6 +128,16 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             )
             write_training_shards(ordered, args.out, shards=4)
             print(f"shards written to {args.out}")
+        return 0
+
+    if args.cmd == "layout":
+        from .io import read_table
+        from .operators.layout import write_zordered
+
+        df = read_table(spark, args.sf, args.table)
+        cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+        write_zordered(df, args.out, cols, args.files)
+        print(f"{args.table} z-ordered by {cols} -> {args.out}")
         return 0
 
     if args.cmd == "check":

@@ -427,3 +427,24 @@ def test_cli_list_query_and_check(spark, sf_dir, capsys):
     assert main(["check", "--sf", sf_dir], spark=spark) == 0
     out = capsys.readouterr().out
     assert "PASS" in out
+
+
+def test_cli_layout_writes_zordered_table(spark, sf_dir, tmp_path, capsys):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+
+    out = str(tmp_path / "orders_z")
+    rc = main(
+        [
+            "layout", "orders",
+            "--cols", "o_custkey,o_totalprice",
+            "--out", out, "--sf", sf_dir, "--files", "4",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "z-ordered" in capsys.readouterr().out
+    assert (
+        spark.read.parquet(out).count()
+        == read_table(spark, sf_dir, "orders").count()
+    )
