@@ -339,3 +339,126 @@ def encode_docs(docs: DataFrame, vocab: DataFrame) -> DataFrame:
             ).alias("token_ids"),
         )
     )
+
+
+# --- corpus-trained n-gram LM quality scoring -------------------------------
+
+#: Interpolation weight of the bigram term; the remainder backs off to
+#: the add-alpha unigram.
+LM_LAMBDA = 0.75
+LM_ALPHA = 1.0
+
+
+def train_bigram_lm(docs: DataFrame) -> tuple[DataFrame, DataFrame, int, int]:
+    """Count-based bigram LM over the corpus' whitespace tokens.
+
+    Returns (unigram_counts, bigram_counts, total_tokens, vocab_size) --
+    the sufficient statistics for interpolated add-alpha scoring. Both
+    count tables come from one map-side-combinable groupBy each; the
+    scalar totals are one aggregate row (model-sized driver collect).
+
+    Scale shape: the model tables are corpus-SUBLINEAR (distinct tokens
+    / distinct adjacent pairs, Zipf-bounded in practice) while the
+    exploded token stream is linear -- so counting is the same shape as
+    ``build_vocab``, and scoring (below) joins the linear stream against
+    sublinear tables instead of shuffling documents.
+    """
+    toks = docs.select(F.col("doc_id"), _toks().alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) < 2 THEN"
+                    " CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"
+                    " ELSE transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i-1] AS w1, t[i] AS w2)) END"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    totals = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    return uni, bi, int(totals["n"] or 0), int(totals["v"] or 0)
+
+
+def lm_score_docs(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    total_tokens: int,
+    vocab_size: int,
+    lam: float = LM_LAMBDA,
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """Per-document cross-entropy under the bigram LM -- the perplexity
+    quality signal: natural text scores low, boilerplate/garbled/
+    wrong-language text scores high, and filtering on the score is the
+    classic curation gate (the role KenLM plays in CCNet-style
+    pipelines, here trained on the corpus itself).
+
+    p(w2|w1) = lam * c(w1,w2)/c(w1) + (1-lam) * (c(w2)+alpha)/(N+alpha*V)
+
+    Output: (doc_id, n_bigrams, cross_entropy, perplexity); documents
+    with fewer than 2 tokens score NULL.
+
+    Plan shape: the exploded bigram stream joins the two model tables on
+    their keys (equi-joins against corpus-sublinear sides -- broadcast
+    when the model fits, shuffle-hash otherwise; never a product), and
+    the per-doc mean accumulates log-probs in exact DECIMAL, so scores
+    are bit-stable under repartitioning like every other float aggregate
+    in this repo (functions/det.py discipline).
+    """
+    base_denom = float(total_tokens + alpha * vocab_size)
+    toks = docs.select(F.col("doc_id"), _toks().alias("t"))
+    stream = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN"
+                " CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"
+                " ELSE transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2)) END"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        stream.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), "w1", "left")
+        .join(F.broadcast(c2), "w2", "left")
+    )
+    p_bi = F.when(
+        F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    p_uni = (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha))) / F.lit(
+        base_denom
+    )
+    logp = F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -(F.sum(logp.cast("decimal(38,15)")).cast("double"))
+            / F.count(F.lit(1))
+        ).alias("cross_entropy"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+            F.exp("cross_entropy").alias("perplexity"),
+        )
+    )

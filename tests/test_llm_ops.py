@@ -561,3 +561,110 @@ def test_weighted_sample_global_cut_is_take_ordered(spark, sf_dir):
         .toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# --- n-gram LM perplexity scoring -------------------------------------------
+
+
+def test_lm_score_matches_hand_computation(spark):
+    """Tiny corpus, hand-computed interpolated probabilities."""
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs,
+        train_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "x")],
+        "doc_id long, text string",
+    )
+    uni, bi, n, v = train_bigram_lm(docs)
+    # tokens: a=3 b=3 x=1 -> N=7, V=3; bigrams: (a,b)=3 (b,a)=1
+    assert (n, v) == (7, 3)
+    out = {
+        r["doc_id"]: r
+        for r in lm_score_docs(docs, uni, bi, n, v).collect()
+    }
+
+    def p(c12, c1, c2):
+        return 0.75 * (c12 / c1 if c1 else 0.0) + 0.25 * (c2 + 1.0) / (7 + 3.0)
+
+    # doc 1: bigrams (a,b) (b,a) (a,b)
+    h1 = -(2 * math.log(p(3, 3, 3)) + math.log(p(1, 3, 3))) / 3
+    assert abs(out[1]["cross_entropy"] - h1) < 1e-9
+    assert abs(out[1]["perplexity"] - math.exp(h1)) < 1e-9
+    assert out[1]["n_bigrams"] == 3
+    # doc 3 has a single token: no bigrams, NULL score
+    assert out[3]["n_bigrams"] == 0 and out[3]["cross_entropy"] is None
+
+
+def test_lm_separates_natural_from_scrambled(spark, sf_dir):
+    """The signal works: corpus-trained scores rank real documents
+    below (= more predictable than) token-scrambled ones on average."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic scramble: sort each doc's tokens by md5(token||doc_id),
+    # breaking bigram structure while keeping the unigram distribution
+    scrambled = docs.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(array_sort(transform("
+            "regexp_extract_all(text, '\\\\S+', 0),"
+            " t -> struct(md5(concat(t, CAST(doc_id AS STRING))) AS k, t AS t))),"
+            " x -> x.t), ' ')"
+        ).alias("text"),
+    )
+    uni, bi, n, v = train_bigram_lm(docs)
+    real = lm_score_docs(docs, uni, bi, n, v).agg(
+        F.avg("cross_entropy")
+    ).collect()[0][0]
+    scram = lm_score_docs(scrambled, uni, bi, n, v).agg(
+        F.avg("cross_entropy")
+    ).collect()[0][0]
+    assert real < scram, (real, scram)
+
+
+def test_lm_deterministic_under_repartition(spark, sf_dir):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi, n, v = train_bigram_lm(docs)
+    a = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_score_docs(docs, uni, bi, n, v).collect()
+    }
+    b = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_score_docs(
+            docs.repartition(13), uni, bi, n, v
+        ).collect()
+    }
+    assert a == b  # exact: decimal-accumulated log sums
+
+
+def test_lm_plan_has_no_product(spark, sf_dir):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs,
+        train_bigram_lm,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi, n, v = train_bigram_lm(docs)
+    plan = (
+        lm_score_docs(docs, uni, bi, n, v)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
