@@ -9,8 +9,10 @@ training-data build actually has:
     raw documents
       ├── doc_clusters   (near-dup connected components, queries/dedup)
       ├── doc_quality    (text stats / quality score, queries/text)
+      ├── doc_lm         (corpus-trained bigram perplexity, queries/text)
       ├── contaminated   (benchmark-overlap screen, queries/dedup)
-      └── curated        = canonical ∩ quality gate ∖ contaminated
+      └── curated        = canonical ∩ quality gate ∩ perplexity gate
+                          ∖ contaminated
             ├── assigned = deterministic hash split train/val/test
             ├── chunks   = overlapping context windows over curated text
             └── packed   = chunks binned into fixed char budgets per lang
@@ -43,12 +45,27 @@ from ..queries.dedup import (
     dedup_cluster_components,
     shingled_docs,
 )
-from ..queries.text import text_profile
+from ..queries.text import lm_score_docs, text_profile, train_bigram_lm
 from ..queries.training import CHUNK_SIZE, CHUNK_STRIDE, PACK_BUDGET, _doc_hash
 from .runner import Model, PipelineRunner, RunConfig
 
 #: Quality gate: drop the bottom of the quality-score distribution.
 MIN_QUALITY = 0.35
+
+#: Perplexity gate: drop the most-perplexing tail of the corpus under
+#: its own bigram LM (garbled / wrong-language / boilerplate text).
+LM_TAIL_QUANTILE = 0.95
+
+
+def lm_tail_cutoff(doc_lm: DataFrame) -> float:
+    """The cross-entropy value at LM_TAIL_QUANTILE. Exact percentile is
+    fine at test scale; a 100 TB run swaps in approx_percentile (the
+    gate is a distribution cut, not an exact-identity contract)."""
+    return float(
+        doc_lm.agg(
+            F.percentile("cross_entropy", LM_TAIL_QUANTILE).alias("c")
+        ).collect()[0]["c"]
+    )
 
 
 def build_llm_curation_pipeline(
@@ -63,6 +80,13 @@ def build_llm_curation_pipeline(
         Model("doc_clusters", lambda: dedup_cluster_components(spark, sf_dir))
     )
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
+
+    def doc_lm() -> DataFrame:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        uni, bi, n, v = train_bigram_lm(docs)
+        return lm_score_docs(docs, uni, bi, n, v)
+
+    runner.add(Model("doc_lm", doc_lm))
     runner.add(
         Model(
             "contaminated",
@@ -74,17 +98,28 @@ def build_llm_curation_pipeline(
         raw: DataFrame,
         clusters: DataFrame,
         quality: DataFrame,
+        lm: DataFrame,
         contam: DataFrame,
     ) -> DataFrame:
         keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
         good = quality.where(F.col("quality_score") >= MIN_QUALITY).select(
             "doc_id"
         )
+        # Perplexity gate: drop the top (1 - LM_TAIL_QUANTILE) of
+        # cross-entropy; unscorable docs (<2 tokens) pass -- length is
+        # the quality gate's job, not the LM's. The cutoff is one
+        # scalar collect.
+        cutoff = lm_tail_cutoff(lm)
+        fluent = lm.where(
+            F.col("cross_entropy").isNull()
+            | (F.col("cross_entropy") <= cutoff)
+        ).select("doc_id")
         # Decontamination is a LEFT ANTI on doc_id: flagged docs (and
         # nothing else) leave the corpus before the chunk fan-out.
         return (
             raw.join(keep, "doc_id", "left_semi")
             .join(good, "doc_id", "left_semi")
+            .join(fluent, "doc_id", "left_semi")
             .join(contam.select("doc_id"), "doc_id", "left_anti")
         )
 
@@ -92,7 +127,13 @@ def build_llm_curation_pipeline(
         Model(
             "curated",
             curated,
-            refs=("raw_documents", "doc_clusters", "doc_quality", "contaminated"),
+            refs=(
+                "raw_documents",
+                "doc_clusters",
+                "doc_quality",
+                "doc_lm",
+                "contaminated",
+            ),
         )
     )
 

@@ -325,6 +325,18 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
         == 0
     )
+    # and none sits in the perplexity tail (unscorable docs exempt)
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        lm_tail_cutoff,
+    )
+
+    cutoff = lm_tail_cutoff(out["doc_lm"])
+    assert (
+        cur.join(out["doc_lm"], "doc_id")
+        .where(F.col("cross_entropy") > cutoff)
+        .count()
+        == 0
+    )
     # and no curated doc is benchmark-contaminated (left-anti screen)
     assert (
         cur.join(
