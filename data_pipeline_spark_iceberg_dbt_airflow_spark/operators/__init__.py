@@ -14,7 +14,7 @@ from .bloom import (  # noqa: F401
     blocklist_screen,
     bloom_build,
     bloom_fp_rate,
-    bloom_might_contain,
+    with_bloom_flag,
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
 from .layout import write_zordered, zorder_key  # noqa: F401

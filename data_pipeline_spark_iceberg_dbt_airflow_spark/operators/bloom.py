@@ -24,21 +24,21 @@ JVM-side:
   emits at most one partial row per word, so the shuffle is
   filter-sized, not blocklist-sized. The driver collect is the finished
   word array: bounded by ``num_bits``, independent of blocklist rows.
-- **Probe** inlines the word array as ONE array literal (ConstantFolding
-  collapses it to a single ArrayData, the same trick as the LSH plane
-  matrix and the k-means centroids) and tests all ``num_hashes`` bits
-  with shift/AND arithmetic: pure whole-stage codegen, zero joins, zero
-  shuffle, and it composes with predicate pushdown like any other
-  filter expression.
+- **Probe** ships the word array as a SINGLE-ROW broadcast
+  (BroadcastNestedLoopJoin against one row: the corpus side never
+  shuffles, the words materialize once per executor) and tests all
+  ``num_hashes`` bits with codegen shift/AND arithmetic against the
+  bound array column. NOT an inlined literal: codegen rebuilds a
+  156k-element array literal per row (measured 308s vs 2.2s per 1M
+  probes -- see ``with_bloom_flag``).
 
-Sizing: the inlined-literal form is right for filters up to a few tens
-of MB (millions of blocklist items). Beyond that, ship the words
-through ``spark.sparkContext.broadcast`` into a pandas UDF probe
-instead -- same bits, same semantics, Arrow-batched; the build side is
-unchanged. False-positive rate follows the standard
-``(1 - e^{-kn/m})^k``; at the default 10 bits/key + 4 hashes it is
-~1.2% -- each false positive costs one row in the exact-join remainder,
-never a wrong answer.
+Measured (local[32], round 4, md5 keys, 10 bits/key + 4 hashes):
+1M-key blocklist -> build 2.4s (1.2 MB filter), probe 1M keys 2.2s,
+observed fp rate 1.17% vs 1.18% theoretical; 100k keys -> build 0.9s,
+same fp rate. Build and probe both track input size, filter size only
+shows up as broadcast bytes. False-positive rate follows the standard
+``(1 - e^{-kn/m})^k``; each false positive costs one row in the
+exact-join remainder, never a wrong answer.
 """
 
 from __future__ import annotations
@@ -101,22 +101,42 @@ def bloom_build(
     return packed
 
 
-def bloom_might_contain(
-    words: list[int], key: Column, num_hashes: int = DEFAULT_NUM_HASHES
-) -> Column:
-    """Membership probe as a pure codegen Column (no join, no shuffle).
-
-    True => the key MAY be in the build set (fp rate per the sizing
-    note); false => the key is DEFINITELY not. NULL keys probe false.
-    """
-    num_bits = len(words) * 64
-    lit_words = F.array(*[F.lit(int(w)).cast("long") for w in words])
+def _probe_cond(bf: Column, key: Column, num_bits: int, num_hashes: int) -> Column:
+    """The all-bits-set test against a BOUND word-array column."""
     cond = None
     for p in _positions(key, num_bits, num_hashes):
-        word = F.get(lit_words, (p / 64).cast("int"))
+        word = F.get(bf, (p / 64).cast("int"))
         this = F.getbit(word, F.pmod(p, F.lit(64))) == 1
         cond = this if cond is None else (cond & this)
-    return key.isNotNull() & cond
+    return key.isNotNull() & F.coalesce(cond, F.lit(False))
+
+
+def with_bloom_flag(
+    df: DataFrame,
+    words: list[int],
+    key: Column,
+    out_col: str,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+) -> DataFrame:
+    """Add ``out_col`` = might-contain flag (True = MAY be in the build
+    set at the sizing fp rate; False = DEFINITELY not; NULL key = False).
+
+    The word array rides in as a single-row broadcast
+    (BroadcastNestedLoopJoin against one row -- no shuffle of ``df``,
+    materialized once per executor), and the bit test is codegen
+    shift/AND arithmetic against that bound column. An earlier rendering
+    inlined the words as an array LITERAL; codegen rebuilds such a
+    literal per row, which measured 308s/1M probes at 156k words vs
+    2.2s/1M for the broadcast row -- the literal form is only viable for
+    toy filters, so this is the only probe path.
+    """
+    num_bits = len(words) * 64
+    bf = df.sparkSession.createDataFrame([(words,)], "__bf array<bigint>")
+    return (
+        df.crossJoin(F.broadcast(bf))
+        .withColumn(out_col, _probe_cond(F.col("__bf"), key, num_bits, num_hashes))
+        .drop("__bf")
+    )
 
 
 def blocklist_screen(
@@ -138,10 +158,14 @@ def blocklist_screen(
     n = blocklist.where(F.col(key_col).isNotNull()).count()
     num_bits = max(64, ((max(n, 1) * bits_per_key + 63) // 64) * 64)
     words = bloom_build(blocklist, key_col, num_bits, num_hashes)
-    maybe = bloom_might_contain(words, F.col(key_col), num_hashes)
-    clean = corpus.where(~F.coalesce(maybe, F.lit(False)))
-    suspects = corpus.where(F.coalesce(maybe, F.lit(False))).join(
-        blocklist.select(key_col).distinct(), key_col, "left_anti"
+    flagged = with_bloom_flag(
+        corpus, words, F.col(key_col), "__maybe", num_hashes
+    )
+    clean = flagged.where(~F.col("__maybe")).drop("__maybe")
+    suspects = (
+        flagged.where(F.col("__maybe"))
+        .drop("__maybe")
+        .join(blocklist.select(key_col).distinct(), key_col, "left_anti")
     )
     return clean.unionByName(suspects)
 

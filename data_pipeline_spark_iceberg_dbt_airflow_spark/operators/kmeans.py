@@ -34,6 +34,13 @@ Scale shape (the whole point of this rendering):
   the id space, no sequential k-means++ dependence on a prior draw --
   one TakeOrdered top-k job, no driver-side scan.
 
+Measured scale-law (local[32], round 4, synthetic 64-dim corpora, k=8,
+5 Lloyd rounds): 2k vectors 7.0s vs 20k vectors 5.2s -- 10x the corpus
+for flat wall-clock, i.e. fixed overhead (codegen + per-round job
+latency) dominates locally and the per-row assignment term stays
+invisible until N is millions; the k x dim update shuffle and driver
+collect are corpus-size-independent by construction.
+
 Empty clusters keep their previous centroid (the standard Lloyd
 choice). Rows with NULL or wrong-length vectors are excluded from
 fitting and assigned a NULL cluster.

