@@ -15,7 +15,12 @@ Scale shape (the whole point of this rendering):
   cid)...))` expression (the same literal-inlining trick as the LSH
   plane matrix, `queries/similarity.py`). Each Lloyd round is therefore
   ONE map-side pass over the corpus -- no join against a centroid table,
-  no broadcast exchange, nothing for AQE to re-plan.
+  no broadcast exchange, nothing for AQE to re-plan. Literal inlining
+  is right at coarse-quantizer scale (k up to a few hundred): the
+  bloom operator measured that codegen rebuilds LARGE array literals
+  per row (`operators/bloom.py`), so a many-thousand-cell quantizer
+  should switch assignment to the same single-row-broadcast pattern
+  (bound centroid matrix column + an `aggregate` argmin).
 - **The update shuffle is k x dim rows, not N.** Per-dim sums go
   through posexplode -> groupBy(cluster, dim) -> SUM, which is map-side
   combinable: every map task emits at most k*dim partial rows no matter
