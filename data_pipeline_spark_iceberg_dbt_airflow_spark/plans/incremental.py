@@ -34,6 +34,7 @@ from typing import Any
 from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _target_exists(spark: SparkSession, path: str) -> bool:
@@ -92,4 +93,51 @@ def incremental_append(
     out.write.mode("append" if not first_run else "overwrite").parquet(
         target_path
     )
+    return spark.read.parquet(target_path)
+
+
+def incremental_dedup_append(
+    spark: SparkSession,
+    batch: DataFrame,
+    target_path: str,
+    *,
+    key_col: str,
+    order_col: str,
+    bits_per_key: int = 10,
+) -> DataFrame:
+    """Append a new ingest batch, keeping only content never seen before
+    -- the incremental face of exact dedup at corpus scale.
+
+    A 100 TB corpus is not deduplicated in one shot; it accretes batch
+    by batch, and each batch must be screened against EVERYTHING already
+    ingested. The screen here is the bloom blocklist gate
+    (``operators/bloom.blocklist_screen``) built over the target's
+    digest column: the prior-corpus read is column-pruned to the 16-byte
+    key, the filter build's shuffle is filter-sized, and the new batch
+    never shuffles except for its ~1% bloom-maybe slice, which pays the
+    exact anti-join that removes true duplicates and restores false
+    positives. Replaying an already-ingested batch appends nothing
+    (idempotent ingest).
+
+    Within the batch itself, keep-first-by-``order_col`` resolves
+    intra-batch duplicates before the cross-corpus screen (same
+    semantics as ``dedup_exact_keep_first``). Returns the post-append
+    target.
+    """
+    from ..operators.bloom import blocklist_screen
+
+    w = Window.partitionBy(key_col).orderBy(F.asc_nulls_last(order_col))
+    in_batch = (
+        batch.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if not _target_exists(spark, target_path):
+        in_batch.write.mode("overwrite").parquet(target_path)
+        return spark.read.parquet(target_path)
+    prior_keys = spark.read.parquet(target_path).select(key_col)
+    fresh = blocklist_screen(
+        in_batch, prior_keys, key_col, bits_per_key=bits_per_key
+    )
+    fresh.write.mode("append").parquet(target_path)
     return spark.read.parquet(target_path)

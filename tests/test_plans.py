@@ -460,3 +460,39 @@ def test_cli_layout_writes_zordered_table(spark, sf_dir, tmp_path, capsys):
         spark.read.parquet(out).count()
         == read_table(spark, sf_dir, "orders").count()
     )
+
+
+def test_incremental_dedup_append(spark, tmp_path):
+    """Cross-batch exact dedup at ingest: batch 2's repeats of batch 1
+    content never land, intra-batch dupes collapse keep-first, and
+    replaying an ingested batch appends nothing (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.incremental import (
+        incremental_dedup_append,
+    )
+
+    target = str(tmp_path / "corpus")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select("doc_id", "text", F.md5("text").alias("digest"))
+
+    b1 = batch([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups 1
+    out1 = incremental_dedup_append(
+        spark, b1, target, key_col="digest", order_col="doc_id"
+    )
+    assert {r["doc_id"] for r in out1.collect()} == {1, 2}
+
+    b2 = batch([(4, "beta"), (5, "gamma"), (6, "gamma")])  # 4 dups 2
+    out2 = incremental_dedup_append(
+        spark, b2, target, key_col="digest", order_col="doc_id"
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2, 5}
+
+    out3 = incremental_dedup_append(
+        spark, b2, target, key_col="digest", order_col="doc_id"
+    )
+    assert {r["doc_id"] for r in out3.collect()} == {1, 2, 5}
+    # exactly one row per distinct content digest survives
+    assert out3.groupBy("digest").count().where("count > 1").count() == 0
