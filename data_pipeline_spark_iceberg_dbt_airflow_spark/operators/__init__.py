@@ -6,6 +6,7 @@ from .multimodal import (  # noqa: F401
     MEDIA_SCHEMA,
     decode_media,
     extract_features,
+    extract_frame_features,
     resize_meta,
     sample_frames,
     synth_media,

@@ -125,6 +125,57 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
+def extract_frame_features(
+    media: DataFrame, every_ms: int, dim: int = FEATURE_DIM
+) -> DataFrame:
+    """Per-FRAME features for video rows: decode + sample + featurize in
+    ONE mapInPandas pass, exploding frames INSIDE the Arrow kernel.
+
+    The naive composition -- ``sample_frames`` (frame index rows) joined
+    back to payloads, then a per-frame decode pass -- would shuffle or
+    re-broadcast the payload BYTES once per frame; at media scale the
+    payload is the table, so that join is the whole cost. Exploding in
+    the kernel instead means each payload crosses the Arrow boundary
+    exactly once and fans out to its frames in memory, emitting only
+    (media_id, frame_no, frame_ms, feature) rows. Same frame-index
+    arithmetic as ``sample_frames`` (0, every_ms, ... < duration, ceil
+    via (d-1)/e + 1), asserted equal in tests.
+
+    The per-frame decode is the stub codec salted with the frame index
+    (a real deployment seeks the container to frame_ms and decodes); the
+    plumbing -- batch shape, fan-out, payload lifetime -- is real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "frame_no": [],
+                "frame_ms": [],
+                "feature": [],
+            }
+            for mid, kind, payload, meta in zip(
+                b["media_id"], b["kind"], b["payload"], b["meta"]
+            ):
+                if kind != "video":
+                    continue
+                dur = meta["duration_ms"] or 0
+                n_frames = max((int(dur) - 1) // every_ms, 0) + 1
+                for f in range(n_frames):
+                    frame_payload = (payload or b"") + f.to_bytes(4, "big")
+                    feat = decode_media(frame_payload, meta["codec"])[:dim]
+                    out["media_id"].append(mid)
+                    out["frame_no"].append(f)
+                    out["frame_ms"].append(f * every_ms)
+                    out["feature"].append(feat.tolist())
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        fn,
+        "media_id bigint, frame_no int, frame_ms int, feature array<double>",
+    )
+
+
 def resize_meta(media: DataFrame, max_w: int, max_h: int) -> DataFrame:
     """Resize plumbing: recompute metadata declaratively (JVM-side) and
     mark payloads for re-encode. The byte transform itself is the stubbed

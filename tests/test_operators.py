@@ -390,3 +390,39 @@ def test_pii_detect_and_redact_handcrafted(spark):
     assert got[5]["phone"] == 0 and got[5]["email"] == 0
     assert got[5]["red"] == rows[5][1]
     assert got[6]["email"] is None and got[6]["red"] is None
+
+
+def test_frame_features_explode_inside_kernel(spark, media):
+    """Per-frame decode emits exactly sample_frames' index set (same
+    ceil arithmetic), one feature vector per frame, deterministically --
+    with the payload crossing into Python exactly once (no join in the
+    plan)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators import (
+        extract_frame_features,
+        sample_frames,
+    )
+
+    every = 1000
+    got = extract_frame_features(media, every_ms=every).collect()
+    want = {
+        (r["media_id"], r["frame_no"], r["frame_ms"])
+        for r in sample_frames(media, every_ms=every).collect()
+    }
+    assert {(r["media_id"], r["frame_no"], r["frame_ms"]) for r in got} == want
+    assert all(len(r["feature"]) == 8 for r in got)
+    # frame features differ frame-to-frame (the per-frame salt is live)
+    by_media = {}
+    for r in got:
+        by_media.setdefault(r["media_id"], []).append(tuple(r["feature"]))
+    multi = [v for v in by_media.values() if len(v) > 1]
+    assert multi and all(len(set(v)) > 1 for v in multi)
+    # determinism
+    again = extract_frame_features(media, every_ms=every).collect()
+    assert sorted(map(str, got)) == sorted(map(str, again))
+    plan = (
+        extract_frame_features(media, every_ms=every)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan
