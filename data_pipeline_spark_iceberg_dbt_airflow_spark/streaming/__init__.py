@@ -5,6 +5,7 @@ from .jobs import (  # noqa: F401
     correlate_streams,
     dedup_stream,
     enrich_stream,
+    ingest_stream_dedup,
     read_events_stream,
     run_to_memory_sink,
     running_counts,

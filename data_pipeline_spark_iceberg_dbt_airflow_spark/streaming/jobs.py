@@ -210,3 +210,47 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_stream_dedup(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    key_col: str,
+    order_col: str,
+) -> None:
+    """Streaming corpus ingest with cross-batch exact dedup: each
+    micro-batch runs ``plans.incremental.incremental_dedup_append``
+    via foreachBatch -- keep-first within the batch, bloom-screened
+    against every previously ingested digest, then appended.
+
+    This is the streaming face of the incremental ingest path: the
+    file-source checkpoint gives at-least-once micro-batches, and the
+    dedup screen makes the append idempotent under replay (a re-run
+    batch contributes nothing), which together yield exactly-once
+    CONTENT in the target -- the property a training corpus needs,
+    stronger than exactly-once rows. Trigger availableNow drains what
+    exists and stops (incremental batch); a live deployment uses the
+    same query with a processing-time trigger.
+    """
+    from ..plans.incremental import incremental_dedup_append
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        incremental_dedup_append(
+            batch.sparkSession,
+            batch,
+            target_path,
+            key_col=key_col,
+            order_col=order_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

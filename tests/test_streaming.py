@@ -257,3 +257,53 @@ def test_streaming_hourly_rollup_serves_daily(spark, sf_dir, stream_dir):
     # and nothing the rollup emitted for those days disagrees
     partial = {k for k in got if k not in direct}
     assert not partial, f"rollup produced unknown day keys: {partial}"
+
+
+def test_stream_ingest_dedup_exactly_once_content(spark, tmp_path):
+    """foreachBatch ingest with the cross-batch dedup screen: duplicated
+    content across (and within) micro-batches lands exactly once, and
+    draining the same source again via a fresh stream adds nothing."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming import (
+        ingest_stream_dedup,
+    )
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "corpus")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    write_batch("b0", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    write_batch("b1", [(4, "beta"), (5, "gamma")])
+
+    schema = spark.read.parquet(str(src / "b0")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(str(src) + "/*")
+        .select("doc_id", "text", F.md5("text").alias("digest"))
+    )
+    ingest_stream_dedup(
+        stream,
+        target,
+        str(tmp_path / "ckpt1"),
+        key_col="digest",
+        order_col="doc_id",
+    )
+    got = spark.read.parquet(target)
+    assert got.groupBy("digest").count().where("count > 1").count() == 0
+    assert {r["text"] for r in got.collect()} == {"alpha", "beta", "gamma"}
+
+    # replay: a fresh query (new checkpoint) over the same files
+    ingest_stream_dedup(
+        stream,
+        target,
+        str(tmp_path / "ckpt2"),
+        key_col="digest",
+        order_col="doc_id",
+    )
+    assert spark.read.parquet(target).count() == 3
