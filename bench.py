@@ -71,7 +71,11 @@ def main() -> None:
     # the host happened to be doing during one run. This host shows
     # multi-second ambient noise windows (identical code measured 20.8s
     # and 50.7s back-to-back), so the extra repeat buys real stability.
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Default raised 3 -> 5 in round 4: this host's ambient noise windows
+    # span multiple seconds (verify notes measured ±2.5s on identical
+    # code), and two extra repeats make the per-query min a stable
+    # steady-state estimate at ~40s extra wall-clock.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         best, n = float("inf"), 0

@@ -140,3 +140,26 @@ def test_zorder_key_interleaves(spark):
         zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")
     ).collect()[0]["z"]
     assert z == 7
+
+
+def test_zorder_key_bijective_on_full_grid(spark):
+    """Exhaustive over all 64x64 cell pairs: the interleave is a
+    bijection onto [0, 4096) and a Python de-interleave inverts every
+    Spark-computed value -- the Morton math is exactly right, not just
+    collision-free."""
+    grid = (
+        spark.range(64)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(64).select(F.col("id").alias("y")))
+    )
+    rows = grid.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=6).alias("z")
+    ).collect()
+    zs = {r["z"] for r in rows}
+    assert zs == set(range(4096))
+    for r in rows:
+        x = y = 0
+        for i in range(6):
+            x |= ((r["z"] >> (2 * i)) & 1) << i
+            y |= ((r["z"] >> (2 * i + 1)) & 1) << i
+        assert (x, y) == (r["x"], r["y"]), r
