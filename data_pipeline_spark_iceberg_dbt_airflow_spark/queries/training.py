@@ -57,6 +57,11 @@ CHUNK_STRIDE = 400
 #: Packing budget in characters (stand-in for tokens; same arithmetic).
 PACK_BUDGET = 8192
 
+#: Weighted-sample branch of train_sample_split: draw size and the hash
+#: seed shared by weighted_sample and the oracle's key CTE.
+WEIGHTED_K = 100
+_WS_SEED = "ws1"
+
 
 def _doc_hash() -> F.Column:
     """md5 hex of the document key -- the deterministic 'randomness'."""
@@ -69,6 +74,21 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
 @register(
     "train_sample_split",
     oracle=f"""
+        WITH wkeys AS (
+            SELECT doc_id,
+                   ln((CAST(list_sum(list_transform(range(13),
+                         i -> (strpos('0123456789abcdef',
+                                 substr(md5('{_WS_SEED}' || CAST(doc_id AS VARCHAR)),
+                                        CAST(i + 1 AS INT), 1)) - 1)
+                              * (16 ** (12 - i)))) AS DOUBLE) + 1.0)
+                      / {float(16**13 + 1)!r})
+                   / CAST(n_chars + 1 AS DOUBLE) AS k
+            FROM documents
+            WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+              AND n_chars + 1 > 0
+        ),
+        wsel AS (SELECT doc_id FROM wkeys ORDER BY k DESC, doc_id
+                 LIMIT {WEIGHTED_K})
         SELECT CASE WHEN substr({_ORACLE_HASH}, 1, 2) < 'cc' THEN 'train'
                     WHEN substr({_ORACLE_HASH}, 1, 2) < 'e6' THEN 'val'
                     ELSE 'test' END AS split,
@@ -80,6 +100,8 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
                    substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 2) <
                    CASE WHEN source IN ('src0','src1','src2','src3','src4')
                         THEN '40' ELSE 'cc' END) AS n_mixture,
+               COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM wsel))
+                   AS n_weighted,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM documents
         GROUP BY 1, 2
@@ -94,10 +116,17 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
     "src0-4, 80% for the rest -- the up/down-weighting a training-data "
     "recipe applies per source), decided on an INDEPENDENT hash channel "
     "(md5('mix|'||doc_id)) so mixture membership does not correlate with "
-    "the plain sample. Pure projection + one tiny aggregation; a document "
-    "can never migrate between splits (or in/out of any sample) when the "
-    "corpus grows, unlike fraction-based randomSplit -- the backfill-safe "
-    "replacement for rand().",
+    "the plain sample. n_weighted (round 4) counts membership in the "
+    f"global top-{WEIGHTED_K} Efraimidis-Spirakis WEIGHTED draw "
+    "(weight = n_chars+1; see weighted_sample below) -- selection rides "
+    "ln() doubles, whose last-ulp engine differences cannot flip "
+    "membership unless two keys straddle the K-boundary within 1 ulp "
+    "(verified identical on the driver datasets; the counts, not the "
+    "keys, are what is hashed). Pure projection + one tiny aggregation "
+    "plus one TakeOrdered pass for the weighted set; a document can "
+    "never migrate between splits (or in/out of any sample) when the "
+    "corpus grows, unlike fraction-based randomSplit -- the "
+    "backfill-safe replacement for rand().",
     tags=("training", "llm-data", "sampling"),
 )
 def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,20 +148,33 @@ def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").isin("src0", "src1", "src2", "src3", "src4"),
         F.lit("40"),
     ).otherwise(F.lit("cc"))
+    docs = read_table(spark, sf_dir, "documents")
+    eligible = docs.where(
+        F.col("doc_id").isNotNull()
+        & F.col("n_chars").isNotNull()
+        & ((F.col("n_chars") + 1) > 0)
+    ).select("doc_id", (F.col("n_chars") + 1).cast("double").alias("w"))
+    wsel = weighted_sample(
+        eligible, WEIGHTED_K, "w", id_col="doc_id", seed=_WS_SEED
+    ).select("doc_id", F.lit(True).alias("in_weighted"))
     return (
-        read_table(spark, sf_dir, "documents")
+        docs.join(F.broadcast(wsel), "doc_id", "left")
         .select(
             split.alias("split"),
             "lang",
             "n_chars",
             prefix.alias("pfx"),
             (mix_pfx < mix_thresh).alias("in_mix"),
+            "in_weighted",
         )
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(F.col("pfx") < "1a").alias("n_sampled"),
             F.count_if(F.col("in_mix")).alias("n_mixture"),
+            F.count_if(F.coalesce("in_weighted", F.lit(False))).alias(
+                "n_weighted"
+            ),
             F.sum("n_chars").alias("total_chars"),
         )
     )
@@ -281,7 +323,7 @@ def weighted_sample(
     weight_col: str,
     id_col: str = "doc_id",
     stratum_col: str | None = None,
-    seed: str = "ws1",
+    seed: str = _WS_SEED,
 ) -> DataFrame:
     """Deterministic weighted sampling WITHOUT replacement (top-k of the
     Efraimidis-Spirakis exponential keys).
