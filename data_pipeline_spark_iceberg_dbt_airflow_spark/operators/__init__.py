@@ -32,6 +32,11 @@ from .pii import (  # noqa: F401
     synth_pii,
 )
 from .salted import salted_group_agg  # noqa: F401
+from .sketches import (  # noqa: F401
+    cms_build,
+    cms_estimate,
+    cms_heavy_hitters,
+)
 from .udfs import (  # noqa: F401
     asof_cogrouped,
     band_builtin,
