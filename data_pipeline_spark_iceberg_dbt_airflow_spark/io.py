@@ -251,6 +251,27 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def read_evolving(
+    spark: SparkSession, path: str, schema=None
+) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas -- the append-only table that gained columns over time (the
+    lakehouse norm; Iceberg handles it in metadata, plain parquet needs
+    the reader's help).
+
+    ``mergeSchema`` unions every file's footer schema (additive
+    evolution: rows from files predating a column read NULL there).
+    Passing ``schema`` instead pins the CURRENT contract schema without
+    the footer-listing cost -- the right call at 100 TB, where
+    mergeSchema's schema inference reads every footer up front; extra
+    historical columns are then simply not read (column pruning), and
+    missing ones surface as NULL the same way.
+    """
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 #: Column capturing unparseable input lines in read_jsonl/read_csv.
 CORRUPT_COL = "_corrupt_record"
 

@@ -480,3 +480,40 @@ def test_training_shards_replay_global_order(spark, sf_dir, tmp_path):
     for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
         assert a_hi < b_lo, "shard position ranges overlap"
     assert ranges[-1][1] == n
+
+
+def test_read_evolving_schema_union_and_contract(spark, tmp_path):
+    """A table that gained a column mid-history: mergeSchema unions the
+    footers (old rows NULL in the new column), and pinning the contract
+    schema yields the same frame without footer listing; a retired
+    column is simply not read under the contract."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_evolving
+
+    base = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.parquet(base + "/epoch=0")
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.7)], "id long, name string, score double"
+    ).write.parquet(base + "/epoch=1")
+
+    merged = read_evolving(spark, base + "/*")
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] == 0.5 and rows[4] == 0.7
+
+    contract = StructType(
+        [StructField("id", LongType()), StructField("score", DoubleType())]
+    )
+    pinned = read_evolving(spark, base + "/*", schema=contract)
+    assert set(pinned.columns) == {"id", "score"}  # name: pruned out
+    got = {r["id"]: r["score"] for r in pinned.collect()}
+    assert got == rows
