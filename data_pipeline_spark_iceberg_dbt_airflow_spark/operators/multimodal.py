@@ -162,7 +162,10 @@ def extract_frame_features(
                 dur = meta["duration_ms"] or 0
                 n_frames = max((int(dur) - 1) // every_ms, 0) + 1
                 for f in range(n_frames):
-                    frame_payload = (payload or b"") + f.to_bytes(4, "big")
+                    # frame "seek" salt: a string suffix, so the stub
+                    # digest is reproducible as sha256(text || '|' || f)
+                    # in the SQL oracle (udf_surface.py framefeat branch)
+                    frame_payload = (payload or b"") + f"|{f}".encode()
                     feat = decode_media(frame_payload, meta["codec"])[:dim]
                     out["media_id"].append(mid)
                     out["frame_no"].append(f)

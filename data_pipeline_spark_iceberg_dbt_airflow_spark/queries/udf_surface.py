@@ -18,7 +18,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import read_table
-from ..operators import doc_bands, extract_features, resize_meta, sample_frames, synth_media
+from ..operators import (
+    doc_bands,
+    extract_features,
+    extract_frame_features,
+    resize_meta,
+    sample_frames,
+    synth_media,
+)
 from ..operators.udfs import LONG, SHORT
 from .registry import register
 
@@ -53,13 +60,22 @@ _FRAME_EVERY_MS = 500
 # Decode branch oracle: the stub codec's feature f_i is sha256(payload)
 # byte i / 255.0; the query rescales to the exact byte (round(f_i*255)),
 # and DuckDB recovers the same byte from its hex digest, one nibble pair
-# per feature: v_{i+1} = 16*hex(2i+1) + hex(2i+2).
+# per feature: 16*hex(2i+1) + hex(2i+2).
 _HEX = "0123456789abcdef"
-_DECODE_BYTES_SQL = ",\n               ".join(
-    f"(strpos('{_HEX}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
-    f" + (strpos('{_HEX}', substr(h, {2 * i + 2}, 1)) - 1) AS v{i + 1}"
-    for i in range(8)
-)
+
+
+def _digest_bytes_sql(col: str, n_bytes: int, first_alias: int) -> str:
+    """SQL extracting digest bytes 0..n_bytes-1 of hex column ``col`` as
+    BIGINT aliases v{first_alias}..v{first_alias+n_bytes-1}."""
+    return ",\n               ".join(
+        f"(strpos('{_HEX}', substr({col}, {2 * i + 1}, 1)) - 1) * 16"
+        f" + (strpos('{_HEX}', substr({col}, {2 * i + 2}, 1)) - 1)"
+        f" AS v{first_alias + i}"
+        for i in range(n_bytes)
+    )
+
+
+_DECODE_BYTES_SQL = _digest_bytes_sql("h", 8, 1)
 
 _MULTIMODAL_ORACLE = f"""
     WITH media AS (
@@ -103,7 +119,19 @@ _MULTIMODAL_ORACLE = f"""
              (duration_ms - 1) / {_FRAME_EVERY_MS}.0, 0)) AS BIGINT) + 1))
          AS f(frame_no)
     WHERE kind = 'video'
-"""
+    UNION ALL
+    SELECT 'framefeat' AS branch, media_id, 'video' AS kind,
+           CAST(frame_no AS BIGINT) AS v1,
+           {{FF_BYTES}}
+    FROM (SELECT media_id, f.frame_no,
+                 sha256(payload_text || '|' || CAST(f.frame_no AS VARCHAR))
+                     AS h2
+          FROM media,
+               UNNEST(range(0, CAST(FLOOR(GREATEST(
+                   (duration_ms - 1) / {_FRAME_EVERY_MS}.0, 0))
+                   AS BIGINT) + 1)) AS f(frame_no)
+          WHERE kind = 'video')
+""".replace("{FF_BYTES}", _digest_bytes_sql("h2", 7, 2))
 
 
 @register(
@@ -166,4 +194,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         *null_v,
     )
 
-    return dec.unionByName(res).unionByName(frames)
+    # branch='framefeat' (round 4): the PER-FRAME decode kernel --
+    # frames explode inside the Arrow pass (operators/multimodal.py
+    # extract_frame_features), v1 = frame index, v2..v8 = the first 7
+    # digest bytes of the frame-salted stub codec, which the oracle
+    # reproduces via sha256(text || '|' || frame_no).
+    ff = extract_frame_features(media, _FRAME_EVERY_MS)
+    framefeat = ff.select(
+        F.lit("framefeat").alias("branch"),
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.col("frame_no").cast("bigint").alias("v1"),
+        *[
+            F.round(F.col("feature")[i] * 255)
+            .cast("bigint")
+            .alias(f"v{i + 2}")
+            for i in range(7)
+        ],
+    )
+
+    return (
+        dec.unionByName(res).unionByName(frames).unionByName(framefeat)
+    )
