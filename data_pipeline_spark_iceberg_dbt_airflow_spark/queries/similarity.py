@@ -72,6 +72,12 @@ PAIR_BLOCKS = 4
 #: stage sees more candidates.
 QUANT_RERANK_N = 8
 
+#: kseed branch: coarse cells = the KSEED_K md5-ranked seed vectors (the
+#: deterministic k-means seeding of operators/kmeans.py), embedding
+#: dimension pinned for the valid-row filter.
+KSEED_K = 4
+EMB_DIM = 64
+
 
 def dot(a: Column, b: Column) -> Column:
     """Strict left-to-right double-precision dot product of two arrays."""
@@ -101,6 +107,16 @@ def _o_norm(a: str) -> str:
     return (
         f"sqrt(list_sum(list_transform({a},"
         " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def _o_sqdist(a: str, b: str) -> str:
+    """Squared L2 distance, same strict fold idiom as _o_dot (the diff
+    is spelled twice because the transform lambda has no local bind)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+        " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
     )
 
 
@@ -319,7 +335,25 @@ def _bucket_col() -> Column:
                          PARTITION BY id_a
                          ORDER BY cosine DESC, id_b) AS rank
                      FROM q8x)
-               WHERE rank <= {TOP_K})
+               WHERE rank <= {TOP_K}),
+        kvalid AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                     AND len(embedding) = {EMB_DIM}),
+        kseeds AS (SELECT cid, cent FROM (
+                     SELECT ROW_NUMBER() OVER (
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) - 1 AS cid,
+                            embedding AS cent
+                     FROM kvalid)
+                   WHERE cid < {KSEED_K}),
+        kdist AS (SELECT e.vec_id AS id_a, s.cid,
+                         {_o_sqdist("e.embedding", "s.cent")} AS d
+                  FROM kvalid e CROSS JOIN kseeds s),
+        kassign AS (SELECT id_a, cid, d FROM (
+                      SELECT *, ROW_NUMBER() OVER (
+                          PARTITION BY id_a ORDER BY d, cid) AS rn
+                      FROM kdist)
+                    WHERE rn = 1)
         SELECT 'ivf' AS method, id_a, id_b, cosine, rank FROM ivf
         UNION ALL
         SELECT 'lsh' AS method, id_a, id_b, cosine, rank FROM lsh
@@ -329,6 +363,10 @@ def _bucket_col() -> Column:
         SELECT 'pairs' AS method, id_a, id_b, cosine,
                CAST(NULL AS BIGINT) AS rank
         FROM pairs
+        UNION ALL
+        SELECT 'kseed' AS method, id_a, CAST(cid AS BIGINT) AS id_b,
+               d AS cosine, CAST(NULL AS BIGINT) AS rank
+        FROM kassign
     """,
     doc="Bucketed ANN family, consolidated (was sim_topk_ivf + sim_topk_lsh "
     "+ sim_cell_pairs): method='ivf' restricts top-k candidates to the "
@@ -430,7 +468,55 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
         F.lit(None).cast("bigint").alias("rank"),
     )
-    return topk.unionByName(pairs)
+    out = topk.unionByName(pairs)
+
+    # method='kseed' (round 4): the k-means ASSIGNMENT operator under
+    # the driver contract -- every vector labeled with its nearest of
+    # the KSEED_K md5-ranked seed vectors (operators/kmeans.py seeding),
+    # id_b = cell id, cosine column = the squared distance (strict
+    # left-fold double, engine-exact like the cosines). Assignment is
+    # the zero-shuffle literal-inlined argmin; collecting the seeds is
+    # a model-sized (k x dim) driver read, the same class as the LSH
+    # plane literals.
+    from ..operators.kmeans import _dist2
+
+    valid = emb_n.where(
+        F.col("vec_id").isNotNull()
+        & F.col("embedding").isNotNull()
+        & (F.size("embedding") == EMB_DIM)
+    )
+    seed_rows = (
+        valid.select(
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+            "vec_id",
+            "embedding",
+        )
+        .orderBy("h", "vec_id")
+        .limit(KSEED_K)
+        .collect()
+    )
+    if seed_rows:
+        choices = F.array(
+            *[
+                F.struct(
+                    _dist2(
+                        F.col("embedding"), [float(x) for x in r["embedding"]]
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, r in enumerate(seed_rows)
+            ]
+        )
+        best = F.array_min(choices)
+        kseed = valid.select(
+            F.lit("kseed").alias("method"),
+            F.col("vec_id").alias("id_a"),
+            best["cid"].cast("bigint").alias("id_b"),
+            best["d"].alias("cosine"),
+            F.lit(None).cast("bigint").alias("rank"),
+        )
+        out = out.unionByName(kseed)
+    return out
 
 
 def _quantized_rerank_scored(
