@@ -462,3 +462,77 @@ def lm_score_docs(
             F.exp("cross_entropy").alias("perplexity"),
         )
     )
+
+
+# --- feature-hashing document vectors ---------------------------------------
+
+#: Hash channels for the signed hashing trick (bucket, sign).
+_FH_BUCKET_SEED = 0x9E3779B1
+_FH_SIGN_SEED = 0x85EBCA77
+
+
+def hash_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
+    """Model-free document embeddings via the signed hashing trick
+    (Weinberger et al. 2009): token counts folded into ``dim`` buckets
+    by hash, each token contributing +-1 by an independent sign hash
+    (the sign channel keeps collision noise zero-mean), L2-normalized.
+
+    This bridges the text and similarity families: a corpus WITHOUT a
+    neural embedding column can still run the ANN/near-dup operators --
+    hashed vectors preserve enough lexical cosine structure for
+    dedup-grade similarity (shared-token mass dominates the dot
+    product), at exactly zero model cost.
+
+    Plan shape: explode tokens map-side, ONE combinable groupBy
+    (doc_id, bucket) sum of signs, then per-doc assembly through
+    map_from_entries + a sequence transform -- the dense vector is
+    built by ``dim`` map lookups in codegen, no second shuffle beyond
+    the per-doc aggregation, and token strings never outlive the first
+    aggregation. Empty docs embed as the zero vector (norm left 0,
+    never divided).
+    """
+    toks = docs.select("doc_id", F.explode(_toks()).alias("token"))
+    sign = F.when(
+        F.pmod(F.xxhash64("token", F.lit(_FH_SIGN_SEED)), F.lit(2)) == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    bucket = F.pmod(
+        F.xxhash64("token", F.lit(_FH_BUCKET_SEED)), F.lit(dim)
+    ).cast("int")
+    cells = (
+        toks.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("v"))
+    )
+    assembled = cells.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "v"))
+        ).alias("m")
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {dim - 1}), i -> coalesce(m[i], 0.0D))"
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(assembled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                dense, F.expr(f"array_repeat(0.0D, {dim})")
+            ).alias("raw"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                nrm > 0,
+                F.transform(F.col("raw"), lambda x: x / nrm),
+            )
+            .otherwise(F.col("raw"))
+            .alias("embedding"),
+        )
+    )

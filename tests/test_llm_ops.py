@@ -668,3 +668,71 @@ def test_lm_plan_has_no_product(spark, sf_dir):
         .toString()
     )
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+# --- feature-hashing document vectors ---------------------------------------
+
+
+def test_hash_embed_shape_and_norm(spark, sf_dir):
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vecs = hash_embed(docs, dim=64).collect()
+    assert len(vecs) == docs.count()
+    for r in vecs:
+        assert len(r["embedding"]) == 64
+        n = math.sqrt(sum(x * x for x in r["embedding"]))
+        assert n == 0.0 or abs(n - 1.0) < 1e-9
+
+
+def test_hash_embed_deterministic_and_content_keyed(spark):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["embedding"] for r in hash_embed(docs).collect()}
+    again = {
+        r["doc_id"]: r["embedding"]
+        for r in hash_embed(docs.repartition(5)).collect()
+    }
+    assert out == again  # repartition-stable
+    assert out[1] == out[2]  # same text => identical vector
+    assert all(x == 0.0 for x in out[3])  # empty doc => zero vector
+
+
+def test_hash_embed_cosine_separates_neardups(spark):
+    """The lexical signal survives hashing: a one-word edit stays close,
+    an unrelated document stays far -- the property that lets hashed
+    vectors drive the embedding near-dup operators."""
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("dog", "cat")),
+            (3, "completely different words about spark shuffles and joins"),
+        ],
+        "doc_id long, text string",
+    )
+    v = {r["doc_id"]: r["embedding"] for r in hash_embed(docs).collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(v[1], v[2]) > 0.8
+    assert cos(v[1], v[3]) < 0.5
+    assert abs(cos(v[1], v[1]) - 1.0) < 1e-9
