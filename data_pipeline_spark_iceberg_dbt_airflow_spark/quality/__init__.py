@@ -3,6 +3,7 @@
 from .checks import (  # noqa: F401
     CheckResult,
     accepted_values,
+    expression,
     not_null,
     relationships,
     run_checks,

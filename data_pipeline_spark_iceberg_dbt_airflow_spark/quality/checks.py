@@ -89,6 +89,16 @@ def relationships(
     return CheckResult("relationships", column, n == 0, n)
 
 
+def expression(df: DataFrame, expr: str) -> CheckResult:
+    """dbt-utils ``expression_is_true``: every row satisfies a SQL
+    predicate (e.g. ``"o_totalprice >= 0"``). NULL predicates count as
+    failures -- a constraint a row cannot prove is a constraint it
+    fails, matching dbt's generated ``WHERE NOT (expr)`` plus explicit
+    NULL handling. Same one-aggregate shape as the other checks."""
+    n = df.where(~F.coalesce(F.expr(expr), F.lit(False))).count()
+    return CheckResult("expression", expr, n == 0, n)
+
+
 def run_checks(results: Sequence[CheckResult]) -> bool:
     """dbt-test gate semantics: True iff every check passed (the DAG edge
     that blocks downstream tasks, bitcoin_pipeline_dag.py:44)."""

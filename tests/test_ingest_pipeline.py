@@ -242,6 +242,18 @@ def test_quality_checks_fail_on_violations(spark):
     r = unique(df.where("k < 3"), "k")
     assert r.passed
 
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.quality import (
+        expression,
+    )
+
+    r = expression(df, "k >= 1")
+    assert r.passed
+    r = expression(df, "k >= 2")
+    assert not r.passed and r.failing_rows == 1
+    # NULL predicate rows count as failures (unprovable constraint)
+    r = expression(df, "data_source = 'a'")
+    assert not r.passed and r.failing_rows == 2  # NULL + 'zzz'
+
 
 # --- S6/S8/S10 writers ------------------------------------------------------
 
