@@ -736,3 +736,45 @@ def test_hash_embed_cosine_separates_neardups(spark):
     assert cos(v[1], v[2]) > 0.8
     assert cos(v[1], v[3]) < 0.5
     assert abs(cos(v[1], v[1]) - 1.0) < 1e-9
+
+
+def test_model_free_semantic_dedup_via_hash_embed(spark):
+    """The no-model path end to end: hash_embed vectors -> cosine
+    threshold pairs -> connected components. Planted paraphrase pairs
+    (one-word edits) must cluster; unrelated docs must stay singletons
+    outside the label set."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        cosine,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    base = "spark folds the shuffle into one combinable aggregate pass"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("one", "a")),
+            (3, base.replace("pass", "stage")),
+            (10, "entirely unrelated text about parquet footer statistics"),
+            (11, "another standalone document with its own vocabulary"),
+        ],
+        "doc_id long, text string",
+    )
+    v = hash_embed(docs, dim=64)
+    a = v.select(F.col("doc_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("doc_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("ea"), F.col("eb")) >= 0.8)
+        .select("id_a", "id_b")
+    )
+    labels = {
+        r["doc_id"]: r["label"]
+        for r in connected_components(pairs).collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert 10 not in labels and 11 not in labels  # singletons never enter
