@@ -31,6 +31,7 @@ from .pii import (  # noqa: F401
     redact_pii,
     synth_pii,
 )
+from .metrics import ExecutionMetrics, measure  # noqa: F401
 from .salted import salted_group_agg  # noqa: F401
 from .sketches import (  # noqa: F401
     cms_build,
