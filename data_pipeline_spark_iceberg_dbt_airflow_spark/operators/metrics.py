@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 class ExecutionMetrics:
     shuffle_bytes: int
     shuffle_records: int
+    shuffle_count: int  # distinct shuffle exchanges that executed
     broadcast_bytes: int
     spill_bytes: int
 
@@ -57,6 +58,7 @@ def _walk(node, acc: dict, seen: set) -> None:
     if name == "ShuffleExchangeExec":
         acc["shuffle_bytes"] += int(m.get("shuffleBytesWritten", 0))
         acc["shuffle_records"] += int(m.get("shuffleRecordsWritten", 0))
+        acc["shuffle_count"] += 1
     if name == "BroadcastExchangeExec":
         acc["broadcast_bytes"] += int(m.get("dataSize", 0))
     acc["spill_bytes"] += int(m.get("spillSize", 0)) + int(
@@ -90,6 +92,7 @@ def measure(df: DataFrame, action=None) -> tuple[object, ExecutionMetrics]:
     acc = {
         "shuffle_bytes": 0,
         "shuffle_records": 0,
+        "shuffle_count": 0,
         "broadcast_bytes": 0,
         "spill_bytes": 0,
     }

@@ -70,3 +70,29 @@ def test_no_spill_across_headline_queries(spark, sf_dir):
         q = all_queries()[name].spark_fn(spark, sf_dir)
         _, m = measure(q)
         assert m.spill_bytes == 0, (name, m)
+
+
+def test_text_profile_shuffle_is_only_the_widen(spark, sf_dir):
+    """The per-row text profile's only exchange is the guarded
+    round-robin widen (a no-op on well-split input): measured, exactly
+    ONE shuffle, each document crossing exactly once -- no fan-out, no
+    key shuffle, nothing after the per-row work."""
+    q = all_queries()["text_profile"].spark_fn(spark, sf_dir)
+    rows, m = measure(q)
+    assert len(rows) > 0
+    assert m.shuffle_count == 1, m
+    assert m.shuffle_records == len(rows), m
+
+
+def test_bruteforce_topk_shuffles_scores_not_vectors(spark, sf_dir):
+    """Exact top-k's cost model: the corpus streams against the
+    broadcast query batch; what shuffles is the (id, id, double)
+    scoring stream -- narrow rows, vectors excluded (a 64-dim double
+    vector alone is 512 B; measured record width must sit far below)."""
+    q = all_queries()["sim_topk_bruteforce"].spark_fn(spark, sf_dir)
+    rows, m = measure(q)
+    assert len(rows) > 0
+    assert m.broadcast_bytes > 0  # the query batch rides the broadcast
+    assert m.shuffle_records > 0
+    per_record = m.shuffle_bytes / m.shuffle_records
+    assert per_record < 128, (per_record, m)
