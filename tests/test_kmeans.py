@@ -101,3 +101,31 @@ def test_ivf_cells_are_usable(emb, model):
     sizes = assigned.groupBy("cluster").count().collect()
     n = emb.where(F.col("embedding").isNotNull()).count()
     assert sum(r["count"] for r in sizes if r["cluster"] is not None) == n
+
+
+def test_kmeans_clusters_hash_embedded_documents(spark, sf_dir):
+    """End-to-end model-free topic clustering: hash_embed vectors ->
+    kmeans_fit -> assignment. Every document lands in a cell, the model
+    is reproducible, and planted near-duplicate texts co-cluster."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    base = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(
+        [
+            (90001, "alpha beta gamma delta epsilon zeta eta theta"),
+            (90002, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    vecs = hash_embed(base.unionByName(planted), dim=64)
+    model = kmeans_fit(vecs, 3, id_col="doc_id", vec_col="embedding", max_iterations=4)
+    assigned = assign_clusters(vecs, model, vec_col="embedding")
+    out = {r["doc_id"]: r["cluster"] for r in assigned.collect()}
+    assert all(c is not None for c in out.values())
+    assert out[90001] == out[90002]  # near-identical texts co-cluster
+    refit = kmeans_fit(
+        vecs.repartition(9), 3, id_col="doc_id", vec_col="embedding", max_iterations=4
+    )
+    assert refit == model

@@ -307,3 +307,56 @@ def test_stream_ingest_dedup_exactly_once_content(spark, tmp_path):
         order_col="doc_id",
     )
     assert spark.read.parquet(target).count() == 3
+
+
+def test_stream_ingest_checkpoint_restart_processes_only_new_files(
+    spark, tmp_path
+):
+    """Restarting the SAME checkpoint must not reprocess consumed files
+    -- and must pick up files that arrived while the query was down.
+    Combined with the dedup screen this is the crash-recovery story:
+    source progress from the checkpoint, content idempotence from the
+    screen."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming import (
+        ingest_stream_dedup,
+    )
+
+    src = tmp_path / "src"
+    target = str(tmp_path / "corpus")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / name))
+
+    def stream():
+        schema = spark.read.parquet(str(src / "b0")).schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+            .select("doc_id", "text", F.md5("text").alias("digest"))
+        )
+
+    write_batch("b0", [(1, "alpha"), (2, "beta")])
+    ingest_stream_dedup(
+        stream(), target, ckpt, key_col="digest", order_col="doc_id"
+    )
+    assert spark.read.parquet(target).count() == 2
+
+    # downtime: a new file lands; restart on the SAME checkpoint
+    write_batch("b1", [(3, "gamma"), (4, "alpha")])
+    ingest_stream_dedup(
+        stream(), target, ckpt, key_col="digest", order_col="doc_id"
+    )
+    got = {(r["doc_id"], r["text"]) for r in spark.read.parquet(target).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (3, "gamma")}
+
+    # idle restart: nothing new => nothing appended
+    ingest_stream_dedup(
+        stream(), target, ckpt, key_col="digest", order_col="doc_id"
+    )
+    assert spark.read.parquet(target).count() == 3
