@@ -55,6 +55,9 @@ def _build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("check", help="run the data-quality gate")
     c.add_argument("--sf", default=DEFAULT_SF)
 
+    d = sub.add_parser("docs", help="print the curation DAG manifest")
+    d.add_argument("--sf", default=DEFAULT_SF)
+
     # table-maintenance analog of Iceberg's sort-order rewrite / Delta's
     # OPTIMIZE ZORDER BY, for plain-Parquet deployments
     z = sub.add_parser("layout", help="rewrite a table Z-ordered")
@@ -128,6 +131,15 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             )
             write_training_shards(ordered, args.out, shards=4)
             print(f"shards written to {args.out}")
+        return 0
+
+    if args.cmd == "docs":
+        import json
+
+        from .plans.llm_pipeline import build_llm_curation_pipeline
+
+        runner = build_llm_curation_pipeline(spark, args.sf)
+        print(json.dumps(runner.manifest(), indent=2))
         return 0
 
     if args.cmd == "layout":

@@ -114,6 +114,55 @@ class PipelineRunner:
             results[n] = self._attempt(m, [results[r] for r in m.refs])
         return results
 
+    def manifest(
+        self, results: dict[str, DataFrame] | None = None
+    ) -> dict:
+        """The ``dbt docs generate`` analog: a JSON-able description of
+        the DAG -- every model with its upstream refs and downstream
+        dependents, the topological execution order, undefined refs
+        surfaced as sources, and (when ``results`` from a run are
+        passed) each model's output schema. Metadata only: building the
+        manifest executes nothing.
+        """
+        sources = sorted(
+            {
+                r
+                for m in self._models.values()
+                for r in m.refs
+                if r not in self._models
+            }
+        )
+        downstream: dict[str, list[str]] = {n: [] for n in self._models}
+        for m in self._models.values():
+            for r in m.refs:
+                if r in downstream:
+                    downstream[r].append(m.name)
+        models = {}
+        for n, m in sorted(self._models.items()):
+            entry: dict = {
+                "depends_on": list(m.refs),
+                "referenced_by": sorted(downstream[n]),
+            }
+            if results is not None and n in results:
+                entry["columns"] = {
+                    f.name: f.dataType.simpleString()
+                    for f in results[n].schema.fields
+                }
+            models[n] = entry
+        return {
+            "config": {
+                "schedule": self.config.schedule,
+                "retries": self.config.retries,
+                "catchup": self.config.catchup,
+                "owner": self.config.owner,
+            },
+            "sources": sources,
+            "models": models,
+            "execution_order": self._toposort(
+                list(self._models), satisfied=set(sources)
+            ),
+        }
+
     def _attempt(self, m: Model, inputs: list[DataFrame]) -> DataFrame:
         """Execute one model with the configured retry policy (D4)."""
         last: Exception | None = None

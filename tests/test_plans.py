@@ -496,3 +496,35 @@ def test_incremental_dedup_append(spark, tmp_path):
     assert {r["doc_id"] for r in out3.collect()} == {1, 2, 5}
     # exactly one row per distinct content digest survives
     assert out3.groupBy("digest").count().where("count > 1").count() == 0
+
+
+def test_manifest_describes_the_dag(spark, sf_dir, capsys):
+    """dbt-docs analog: the manifest lists every model with both edge
+    directions, a valid topological order, and (post-run) output
+    schemas; the CLI prints it as JSON."""
+    import json
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        build_llm_curation_pipeline,
+    )
+
+    runner = build_llm_curation_pipeline(spark, sf_dir)
+    man = runner.manifest()
+    assert "doc_lm" in man["models"]["curated"]["depends_on"]
+    assert "curated" in man["models"]["doc_lm"]["referenced_by"]
+    order = man["execution_order"]
+    for name, node in man["models"].items():
+        for ref in node["depends_on"]:
+            if ref in order:
+                assert order.index(ref) < order.index(name), (ref, name)
+    assert "columns" not in man["models"]["curated"]  # metadata-only
+
+    results = runner.run(["curated"])
+    man2 = runner.manifest(results)
+    assert man2["models"]["curated"]["columns"]["doc_id"] == "bigint"
+
+    assert main(["docs", "--sf", sf_dir], spark=spark) == 0
+    parsed = json.loads(capsys.readouterr().out)
+    assert parsed["config"]["retries"] == 1
+    assert set(parsed["execution_order"]) == set(parsed["models"])
