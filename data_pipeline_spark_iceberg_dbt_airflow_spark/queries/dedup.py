@@ -731,3 +731,74 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CASE WHEN s > 0 THEN shiftleft(1, CAST(bit AS INT)) ELSE 0 END")
         ).alias("simhash")
     )
+
+
+def strip_boilerplate(
+    docs: DataFrame, min_dup: int = LINE_MIN_DUP
+) -> DataFrame:
+    """Consume the line-mining output: rewrite every document with its
+    boilerplate lines REMOVED (the RefinedWeb/C4 cleanup step that
+    `dedup_exact_keep_first` level='line' only reports).
+
+    Output: (doc_id, text) over the normalized token stream -- segments
+    of LINE_TOKENS tokens whose digest occurs >= min_dup times anywhere
+    in the corpus are dropped, survivors re-join in order. NULL text
+    stays NULL; a document that was ALL boilerplate becomes ''.
+
+    Scale shape -- text never shuffles: the mining explode emits 16-byte
+    line digests only; the frequent-digest table (corpus-sublinear)
+    joins those digests and folds BACK to one small per-document array
+    of locally-frequent digests; the rewrite then happens map-side
+    inside the scan stage (transform + array_contains + array_join
+    against that broadcast-sized per-doc array). The only shuffles are
+    the digest count and the (doc_id, tiny-array) reassembly join --
+    document text crosses no exchange. At blocklist scale the frequent
+    set can additionally ride the bloom gate (operators/bloom.py)
+    before the exact join.
+    """
+    segs = F.expr(
+        f"transform(sequence(0, size(wt) - 1, {LINE_TOKENS}),"
+        f" i -> concat_ws(' ', slice(wt, i + 1, {LINE_TOKENS})))"
+    )
+    with_segs = docs.withColumn("wt", _tokens_col()).withColumn("segs", segs)
+    digests = with_segs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(segs, s -> md5(encode(s, 'UTF-8')))")
+        ).alias("h"),
+    )
+    frequent = (
+        digests.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_dup)
+        .select("h")
+    )
+    # per-doc set of frequent digests present in THAT doc (small: bounded
+    # by segments per doc), joined back on doc_id
+    doc_freq = (
+        digests.join(F.broadcast(frequent), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("freq_h"))
+    )
+    rewritten = (
+        with_segs.join(doc_freq, "doc_id", "left")
+        .withColumn(
+            "freq_h",
+            F.coalesce("freq_h", F.expr("CAST(array() AS ARRAY<STRING>)")),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("wt").isNull(), F.lit(None).cast("string"))
+            .otherwise(
+                F.array_join(
+                    F.expr(
+                        "filter(segs, s -> NOT array_contains("
+                        "freq_h, md5(encode(s, 'UTF-8'))))"
+                    ),
+                    " ",
+                )
+            )
+            .alias("text"),
+        )
+    )
+    return rewritten

@@ -778,3 +778,53 @@ def test_model_free_semantic_dedup_via_hash_embed(spark):
     }
     assert labels[1] == labels[2] == labels[3] == 1
     assert 10 not in labels and 11 not in labels  # singletons never enter
+
+
+# --- boilerplate stripping --------------------------------------------------
+
+
+def test_strip_boilerplate_removes_shared_lines(spark):
+    """A 10-token boilerplate header shared by several docs is removed
+    everywhere; unique content survives in order; an all-boilerplate doc
+    empties; NULL text stays NULL."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        strip_boilerplate,
+    )
+
+    header = "terms of service apply to all content on this site"  # 10 toks
+    uniq = {
+        1: "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        2: "one two three four five six seven eight nine ten",
+    }
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} {uniq[1]}"),
+            (2, f"{header} {uniq[2]}"),
+            (3, header),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(docs).collect()}
+    assert out[1] == uniq[1]
+    assert out[2] == uniq[2]
+    assert out[3] == ""
+    assert out[4] is None
+
+
+def test_strip_boilerplate_never_shuffles_text(spark, sf_dir):
+    """The rewrite's scale contract, measured: every shuffled record is
+    digest-or-id width -- document text crosses no exchange."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        measure,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        strip_boilerplate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows, m = measure(strip_boilerplate(docs))
+    assert len(rows) == docs.count()
+    assert m.shuffle_records > 0
+    assert m.shuffle_bytes / m.shuffle_records < 128, m
