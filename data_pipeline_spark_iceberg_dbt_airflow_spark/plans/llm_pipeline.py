@@ -14,8 +14,10 @@ training-data build actually has:
       └── curated        = canonical ∩ quality gate ∩ perplexity gate
                           ∖ contaminated
             ├── assigned = deterministic hash split train/val/test
-            ├── chunks   = overlapping context windows over curated text
-            └── packed   = chunks binned into fixed char budgets per lang
+            └── cleaned  = curated text minus corpus-frequent
+                           boilerplate lines (strip_boilerplate)
+                  ├── chunks = overlapping context windows over cleaned
+                  └── packed = chunks binned into char budgets per lang
 
 Every stage is the registry operator (or its formula) -- this module adds
 no new semantics, only the dbt-style composition: each model is a
@@ -148,6 +150,27 @@ def build_llm_curation_pipeline(
 
     runner.add(Model("assigned", assigned, refs=("curated",)))
 
+    def cleaned(cur: DataFrame) -> DataFrame:
+        # Strip corpus-frequent boilerplate lines BEFORE the chunk
+        # fan-out (the frequency statistics come from the curated set
+        # itself); n_chars is recomputed since the rewrite shortens
+        # text. Lang rides along for the packer.
+        from ..queries.dedup import strip_boilerplate
+
+        stripped = strip_boilerplate(cur.select("doc_id", "text"))
+        return (
+            cur.select("doc_id", "lang")
+            .join(stripped, "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                "text",
+                F.coalesce(F.length("text"), F.lit(0)).alias("n_chars"),
+            )
+        )
+
+    runner.add(Model("cleaned", cleaned, refs=("curated",)))
+
     def chunks(cur: DataFrame) -> DataFrame:
         n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
         return (
@@ -170,7 +193,7 @@ def build_llm_curation_pipeline(
             )
         )
 
-    runner.add(Model("chunks", chunks, refs=("curated",)))
+    runner.add(Model("chunks", chunks, refs=("cleaned",)))
 
     def packed(ch: DataFrame) -> DataFrame:
         sized = ch.select(

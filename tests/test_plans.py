@@ -349,10 +349,21 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
     assert (
         out["assigned"].select("split").distinct().count() <= 3
     )
-    # chunking: every curated doc with text emits ceil-based chunk count
+    # boilerplate stripping: cleaned covers curated 1:1 and never grows
+    # a document
+    cleaned = out["cleaned"]
+    assert cleaned.count() == cur_n
+    grew = (
+        cleaned.select("doc_id", F.col("n_chars").alias("after"))
+        .join(cur.select("doc_id", F.col("n_chars").alias("before")), "doc_id")
+        .where(F.col("after") > F.col("before"))
+        .count()
+    )
+    assert grew == 0
+    # chunking: every cleaned doc with text emits ceil-based chunk count
     chunks = out["chunks"]
     per_doc = chunks.groupBy("doc_id").count()
-    expect = cur.where(F.col("n_chars") > 0).select(
+    expect = cleaned.where(F.col("n_chars") > 0).select(
         "doc_id",
         (F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE) + 1).alias("want"),
     )
