@@ -39,17 +39,19 @@ from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
 from data_pipeline_spark_iceberg_dbt_airflow_spark.session import get_spark_session
 
 
-def _force_all_columns(df: DataFrame) -> int:
-    """Evaluate ``df`` forcing every output column; return the row count.
+def _force_all_columns(df: DataFrame) -> tuple[int, DataFrame]:
+    """Evaluate ``df`` forcing every output column; return the row count
+    and the executed wrapper (its plan carries the run's SQLMetrics).
 
     max(xxhash64(*cols)) cannot be computed without materializing each
     column's value, so column pruning cannot skip the projections under
     test; the aggregate keeps the action's own cost at one result row.
     """
-    row = df.select(
+    action = df.select(
         F.xxhash64(*[F.col(c) for c in df.columns]).alias("h")
-    ).agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("chk")).collect()[0]
-    return row["n"]
+    ).agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("chk"))
+    row = action.collect()[0]
+    return row["n"], action
 
 
 def main() -> None:
@@ -62,7 +64,7 @@ def main() -> None:
     # timed runs measure the engine, not Janino compiling codegen classes.
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
     for spec in specs.values():
-        _force_all_columns(spec.spark_fn(spark, warm_dir))
+        _force_all_columns(spec.spark_fn(spark, warm_dir))[0]
     spark.catalog.clearCache()
     release_shingle_index()
 
@@ -78,10 +80,10 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
-        best, n = float("inf"), 0
+        best, n, executed = float("inf"), 0, None
         for _ in range(runs):
             t0 = time.perf_counter()
-            n = _force_all_columns(spec.spark_fn(spark, sf_dir))
+            n, executed = _force_all_columns(spec.spark_fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
             # Drop persisted intermediates so the next run (and the next
             # query) starts cold; the shingle-index cache entry is also
@@ -89,7 +91,21 @@ def main() -> None:
             spark.catalog.clearCache()
             release_shingle_index()
         timings[name] = round(best, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # Execution evidence from the last run's plan (walked AFTER the
+        # clock stopped): what actually crossed the wire.
+        from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+            measure,
+        )
+
+        m = measure(executed, action=lambda d: None)[1]
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows, "
+            f"shuffle {m.shuffle_bytes / 1e6:.2f}MB/"
+            f"{m.shuffle_records}rec/{m.shuffle_count}x, "
+            f"bcast {m.broadcast_bytes / 1e6:.2f}MB, "
+            f"spill {m.spill_bytes})",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

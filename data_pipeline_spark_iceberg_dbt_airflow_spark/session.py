@@ -88,6 +88,8 @@ def get_spark_session(
         # so 100 TB inputs still split at maxPartitionBytes (128 MiB).
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.ui.enabled", "false")
+        # keep stderr artifacts (bench evidence lines) un-mangled
+        .config("spark.ui.showConsoleProgress", "false")
         # Right-sized, not maximal: an oversized heap measurably slows GC
         # on local[32] (empirically ~1.5-2s per heavy query at 24g+ vs 8g
         # for sf0.1 workloads). Override via SPARK_GRAFT_DRIVER_MEM or the
