@@ -47,7 +47,11 @@ from ..queries.dedup import (
     dedup_cluster_components,
     shingled_docs,
 )
-from ..queries.text import lm_score_docs, text_profile, train_bigram_lm
+from ..queries.text import (
+    lm_score_docs_grouped,
+    text_profile,
+    train_bigram_lm_grouped,
+)
 from ..queries.training import CHUNK_SIZE, CHUNK_STRIDE, PACK_BUDGET, _doc_hash
 from .runner import Model, PipelineRunner, RunConfig
 
@@ -55,18 +59,25 @@ from .runner import Model, PipelineRunner, RunConfig
 MIN_QUALITY = 0.35
 
 #: Perplexity gate: drop the most-perplexing tail of the corpus under
-#: its own bigram LM (garbled / wrong-language / boilerplate text).
+#: its own PER-LANGUAGE bigram LM (garbled / boilerplate text). Both
+#: the model and the cutoff stratify by language: a global LM would
+#: systematically over-score every document outside the dominant
+#: language, and a global cutoff would then gate languages against
+#: each other's distributions.
 LM_TAIL_QUANTILE = 0.95
 
 
-def lm_tail_cutoff(doc_lm: DataFrame) -> float:
-    """The cross-entropy value at LM_TAIL_QUANTILE. Exact percentile is
-    fine at test scale; a 100 TB run swaps in approx_percentile (the
-    gate is a distribution cut, not an exact-identity contract)."""
-    return float(
-        doc_lm.agg(
-            F.percentile("cross_entropy", LM_TAIL_QUANTILE).alias("c")
-        ).collect()[0]["c"]
+def lm_tail_cutoffs(doc_lm: DataFrame) -> DataFrame:
+    """(group, cutoff): the per-group cross-entropy at LM_TAIL_QUANTILE.
+    Exact percentile is fine at test scale; a 100 TB run swaps in
+    approx_percentile (the gate is a distribution cut, not an
+    exact-identity contract)."""
+    return (
+        doc_lm.where(F.col("cross_entropy").isNotNull())
+        .groupBy("group")
+        .agg(
+            F.percentile("cross_entropy", LM_TAIL_QUANTILE).alias("cutoff")
+        )
     )
 
 
@@ -84,9 +95,11 @@ def build_llm_curation_pipeline(
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
 
     def doc_lm() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-        uni, bi, n, v = train_bigram_lm(docs)
-        return lm_score_docs(docs, uni, bi, n, v)
+        docs = read_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "text"
+        )
+        uni, bi, totals = train_bigram_lm_grouped(docs)
+        return lm_score_docs_grouped(docs, uni, bi, totals)
 
     runner.add(Model("doc_lm", doc_lm))
     runner.add(
@@ -108,14 +121,17 @@ def build_llm_curation_pipeline(
             "doc_id"
         )
         # Perplexity gate: drop the top (1 - LM_TAIL_QUANTILE) of
-        # cross-entropy; unscorable docs (<2 tokens) pass -- length is
-        # the quality gate's job, not the LM's. The cutoff is one
-        # scalar collect.
-        cutoff = lm_tail_cutoff(lm)
-        fluent = lm.where(
-            F.col("cross_entropy").isNull()
-            | (F.col("cross_entropy") <= cutoff)
-        ).select("doc_id")
+        # cross-entropy WITHIN each language; unscorable docs (<2
+        # tokens or NULL lang) pass -- length is the quality gate's
+        # job, not the LM's. Cutoffs are a groups-sized broadcast.
+        fluent = (
+            lm.join(F.broadcast(lm_tail_cutoffs(lm)), "group", "left")
+            .where(
+                F.col("cross_entropy").isNull()
+                | (F.col("cross_entropy") <= F.col("cutoff"))
+            )
+            .select("doc_id")
+        )
         # Decontamination is a LEFT ANTI on doc_id: flagged docs (and
         # nothing else) leave the corpus before the chunk fan-out.
         return (

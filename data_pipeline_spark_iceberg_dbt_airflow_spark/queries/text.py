@@ -536,3 +536,113 @@ def hash_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
             .alias("embedding"),
         )
     )
+
+
+#: Shared bigram-stream SQL (guarded against <2-token docs; see the
+#: sequence(1,0)-counts-DOWN pitfall).
+_BIGRAMS = (
+    "CASE WHEN size(t) < 2 THEN"
+    " CAST(array() AS ARRAY<STRUCT<w1: STRING, w2: STRING>>)"
+    " ELSE transform(sequence(1, size(t) - 1),"
+    " i -> struct(t[i-1] AS w1, t[i] AS w2)) END"
+)
+
+
+def train_bigram_lm_grouped(
+    docs: DataFrame, group_col: str = "lang"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Per-GROUP bigram statistics (one LM per language).
+
+    A single LM over a multilingual corpus systematically over-scores
+    every document outside the dominant language -- rare-language text
+    looks 'garbled' to a model trained mostly on another language and
+    gets unfairly filtered. Stratifying by ``group_col`` trains each
+    language against itself: counts carry the group key (still one
+    combinable shuffle each), totals become a groups-sized table
+    instead of two scalars, and nothing touches the driver.
+
+    Returns (unigram, bigram, totals) where totals = (group, n, v).
+    Rows with a NULL group are excluded (they would join to nothing);
+    callers decide their fate -- the pipeline's gate passes them.
+    """
+    g = F.col(group_col).alias("g")
+    toks = docs.where(F.col(group_col).isNotNull()).select(
+        g, _toks().alias("t")
+    )
+    uni = (
+        toks.select("g", F.explode("t").alias("w"))
+        .groupBy("g", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select("g", F.explode(F.expr(_BIGRAMS)).alias("b"))
+        .select("g", "b.w1", "b.w2")
+        .groupBy("g", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    totals = uni.groupBy("g").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    return uni, bi, totals
+
+
+def lm_score_docs_grouped(
+    docs: DataFrame,
+    uni: DataFrame,
+    bi: DataFrame,
+    totals: DataFrame,
+    group_col: str = "lang",
+    lam: float = LM_LAMBDA,
+    alpha: float = LM_ALPHA,
+) -> DataFrame:
+    """Per-document cross-entropy under the document's OWN group's LM.
+
+    Same interpolated add-alpha formula as ``lm_score_docs``, with the
+    group key riding every model join and the smoothing denominator
+    coming from the group's totals row. Documents with a NULL group or
+    fewer than two tokens score NULL.
+    """
+    g = F.col(group_col).alias("g")
+    stream = (
+        docs.where(F.col(group_col).isNotNull())
+        .select(F.col("doc_id"), g, _toks().alias("t"))
+        .select("doc_id", "g", F.explode(F.expr(_BIGRAMS)).alias("b"))
+        .select("doc_id", "g", "b.w1", "b.w2")
+    )
+    c1 = uni.select("g", F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select("g", F.col("w").alias("w2"), F.col("c").alias("c2"))
+    joined = (
+        stream.join(F.broadcast(bi), ["g", "w1", "w2"], "left")
+        .join(F.broadcast(c1), ["g", "w1"], "left")
+        .join(F.broadcast(c2), ["g", "w2"], "left")
+        .join(F.broadcast(totals), "g", "left")
+    )
+    p_bi = F.when(
+        F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+        F.col("c12").cast("double") / F.col("c1").cast("double"),
+    ).otherwise(F.lit(0.0))
+    denom = F.col("n").cast("double") + F.lit(float(alpha)) * F.col("v").cast(
+        "double"
+    )
+    p_uni = (
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha))
+    ) / denom
+    logp = F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    scored = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            -(F.sum(logp.cast("decimal(38,15)")).cast("double"))
+            / F.count(F.lit(1))
+        ).alias("cross_entropy"),
+    )
+    return (
+        docs.select("doc_id", F.col(group_col).alias("group"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "group",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "cross_entropy",
+            F.exp("cross_entropy").alias("perplexity"),
+        )
+    )

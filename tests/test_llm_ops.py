@@ -844,3 +844,35 @@ def test_ann_recall_report(spark, sf_dir):
     assert rep["q8"] == 1.0, rep
     assert all(0.0 <= v <= 1.0 for v in rep.values())
     assert rep["ivf"] < rep["q8"] and rep["lsh"] < rep["q8"], rep
+
+
+def test_grouped_lm_equals_per_language_global(spark, sf_dir):
+    """Stratified training is exactly 'one global LM per language':
+    grouped scores reproduce, bit for bit, the global scorer run on
+    each language's slice alone."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs,
+        lm_score_docs_grouped,
+        train_bigram_lm,
+        train_bigram_lm_grouped,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    uni, bi, tot = train_bigram_lm_grouped(docs)
+    grouped = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_score_docs_grouped(docs, uni, bi, tot).collect()
+    }
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert len(langs) >= 2  # the stratification is meaningful
+    for lang in langs:
+        sub = docs.where(F.col("lang") == lang).select("doc_id", "text")
+        u, b, n, v = train_bigram_lm(sub)
+        for r in lm_score_docs(sub, u, b, n, v).collect():
+            assert grouped[r["doc_id"]] == r["cross_entropy"], (
+                lang,
+                r["doc_id"],
+            )

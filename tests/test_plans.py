@@ -325,15 +325,19 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
         == 0
     )
-    # and none sits in the perplexity tail (unscorable docs exempt)
+    # and none sits in its LANGUAGE's perplexity tail (unscorable docs
+    # exempt; cutoffs stratify by lang so languages never gate each
+    # other)
     from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
-        lm_tail_cutoff,
+        lm_tail_cutoffs,
     )
 
-    cutoff = lm_tail_cutoff(out["doc_lm"])
+    cuts = lm_tail_cutoffs(out["doc_lm"])
+    assert cuts.count() >= 2  # per-language cutoffs, not one global
     assert (
         cur.join(out["doc_lm"], "doc_id")
-        .where(F.col("cross_entropy") > cutoff)
+        .join(cuts, "group")
+        .where(F.col("cross_entropy") > F.col("cutoff"))
         .count()
         == 0
     )
