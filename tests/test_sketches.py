@@ -116,3 +116,13 @@ def test_build_is_one_combinable_aggregate(spark, token_stream):
     )
     assert plan.count("HashAggregate") >= 2  # partial + final = combinable
     assert "Join" not in plan and "Sort" not in plan
+
+
+def test_null_tokens_are_not_counted(spark):
+    df = spark.createDataFrame(
+        [("a",), (None,), ("a",), (None,)], "token string"
+    )
+    sk = cms_build(df, "token", 256)
+    probes = spark.createDataFrame([("a",)], "token string")
+    est = cms_estimate(sk, probes, "token", 256).collect()[0]["est"]
+    assert est == 2  # the two NULLs contributed nothing
