@@ -66,6 +66,12 @@ def _build_parser() -> argparse.ArgumentParser:
     z.add_argument("--out", required=True)
     z.add_argument("--sf", default=DEFAULT_SF)
     z.add_argument("--files", type=int, default=32)
+
+    cp = sub.add_parser("compact", help="rewrite a parquet dir into fewer files")
+    cp.add_argument("src")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--files", type=int, default=32)
+    cp.add_argument("--sort", default=None, help="establish this sort order")
     return p
 
 
@@ -150,6 +156,15 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         cols = [c.strip() for c in args.cols.split(",") if c.strip()]
         write_zordered(df, args.out, cols, args.files)
         print(f"{args.table} z-ordered by {cols} -> {args.out}")
+        return 0
+
+    if args.cmd == "compact":
+        from .operators.layout import compact_parquet
+
+        before, after = compact_parquet(
+            spark, args.src, args.out, args.files, sort_col=args.sort
+        )
+        print(f"compacted {args.src}: {before} -> {after} files at {args.out}")
         return 0
 
     if args.cmd == "check":

@@ -18,7 +18,7 @@ from .bloom import (  # noqa: F401
     with_bloom_flag,
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
-from .layout import write_zordered, zorder_key  # noqa: F401
+from .layout import compact_parquet, write_zordered, zorder_key  # noqa: F401
 from .kmeans import (  # noqa: F401
     MAX_KMEANS_ITERATIONS,
     assign_clusters,

@@ -154,6 +154,14 @@ def blocklist_screen(
     from the scan; only maybe-listed rows enter the exact
     ``left_anti`` join that removes true members and restores the false
     positives. NULL keys are unlistable and pass through.
+
+    Cost model note: the union's two branches each read the corpus (the
+    deliberate trade -- scans are the cheap term; the avoided full-key
+    shuffle is the expensive one, and folding both branches into one
+    pass would need a null-keyed outer join that routes every clean row
+    to a single reducer). A pipeline that finds the double scan
+    material persists the flagged frame once or applies the gate inside
+    its sink write.
     """
     n = blocklist.where(F.col(key_col).isNotNull()).count()
     num_bits = max(64, ((max(n, 1) * bits_per_key + 63) // 64) * 64)

@@ -120,3 +120,37 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dest: str,
+    num_files: int,
+    sort_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction -- the other half of table maintenance
+    (Z-order fixes WHERE rows live; compaction fixes HOW MANY files
+    they live in). Streaming appends and incremental runs accrete
+    many small files; every downstream scan then pays per-file open
+    cost and tiny row groups defeat footer-stats pruning.
+
+    Rewrites ``src`` into ``num_files`` files at ``dest`` -- one range
+    shuffle when ``sort_col`` is given (preserving/establishing a sort
+    order so min/max stats stay tight), else a round-robin coalesce-
+    style repartition. Returns (files_before, files_after). On Iceberg
+    the same operation is ``rewrite_data_files``; this is the
+    plain-Parquet rendering.
+    """
+    df = spark.read.parquet(src)
+    before = df.rdd.getNumPartitions()
+    out = (
+        df.repartitionByRange(num_files, sort_col).sortWithinPartitions(
+            sort_col
+        )
+        if sort_col is not None
+        else df.repartition(num_files)
+    )
+    out.write.mode("overwrite").parquet(dest)
+    after = spark.read.parquet(dest).rdd.getNumPartitions()
+    return before, after

@@ -163,3 +163,40 @@ def test_zorder_key_bijective_on_full_grid(spark):
             x |= ((r["z"] >> (2 * i)) & 1) << i
             y |= ((r["z"] >> (2 * i + 1)) & 1) << i
         assert (x, y) == (r["x"], r["y"]), r
+
+
+def test_compact_parquet_reduces_files_preserves_content(
+    spark, sf_dir, tmp_path
+):
+    import glob
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        compact_parquet,
+    )
+
+    src, dest = str(tmp_path / "many"), str(tmp_path / "few")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    orders.repartition(64).write.parquet(src)  # the accreted-small-files state
+    assert len(glob.glob(src + "/*.parquet")) == 64
+
+    before, after = compact_parquet(spark, src, dest, 4, sort_col="o_orderkey")
+    assert len(glob.glob(dest + "/*.parquet")) == 4
+    back = spark.read.parquet(dest)
+    assert back.count() == orders.count()
+    assert (
+        back.agg(F.sum("o_orderkey")).collect()[0][0]
+        == orders.agg(F.sum("o_orderkey")).collect()[0][0]
+    )
+    # sort order established: each output file's o_orderkey range is tight
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(dest + "/*.parquet")):
+        meta = pq.ParquetFile(f).metadata
+        st = meta.row_group(0).column(0).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # non-overlapping => stats prune across files
