@@ -373,3 +373,83 @@ def weighted_sample(
             F.col("__rn") <= k
         ).drop("__rn")
     return out.drop("__wkey")
+
+
+#: Content-defined chunking knobs: rolling window, boundary probability
+#: 1/CDC_MASK_MOD per position, and the min/max chunk bounds.
+CDC_WINDOW = 8
+CDC_MASK_MOD = 64
+CDC_MIN_CHUNK = 16
+CDC_MAX_CHUNK = 256
+
+
+def chunk_cdc(
+    docs: DataFrame,
+    window: int = CDC_WINDOW,
+    mask_mod: int = CDC_MASK_MOD,
+    min_chunk: int = CDC_MIN_CHUNK,
+    max_chunk: int = CDC_MAX_CHUNK,
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking: boundaries where the rolling window's
+    hash satisfies a mask, instead of fixed strides.
+
+    Why a training pipeline wants it: fixed-stride chunks SHIFT when a
+    document is edited or re-crawled with a new header -- every chunk
+    downstream of the edit changes identity, so chunk-level dedup and
+    caching miss everything. Content-defined boundaries re-synchronize
+    within one window of an edit (the storage-dedup CDC property), so
+    unchanged text keeps its chunk identity across corpus versions.
+
+    Declarative rendering -- the whole algorithm is Catalyst array
+    expressions inside one projection, no UDF, no shuffle:
+    1. candidate boundaries = positions whose trailing ``window``-gram
+       hashes to 0 mod ``mask_mod`` (xxhash64 on the substring);
+    2. a left FOLD (`aggregate`) enforces ``min_chunk`` by skipping
+       candidates too close to the last accepted one -- the inherently
+       sequential step, expressed as the fold it is;
+    3. gaps over ``max_chunk`` split by stride (forced boundaries);
+    4. posexplode emits (doc_id, chunk_idx, chunk).
+
+    Output chunks concatenate back to the exact original text. NULL
+    and empty texts emit no chunks; short docs (< window) are one
+    chunk. Sub-``min_chunk`` chunks occur only as the document tail or
+    as the remainder right after a forced ``max_chunk`` split (forced
+    boundaries are position-, not content-, defined by necessity).
+    """
+    cand = (
+        f"CASE WHEN length(__t) >= {window} THEN"
+        f" filter(sequence({window}, length(__t)),"
+        f" p -> pmod(xxhash64(substring(__t, p - {window} + 1, {window})),"
+        f" {mask_mod}) = 0)"
+        f" ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    accepted = (
+        f"aggregate({cand}, array(0),"
+        f" (acc, b) -> CASE WHEN b - element_at(acc, -1) >= {min_chunk}"
+        f" AND b < length(__t)"
+        f" THEN concat(acc, array(b)) ELSE acc END)"
+    )
+    bounds = f"concat({accepted}, array(length(__t)))"
+    pairs = (
+        f"flatten(transform("
+        f" transform(sequence(1, size({bounds}) - 1),"
+        f"  i -> struct(element_at({bounds}, i) AS lo,"
+        f"              element_at({bounds}, i + 1) AS hi)),"
+        f" pr -> transform(sequence(pr.lo, pr.hi - 1, {max_chunk}),"
+        f"  s -> struct(s AS lo, least(s + {max_chunk}, pr.hi) AS hi))))"
+    )
+    return (
+        docs.where(F.col(text_col).isNotNull() & (F.length(text_col) > 0))
+        .select("doc_id", F.col(text_col).alias("__t"))
+        .select(
+            "doc_id",
+            "__t",
+            F.posexplode(F.expr(pairs)).alias("chunk_idx", "pr"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("substring(__t, pr.lo + 1, pr.hi - pr.lo)").alias("chunk"),
+        )
+    )

@@ -876,3 +876,75 @@ def test_grouped_lm_equals_per_language_global(spark, sf_dir):
                 lang,
                 r["doc_id"],
             )
+
+
+# --- content-defined chunking -----------------------------------------------
+
+
+def _cdc_chunks(spark, rows, **kw):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        chunk_cdc,
+    )
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {}
+    for r in chunk_cdc(df, **kw).collect():
+        out.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    return {k: [c for _, c in sorted(v)] for k, v in out.items()}
+
+
+def test_cdc_chunks_reassemble_and_respect_bounds(spark, sf_dir):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        CDC_MAX_CHUNK,
+        CDC_MIN_CHUNK,
+        chunk_cdc,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    texts = {r["doc_id"]: r["text"] for r in docs.collect() if r["text"]}
+    got = {}
+    for r in chunk_cdc(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    assert set(got) == set(texts)
+    for did, pieces in got.items():
+        chunks = [c for _, c in sorted(pieces)]
+        assert "".join(chunks) == texts[did]
+        for i, c in enumerate(chunks):
+            assert len(c) <= CDC_MAX_CHUNK, (did, len(c))
+            # sub-min chunks exist only as the doc tail or the short
+            # remainder right after a forced max-length split
+            if len(c) < CDC_MIN_CHUNK and i != len(chunks) - 1:
+                assert len(chunks[i - 1]) == CDC_MAX_CHUNK, (did, i, len(c))
+
+
+def test_cdc_boundaries_survive_a_prefix_edit(spark):
+    """THE content-defined property: prepending a header re-synchronizes
+    within a window, so most chunks keep their identity -- where fixed
+    strides shift every chunk after the edit."""
+    import hashlib
+
+    base = " ".join(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(60)
+    )  # ~2k chars of stable pseudo-text
+    out = _cdc_chunks(
+        spark, [(1, base), (2, "EDITED HEADER >>> " + base)]
+    )
+    shared = set(out[1]) & set(out[2])
+    assert len(shared) / len(out[1]) > 0.6, (len(shared), len(out[1]))
+
+    # fixed-stride contrast: the same edit shifts every window
+    stride = 64
+    fixed1 = {base[i : i + stride] for i in range(0, len(base), stride)}
+    edited = "EDITED HEADER >>> " + base
+    fixed2 = {edited[i : i + stride] for i in range(0, len(edited), stride)}
+    assert len(fixed1 & fixed2) / len(fixed1) < 0.1
+
+
+def test_cdc_edge_shapes(spark):
+    out = _cdc_chunks(
+        spark,
+        [(1, "short"), (2, None), (3, "")],
+    )
+    assert out.get(1) == ["short"]  # sub-window doc = one chunk
+    assert 2 not in out and 3 not in out  # NULL/empty emit nothing
