@@ -481,3 +481,42 @@ def show_verification(df: DataFrame, n: int = 5) -> None:
     extract_bitcoin_prices.py:199,203). Driver-side display of a bounded
     prefix -- never used on unbounded results in pipelines."""
     df.show(n, truncate=False)
+
+
+def corpus_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: which documents were
+    ADDED, REMOVED, or CHANGED (same id, different content digest) --
+    the audit a training run wants before retraining on a refreshed
+    corpus, and the input to incremental re-processing (only 'added' +
+    'changed' need re-scoring/re-chunking).
+
+    One full-outer join on the id with both sides pruned to
+    (id, digest): content bytes never load, so the diff costs two
+    digest-column scans + one join however wide the rows are. Returns
+    (id, status, old_digest, new_digest) for every non-identical row;
+    unchanged documents are omitted (the overwhelming mass of a refresh
+    -- emitting them would make the diff corpus-sized).
+    """
+    old = spark.read.parquet(old_path).select(
+        F.col(id_col).alias("id"), F.col(digest_col).alias("old_digest")
+    )
+    new = spark.read.parquet(new_path).select(
+        F.col(id_col).alias("id"), F.col(digest_col).alias("new_digest")
+    )
+    joined = old.join(new, "id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), "added")
+        .when(F.col("new_digest").isNull(), "removed")
+        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+    )
+    return (
+        joined.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .select(F.col("id").alias(id_col), "status", "old_digest", "new_digest")
+    )

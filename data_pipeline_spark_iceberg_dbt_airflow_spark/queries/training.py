@@ -416,6 +416,13 @@ def chunk_cdc(
     chunk. Sub-``min_chunk`` chunks occur only as the document tail or
     as the remainder right after a forced ``max_chunk`` split (forced
     boundaries are position-, not content-, defined by necessity).
+
+    Cost note: the min-gap fold copies its accumulator per accepted
+    candidate, so per-document work is O(candidates^2 / ...) in the
+    worst case -- irrelevant for web-scale documents (KBs: tens of
+    candidates) but a megabyte-scale document should be pre-split (or
+    the mask_mod raised) before this pass; the mapInPandas tier is the
+    escape hatch if such documents dominate.
     """
     cand = (
         f"CASE WHEN length(__t) >= {window} THEN"

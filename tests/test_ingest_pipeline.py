@@ -529,3 +529,24 @@ def test_read_evolving_schema_union_and_contract(spark, tmp_path):
     assert set(pinned.columns) == {"id", "score"}  # name: pruned out
     got = {r["id"]: r["score"] for r in pinned.collect()}
     assert got == rows
+
+
+def test_corpus_diff_classifies_added_removed_changed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import corpus_diff
+
+    def snap(path, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").select(
+            "doc_id", "text", F.md5("text").alias("digest")
+        ).write.parquet(path)
+
+    old, new = str(tmp_path / "v1"), str(tmp_path / "v2")
+    snap(old, [(1, "same"), (2, "will change"), (3, "will vanish")])
+    snap(new, [(1, "same"), (2, "changed!"), (4, "brand new")])
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(spark, old, new).collect()
+    }
+    assert got == {2: "changed", 3: "removed", 4: "added"}  # 1 omitted
