@@ -65,3 +65,62 @@ def test_every_query_survives_empty_inputs(spark, empty_sf_dir):
         except Exception as ex:  # collect all, report once
             failures.append(f"{name}: {type(ex).__name__} {str(ex)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def test_round4_operators_survive_empty_inputs(spark, tmp_path):
+    """The non-registry round-4 operators hold the same contract the
+    registry's empty sweep enforces: empty in, empty (or well-defined
+    degenerate) out -- never a crash."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import corpus_diff
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.bloom import (
+        blocklist_screen,
+        bloom_build,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.sketches import (
+        cms_build,
+        cms_estimate,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        strip_boilerplate,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+        lm_score_docs,
+        train_bigram_lm,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        chunk_cdc,
+        weighted_sample,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    empty_keys = spark.createDataFrame([], "k string")
+    corpus = spark.createDataFrame([(1, "alive")], "doc_id long, k string")
+
+    assert chunk_cdc(empty_docs).count() == 0
+    assert strip_boilerplate(empty_docs).count() == 0
+    assert hash_embed(empty_docs).count() == 0
+    uni, bi, n, v = train_bigram_lm(empty_docs)
+    assert (n, v) == (0, 0)
+    assert lm_score_docs(empty_docs, uni, bi, n, v).count() == 0
+    assert (
+        weighted_sample(
+            empty_docs.withColumn("w", F.lit(1.0)), 5, "w"
+        ).count()
+        == 0
+    )
+    assert bloom_build(empty_keys, "k", num_bits=64) == [0]
+    # empty blocklist: everything passes
+    kept = blocklist_screen(corpus, empty_keys, "k")
+    assert kept.count() == 1
+    sk = cms_build(empty_keys.select(F.col("k").alias("token")), "token", 64)
+    assert sk.count() == 0
+    probes = spark.createDataFrame([("x",)], "token string")
+    assert cms_estimate(sk, probes, "token", 64).collect()[0]["est"] == 0
+
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    for p in (a, b):
+        spark.createDataFrame([], "doc_id long, digest string").write.parquet(p)
+    assert corpus_diff(spark, a, b).count() == 0
