@@ -69,3 +69,41 @@ def test_text_families_survive_unicode(spark, unicode_sf_dir):
         except Exception as ex:
             failures.append(f"{name}: {type(ex).__name__} {str(ex)[:160]}")
     assert not failures, "\n".join(failures)
+
+
+def test_round4_text_operators_handle_unicode_and_nulls(spark):
+    """CDC chunks reassemble codepoint-exact unicode text; hash_embed
+    and strip_boilerplate tolerate NULL text alongside emoji/CJK."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        strip_boilerplate,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        chunk_cdc,
+    )
+
+    uni = "héllo wörld éè 数据处理流水线 🚀🔥 " * 20
+    docs = spark.createDataFrame(
+        [(1, uni), (2, None), (3, "ascii only text here")],
+        "doc_id long, text string",
+    )
+    pieces = {}
+    for r in chunk_cdc(docs).collect():
+        pieces.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk"]))
+    assert "".join(c for _, c in sorted(pieces[1])) == uni  # codepoint-exact
+    assert 2 not in pieces
+
+    vecs = {r["doc_id"]: r["embedding"] for r in hash_embed(docs).collect()}
+    assert len(vecs) == 3 and all(x == 0.0 for x in vecs[2])  # NULL -> zero
+
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(docs).collect()}
+    assert out[2] is None  # NULL passes through
+    # the x20-repeated unicode doc is pure intra-doc repetition =
+    # boilerplate by definition -> strips to empty; the unique ascii
+    # doc survives intact (modulo token normalization)
+    assert out[1] == ""
+    assert out[3] == "ascii only text here"
