@@ -287,6 +287,12 @@ def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", _doc_hash().alias("h")
     )
+    return _shuffle_positions(docs)
+
+
+def _shuffle_positions(docs: DataFrame) -> DataFrame:
+    """2-phase global rank over the ``h`` hash column (the shared core
+    of the registry query and the per-epoch variant below)."""
     # Bucket = first hex byte of the hash: 256 buckets, hash-uniform sizes.
     # Because bucket is a PREFIX of h, ordering by (bucket, h) == ordering
     # by h: bucket-local ranks + bucket offsets reproduce the global rank.
@@ -315,6 +321,28 @@ def train_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_pos")).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+def epoch_shuffle(docs: DataFrame, epoch: int) -> DataFrame:
+    """A fresh deterministic permutation per training EPOCH: the hash
+    channel is salted with the epoch number, so every epoch re-orders
+    the corpus independently while any (epoch, corpus) pair reproduces
+    exactly -- the property a resumable multi-epoch run needs (restart
+    epoch 3 and get epoch 3's order, not a new random one).
+
+    Same 2-phase shape and cost as ``train_global_shuffle``; at 100 TB
+    each epoch's permutation is priced once at shard-write time
+    (``io.write_training_shards``), which is where a real run pays it.
+    """
+    h = F.md5(
+        F.encode(
+            F.concat(
+                F.lit(f"epoch{int(epoch)}|"), F.col("doc_id").cast("string")
+            ),
+            "UTF-8",
+        )
+    )
+    return _shuffle_positions(docs.select("doc_id", h.alias("h")))
 
 
 def weighted_sample(

@@ -948,3 +948,26 @@ def test_cdc_edge_shapes(spark):
     )
     assert out.get(1) == ["short"]  # sub-window doc = one chunk
     assert 2 not in out and 3 not in out  # NULL/empty emit nothing
+
+
+def test_epoch_shuffle_independent_reproducible_permutations(spark, sf_dir):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        epoch_shuffle,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    perms = {}
+    for ep in (0, 1, 2):
+        out = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(docs, ep).collect()}
+        assert sorted(out.values()) == list(range(1, n + 1))  # a bijection
+        perms[ep] = out
+    # epochs differ from each other...
+    assert perms[0] != perms[1] != perms[2]
+    # ...substantially (not a near-identity drift)
+    moved = sum(1 for d in perms[0] if perms[0][d] != perms[1][d])
+    assert moved > n * 0.9
+    # and every epoch reproduces exactly
+    again = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(docs.repartition(7), 1).collect()}
+    assert again == perms[1]
