@@ -488,3 +488,69 @@ def chunk_cdc(
             F.expr("substring(__t, pr.lo + 1, pr.hi - pr.lo)").alias("chunk"),
         )
     )
+
+
+def plan_mixture(
+    per_source_tokens: dict[str, int],
+    weights: dict[str, float],
+    budget_tokens: int,
+    allow_repetition: bool = False,
+) -> dict[str, dict]:
+    """Turn a token budget + desired mixture weights into per-source
+    sampling rates -- the planning step in front of the deterministic
+    mixture channel (``train_sample_split``'s n_mixture thresholds).
+
+    Each source's target is its normalized weight's share of the
+    budget. A source smaller than its target either REPEATS
+    (``allow_repetition``: rate > 1 = epochs over that source, the
+    standard up-weighting) or caps at rate 1.0 with its deficit
+    WATER-FILLED onto the remaining sources by weight -- iterated
+    until stable, so the budget is met exactly whenever the corpus can
+    meet it. Driver-side arithmetic over the (tiny) source list; the
+    resulting rate maps onto the scan-local hash predicate as
+    ``substr(md5('mix|'||id),1,2) < hex(round(rate*256))`` -- the same
+    channel the registry query uses, so planned mixtures inherit its
+    backfill stability.
+
+    Returns {source: {target_tokens, rate, sampled_tokens}}.
+    """
+    w_total = sum(weights[s] for s in per_source_tokens)
+    if w_total <= 0:
+        raise ValueError("mixture weights must sum to a positive value")
+    out = {
+        s: {"target_tokens": budget_tokens * weights[s] / w_total}
+        for s in per_source_tokens
+    }
+    if allow_repetition:
+        for s, e in out.items():
+            have = per_source_tokens[s]
+            e["rate"] = e["target_tokens"] / have if have else 0.0
+            e["sampled_tokens"] = e["target_tokens"] if have else 0.0
+        return out
+    active = {s for s, n in per_source_tokens.items() if n > 0}
+    remaining = float(budget_tokens)
+    for s in set(out) - active:
+        out[s].update(rate=0.0, sampled_tokens=0.0)
+    while active:
+        aw = sum(weights[s] for s in active)
+        if aw <= 0:
+            break
+        capped = {
+            s
+            for s in active
+            if remaining * weights[s] / aw >= per_source_tokens[s]
+        }
+        if not capped:
+            for s in active:
+                tgt = remaining * weights[s] / aw
+                out[s].update(
+                    rate=tgt / per_source_tokens[s], sampled_tokens=tgt
+                )
+            break
+        for s in capped:
+            out[s].update(
+                rate=1.0, sampled_tokens=float(per_source_tokens[s])
+            )
+            remaining -= per_source_tokens[s]
+        active -= capped
+    return out

@@ -971,3 +971,30 @@ def test_epoch_shuffle_independent_reproducible_permutations(spark, sf_dir):
     # and every epoch reproduces exactly
     again = {r["doc_id"]: r["shuffle_pos"] for r in epoch_shuffle(docs.repartition(7), 1).collect()}
     assert again == perms[1]
+
+
+def test_plan_mixture_water_fills_and_repeats():
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.training import (
+        plan_mixture,
+    )
+
+    have = {"A": 100, "B": 1000, "C": 10000}
+    weights = {"A": 0.5, "B": 0.25, "C": 0.25}
+
+    plan = plan_mixture(have, weights, budget_tokens=2000)
+    # A can't fill its 1000-token target: caps at rate 1, the 900-token
+    # deficit water-fills equally onto B and C
+    assert plan["A"]["rate"] == 1.0 and plan["A"]["sampled_tokens"] == 100
+    assert plan["B"]["sampled_tokens"] == plan["C"]["sampled_tokens"] == 950
+    assert abs(plan["B"]["rate"] - 0.95) < 1e-12
+    assert sum(e["sampled_tokens"] for e in plan.values()) == 2000
+
+    rep = plan_mixture(have, weights, budget_tokens=2000, allow_repetition=True)
+    assert rep["A"]["rate"] == 10.0  # 10 epochs over the small source
+    assert rep["B"]["rate"] == 0.5 and rep["C"]["rate"] == 0.05
+    assert sum(e["sampled_tokens"] for e in rep.values()) == 2000
+
+    # an empty source contributes nothing and breaks nothing
+    plan2 = plan_mixture({"A": 0, "B": 1000}, {"A": 0.5, "B": 0.5}, 500)
+    assert plan2["A"]["rate"] == 0.0
+    assert plan2["B"]["sampled_tokens"] == 500
