@@ -72,6 +72,22 @@ def _build_parser() -> argparse.ArgumentParser:
     cp.add_argument("--out", required=True)
     cp.add_argument("--files", type=int, default=32)
     cp.add_argument("--sort", default=None, help="establish this sort order")
+
+    df_ = sub.add_parser("diff", help="diff two corpus snapshots by digest")
+    df_.add_argument("old")
+    df_.add_argument("new")
+    df_.add_argument("--id", default="doc_id")
+    df_.add_argument("--digest", default="digest")
+
+    pm = sub.add_parser("plan", help="token-budget mixture plan per source")
+    pm.add_argument("--sf", default=DEFAULT_SF)
+    pm.add_argument("--budget", type=int, required=True, help="token budget")
+    pm.add_argument(
+        "--weights",
+        default=None,
+        help="src=weight,src=weight (default: uniform over sources)",
+    )
+    pm.add_argument("--repeat", action="store_true", help="allow repetition")
     return p
 
 
@@ -165,6 +181,56 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             spark, args.src, args.out, args.files, sort_col=args.sort
         )
         print(f"compacted {args.src}: {before} -> {after} files at {args.out}")
+        return 0
+
+    if args.cmd == "diff":
+        from .io import corpus_diff
+
+        out = corpus_diff(
+            spark, args.old, args.new, id_col=args.id, digest_col=args.digest
+        )
+        counts = {
+            r["status"]: r["count"]
+            for r in out.groupBy("status").count().collect()
+        }
+        for status in ("added", "removed", "changed"):
+            print(f"{status}\t{counts.get(status, 0)}")
+        return 0
+
+    if args.cmd == "plan":
+        from pyspark.sql import functions as F
+
+        from .io import read_table
+        from .queries.text import text_profile
+        from .queries.training import plan_mixture
+
+        tokens = {
+            r["source"]: r["n"]
+            for r in read_table(spark, args.sf, "documents")
+            .join(
+                text_profile(spark, args.sf).select("doc_id", "bpe_tokens"),
+                "doc_id",
+            )
+            .groupBy("source")
+            .agg(F.sum("bpe_tokens").alias("n"))
+            .collect()
+        }
+        if args.weights:
+            weights = {
+                k: float(v)
+                for k, v in (kv.split("=") for kv in args.weights.split(","))
+            }
+        else:
+            weights = {s: 1.0 for s in tokens}
+        plan = plan_mixture(
+            tokens, weights, args.budget, allow_repetition=args.repeat
+        )
+        for src in sorted(plan):
+            e = plan[src]
+            print(
+                f"{src}\thave={tokens[src]}\ttarget={e['target_tokens']:.0f}"
+                f"\trate={e['rate']:.4f}\tsampled={e['sampled_tokens']:.0f}"
+            )
         return 0
 
     if args.cmd == "check":

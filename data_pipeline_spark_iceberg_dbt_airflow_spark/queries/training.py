@@ -514,7 +514,8 @@ def plan_mixture(
 
     Returns {source: {target_tokens, rate, sampled_tokens}}.
     """
-    w_total = sum(weights[s] for s in per_source_tokens)
+    weights = {s: weights.get(s, 0.0) for s in per_source_tokens}
+    w_total = sum(weights.values())
     if w_total <= 0:
         raise ValueError("mixture weights must sum to a positive value")
     out = {

@@ -543,3 +543,24 @@ def test_manifest_describes_the_dag(spark, sf_dir, capsys):
     parsed = json.loads(capsys.readouterr().out)
     assert parsed["config"]["retries"] == 1
     assert set(parsed["execution_order"]) == set(parsed["models"])
+
+
+def test_cli_diff_and_plan(spark, sf_dir, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    old, new = str(tmp_path / "v1"), str(tmp_path / "v2")
+    spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("digest")
+    ).write.parquet(old)
+    spark.createDataFrame([(1, "a"), (3, "c")], "doc_id long, text string").select(
+        "doc_id", F.md5("text").alias("digest")
+    ).write.parquet(new)
+    assert main(["diff", old, new], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "added\t1" in out and "removed\t1" in out and "changed\t0" in out
+
+    assert main(["plan", "--sf", sf_dir, "--budget", "10000"], spark=spark) == 0
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if "rate=" in ln]
+    assert lines and all("sampled=" in ln for ln in lines)
