@@ -390,7 +390,13 @@ def _bucket_col() -> Column:
     f"{QUANT_RERANK_N} per query join back to fetch full vectors, and "
     "the exact-cosine rerank keeps the final top-k -- the memory-bound "
     "ANN pattern (4x less scan bandwidth; candidate fetch is a tiny "
-    "broadcast join, vectors never ride through the ranking shuffle).",
+    "broadcast join, vectors never ride through the ranking shuffle). "
+    "method='kseed' (round 4) is the k-means ASSIGNMENT operator under "
+    "the driver contract: every vector labeled with its nearest of the "
+    f"{KSEED_K} md5-ranked seed vectors (operators/kmeans.py seeding), "
+    "id_b = cell, cosine column = squared distance -- the zero-shuffle "
+    "literal-inlined argmin, hash-checked against the oracle's "
+    "strict-fold recomputation.",
     bench=True,
     tags=("similarity", "llm-data", "lsh", "dedup"),
 )
