@@ -503,11 +503,17 @@ def corpus_diff(
     unchanged documents are omitted (the overwhelming mass of a refresh
     -- emitting them would make the diff corpus-sized).
     """
-    old = spark.read.parquet(old_path).select(
-        F.col(id_col).alias("id"), F.col(digest_col).alias("old_digest")
+    # NULL ids are excluded on both sides: a null join key would
+    # misclassify the same row as both added and removed.
+    old = (
+        spark.read.parquet(old_path)
+        .where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(digest_col).alias("old_digest"))
     )
-    new = spark.read.parquet(new_path).select(
-        F.col(id_col).alias("id"), F.col(digest_col).alias("new_digest")
+    new = (
+        spark.read.parquet(new_path)
+        .where(F.col(id_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(digest_col).alias("new_digest"))
     )
     joined = old.join(new, "id", "full_outer")
     status = (

@@ -143,7 +143,7 @@ def compact_parquet(
     plain-Parquet rendering.
     """
     df = spark.read.parquet(src)
-    before = df.rdd.getNumPartitions()
+    before = _count_parquet_files(spark, src)
     out = (
         df.repartitionByRange(num_files, sort_col).sortWithinPartitions(
             sort_col
@@ -152,5 +152,17 @@ def compact_parquet(
         else df.repartition(num_files)
     )
     out.write.mode("overwrite").parquet(dest)
-    after = spark.read.parquet(dest).rdd.getNumPartitions()
-    return before, after
+    return before, _count_parquet_files(spark, dest)
+
+
+def _count_parquet_files(spark, path: str) -> int:
+    """Actual data-file count via the Hadoop FileSystem (read-split
+    counts would over-report: one large file scans as many splits)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.getPath().getName().endswith(".parquet")
+    )
