@@ -802,3 +802,70 @@ def strip_boilerplate(
         )
     )
     return rewritten
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-hygiene screen: val/test documents that NEAR-DUPLICATE a
+    train document -- the leakage that silently inflates every held-out
+    metric and that per-doc decontamination misses (the eval doc is not
+    IN the training set, a near-copy of it is).
+
+    Composes the existing machinery end to end: the verified near-dup
+    pair graph (shared persisted shingle index) joined against the
+    deterministic hash split (``train_sample_split``'s thresholds), kept
+    where a pair crosses the train/eval boundary. Output: one row per
+    leaked eval doc with its closest train counterpart.
+
+    Scale shape: the pair graph is the expensive part and is already
+    built/bounded by the near-dup operator; the split is a scan-local
+    projection; the boundary check is a projection over the (tiny)
+    verified pair set. The remedy -- drop or re-split the leaked docs --
+    is one anti-join, same as decontamination.
+    """
+    pairs = _pair_jaccard(shingled_docs(spark, sf_dir))
+    pfx = F.substring(
+        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
+    )
+    split = (
+        F.when(pfx < "cc", "train").when(pfx < "e6", "val").otherwise("test")
+    )
+    splits = read_table(spark, sf_dir, "documents").select(
+        "doc_id", split.alias("split")
+    )
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    crossed = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            ((F.col("split_a") == "train") & (F.col("split_b") != "train"))
+            | ((F.col("split_b") == "train") & (F.col("split_a") != "train"))
+        )
+    )
+    eval_doc = F.when(F.col("split_a") == "train", F.col("doc_b")).otherwise(
+        F.col("doc_a")
+    )
+    train_doc = F.when(F.col("split_a") == "train", F.col("doc_a")).otherwise(
+        F.col("doc_b")
+    )
+    eval_split = F.when(
+        F.col("split_a") == "train", F.col("split_b")
+    ).otherwise(F.col("split_a"))
+    w = Window.partitionBy("eval_doc").orderBy(
+        F.desc("jaccard"), F.asc("train_doc")
+    )
+    return (
+        crossed.select(
+            eval_doc.alias("eval_doc"),
+            eval_split.alias("eval_split"),
+            train_doc.alias("train_doc"),
+            "jaccard",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

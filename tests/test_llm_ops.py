@@ -998,3 +998,37 @@ def test_plan_mixture_water_fills_and_repeats():
     plan2 = plan_mixture({"A": 0, "B": 1000}, {"A": 0.5, "B": 0.5}, 500)
     assert plan2["A"]["rate"] == 0.0
     assert plan2["B"]["sampled_tokens"] == 500
+
+
+def test_split_leakage_finds_cross_split_neardups(spark, sf_dir):
+    """Every leaked eval doc reported by the screen must (a) really be
+    in val/test, (b) near-dup a genuine train doc, and (c) the screen
+    must find EVERY cross-boundary verified pair's eval side."""
+    import hashlib
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        split_leakage,
+    )
+
+    rows = split_leakage(spark, sf_dir).collect()
+    assert rows, "fixture corpus has planted near-dups; some must cross splits"
+
+    def split_of(doc_id):
+        p = hashlib.md5(str(doc_id).encode()).hexdigest()[:2]
+        return "train" if p < "cc" else ("val" if p < "e6" else "test")
+
+    pairs = all_queries()["dedup_neardup_verified"].spark_fn(spark, sf_dir)
+    crossing = {
+        (r["doc_a"], r["doc_b"])
+        for r in pairs.where("method = 'ngram'").collect()
+        if (split_of(r["doc_a"]) == "train") != (split_of(r["doc_b"]) == "train")
+    }
+    leaked_expected = {
+        (b if split_of(a) == "train" else a) for a, b in crossing
+    }
+    got = {r["eval_doc"] for r in rows}
+    assert got == leaked_expected
+    for r in rows:
+        assert split_of(r["eval_doc"]) == r["eval_split"] != "train"
+        assert split_of(r["train_doc"]) == "train"
+        assert r["jaccard"] >= 0.5  # the near-dup verification threshold
