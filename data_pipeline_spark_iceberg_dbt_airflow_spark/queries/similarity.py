@@ -5,10 +5,10 @@ IVF- and LSH-bucketed top-k as the scale paths, threshold pair mining
 (embedding-cosine near-dup), and an Arrow-vectorized pandas_udf variant
 (the UDF surface, SURVEY.md §2.10 X2).
 
-Registry budget note (round 3): 3 entries (was 5) -- the three bucketed
-ANN shapes (IVF top-k, LSH top-k, in-cell pair mining) share one output
-schema and merge under a ``method`` marker; each branch keeps its own
-genuine plan (broadcast equi-join on its bucket id).
+Registry budget note: the bucketed ANN shapes share one output schema
+and merge under a ``method`` marker in a single driver entry -- five
+branches as of round 4 (ivf, lsh, q8 retrieve-rerank, in-cell pairs,
+kseed assignment); each branch keeps its own genuine plan.
 
 Numeric determinism: both engines cast float32 elements to double and fold
 the product sum strictly left-to-right (Spark ``aggregate`` over

@@ -96,3 +96,19 @@ def test_bruteforce_topk_shuffles_scores_not_vectors(spark, sf_dir):
     assert m.shuffle_records > 0
     per_record = m.shuffle_bytes / m.shuffle_records
     assert per_record < 128, (per_record, m)
+
+
+def test_neardup_shuffles_stay_digest_width(spark, sf_dir):
+    """Near-dup's shuffles carry shingle ids / signature longs / doc id
+    pairs -- never text. Measured: average shuffled record width stays
+    far below the average document."""
+    docs = read_table(spark, sf_dir, "documents")
+    stats = docs.agg(
+        F.sum(F.length("text")).alias("b"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    avg_doc = stats["b"] / stats["n"]
+    q = all_queries()["dedup_neardup_verified"].spark_fn(spark, sf_dir)
+    rows, m = measure(q)
+    assert len(rows) > 0 and m.shuffle_records > 0
+    per_record = m.shuffle_bytes / m.shuffle_records
+    assert per_record < avg_doc / 4, (per_record, avg_doc, m)
