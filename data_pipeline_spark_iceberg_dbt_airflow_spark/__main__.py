@@ -88,6 +88,12 @@ def _build_parser() -> argparse.ArgumentParser:
         help="src=weight,src=weight (default: uniform over sources)",
     )
     pm.add_argument("--repeat", action="store_true", help="allow repetition")
+
+    rc = sub.add_parser("recall", help="ANN recall@k per branch vs exact")
+    rc.add_argument("--sf", default=DEFAULT_SF)
+
+    lk = sub.add_parser("leakage", help="val/test docs near-duplicating train")
+    lk.add_argument("--sf", default=DEFAULT_SF)
     return p
 
 
@@ -231,6 +237,25 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
                 f"{src}\thave={tokens[src]}\ttarget={e['target_tokens']:.0f}"
                 f"\trate={e['rate']:.4f}\tsampled={e['sampled_tokens']:.0f}"
             )
+        return 0
+
+    if args.cmd == "recall":
+        from .queries.similarity import recall_report
+
+        for method, r in recall_report(spark, args.sf).items():
+            print(f"{method}\t{r:.4f}")
+        return 0
+
+    if args.cmd == "leakage":
+        from .queries.dedup import split_leakage
+
+        rows = split_leakage(spark, args.sf).collect()
+        for r in rows:
+            print(
+                f"{r['eval_doc']}\t{r['eval_split']}\t"
+                f"train={r['train_doc']}\tjaccard={r['jaccard']:.3f}"
+            )
+        print(f"# {len(rows)} leaked eval docs", file=sys.stderr)
         return 0
 
     if args.cmd == "check":

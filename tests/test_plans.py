@@ -564,3 +564,15 @@ def test_cli_diff_and_plan(spark, sf_dir, tmp_path, capsys):
     assert main(["plan", "--sf", sf_dir, "--budget", "10000"], spark=spark) == 0
     lines = [ln for ln in capsys.readouterr().out.splitlines() if "rate=" in ln]
     assert lines and all("sampled=" in ln for ln in lines)
+
+
+def test_cli_recall_and_leakage(spark, sf_dir, capsys):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    assert main(["recall", "--sf", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "q8\t1.0000" in out and "ivf\t" in out and "lsh\t" in out
+
+    assert main(["leakage", "--sf", sf_dir], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "jaccard=" in out  # the fixture's planted dups cross splits
