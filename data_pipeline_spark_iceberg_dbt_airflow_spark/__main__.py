@@ -94,6 +94,9 @@ def _build_parser() -> argparse.ArgumentParser:
 
     lk = sub.add_parser("leakage", help="val/test docs near-duplicating train")
     lk.add_argument("--sf", default=DEFAULT_SF)
+
+    rp = sub.add_parser("report", help="per-source corpus report card")
+    rp.add_argument("--sf", default=DEFAULT_SF)
     return p
 
 
@@ -256,6 +259,12 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
                 f"train={r['train_doc']}\tjaccard={r['jaccard']:.3f}"
             )
         print(f"# {len(rows)} leaked eval docs", file=sys.stderr)
+        return 0
+
+    if args.cmd == "report":
+        from .quality.report import corpus_report
+
+        corpus_report(spark, args.sf).show(100, truncate=False)
         return 0
 
     if args.cmd == "check":

@@ -1032,3 +1032,32 @@ def test_split_leakage_finds_cross_split_neardups(spark, sf_dir):
         assert split_of(r["eval_doc"]) == r["eval_split"] != "train"
         assert split_of(r["train_doc"]) == "train"
         assert r["jaccard"] >= 0.5  # the near-dup verification threshold
+
+
+def test_corpus_report_card(spark, sf_dir):
+    """One row per source; volumes cover the corpus exactly; dup and
+    contamination counts agree with the underlying operators."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.quality.report import (
+        corpus_report,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    rep = corpus_report(spark, sf_dir).collect()
+    assert len(rep) == docs.select("source").distinct().count()
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+    assert all(0.0 <= r["mean_quality"] <= 1.0 for r in rep)
+    assert all(
+        r["ppl_p50_ce"] <= r["ppl_p95_ce"]
+        for r in rep
+        if r["ppl_p50_ce"] is not None
+    )
+    total_dup = sum(r["n_neardup"] for r in rep)
+    pairs = all_queries()["dedup_neardup_verified"].spark_fn(spark, sf_dir)
+    expected_dup = (
+        pairs.where("method = 'ngram'")
+        .selectExpr("explode(array(doc_a, doc_b)) AS d")
+        .distinct()
+        .count()
+    )
+    assert total_dup == expected_dup
