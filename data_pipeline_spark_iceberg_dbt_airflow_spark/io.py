@@ -505,21 +505,34 @@ def corpus_diff(
     """
     # NULL ids are excluded on both sides: a null join key would
     # misclassify the same row as both added and removed.
+    # Row EXISTENCE is probed via explicit markers, not digest nullity:
+    # a legitimately-NULL digest (e.g. md5 of NULL text) must not make a
+    # removed row look added or a changed row vanish.
     old = (
         spark.read.parquet(old_path)
         .where(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.col(digest_col).alias("old_digest"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(digest_col).alias("old_digest"),
+            F.lit(1).alias("in_old"),
+        )
     )
     new = (
         spark.read.parquet(new_path)
         .where(F.col(id_col).isNotNull())
-        .select(F.col(id_col).alias("id"), F.col(digest_col).alias("new_digest"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(digest_col).alias("new_digest"),
+            F.lit(1).alias("in_new"),
+        )
     )
     joined = old.join(new, "id", "full_outer")
     status = (
-        F.when(F.col("old_digest").isNull(), "added")
-        .when(F.col("new_digest").isNull(), "removed")
-        .when(F.col("old_digest") != F.col("new_digest"), "changed")
+        F.when(F.col("in_old").isNull(), "added")
+        .when(F.col("in_new").isNull(), "removed")
+        .when(
+            ~F.col("old_digest").eqNullSafe(F.col("new_digest")), "changed"
+        )
     )
     return (
         joined.withColumn("status", status)

@@ -155,9 +155,14 @@ def kmeans_fit(
     the exact fixpoint (decimal means unchanged) or after
     ``max_iterations``.
     """
+    # Reference dimension: the vector of the SMALLEST id -- deterministic
+    # under any partitioning, unlike an unordered limit(1) (a
+    # mixed-dimension corpus would otherwise fit a nondeterministic row
+    # subset run to run).
     first = (
         vectors.where(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("d"))
+        .select(F.col(id_col).alias("i"), F.size(vec_col).alias("d"))
+        .orderBy("i")
         .limit(1)
         .collect()
     )

@@ -52,7 +52,12 @@ from ..queries.text import (
     text_profile,
     train_bigram_lm_grouped,
 )
-from ..queries.training import CHUNK_SIZE, CHUNK_STRIDE, PACK_BUDGET, _doc_hash
+from ..queries.training import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    PACK_BUDGET,
+    split_col,
+)
 from .runner import Model, PipelineRunner, RunConfig
 
 #: Quality gate: drop the bottom of the quality-score distribution.
@@ -156,13 +161,7 @@ def build_llm_curation_pipeline(
     )
 
     def assigned(cur: DataFrame) -> DataFrame:
-        pfx = F.substring(_doc_hash(), 1, 2)
-        split = (
-            F.when(pfx < "cc", "train")
-            .when(pfx < "e6", "val")
-            .otherwise("test")
-        )
-        return cur.select("doc_id", "lang", split.alias("split"))
+        return cur.select("doc_id", "lang", split_col().alias("split"))
 
     runner.add(Model("assigned", assigned, refs=("curated",)))
 

@@ -740,10 +740,15 @@ def strip_boilerplate(
     boilerplate lines REMOVED (the RefinedWeb/C4 cleanup step that
     `dedup_exact_keep_first` level='line' only reports).
 
-    Output: (doc_id, text) over the normalized token stream -- segments
-    of LINE_TOKENS tokens whose digest occurs >= min_dup times anywhere
-    in the corpus are dropped, survivors re-join in order. NULL text
-    stays NULL; a document that was ALL boilerplate becomes ''.
+    Output: (doc_id, text) with ORIGINAL CASE preserved -- segments of
+    LINE_TOKENS case-preserved tokens whose LOWERCASED digest occurs >=
+    min_dup times anywhere in the corpus are dropped, survivors re-join
+    in order. Digests ride the same lowercased channel as the
+    level='line' mining output (lower() distributes over the
+    space-joined window, so the two channels agree byte for byte);
+    the one residual normalization is that whitespace RUNS collapse to
+    single spaces (tokenization cannot recover them). NULL text stays
+    NULL; a document that was ALL boilerplate becomes ''.
 
     Scale shape -- text never shuffles: the mining explode emits 16-byte
     line digests only; the frequent-digest table (corpus-sublinear)
@@ -760,11 +765,16 @@ def strip_boilerplate(
         f"transform(sequence(0, size(wt) - 1, {LINE_TOKENS}),"
         f" i -> concat_ws(' ', slice(wt, i + 1, {LINE_TOKENS})))"
     )
-    with_segs = docs.withColumn("wt", _tokens_col()).withColumn("segs", segs)
+    # case-PRESERVED tokens (whitespace-collapsed only); the digest
+    # lowercases per segment, matching _tokens_col()'s channel exactly
+    case_tokens = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    with_segs = docs.withColumn("wt", case_tokens).withColumn("segs", segs)
     digests = with_segs.select(
         "doc_id",
         F.explode(
-            F.expr("transform(segs, s -> md5(encode(s, 'UTF-8')))")
+            F.expr("transform(segs, s -> md5(encode(lower(s), 'UTF-8')))")
         ).alias("h"),
     )
     frequent = (
@@ -793,7 +803,7 @@ def strip_boilerplate(
                 F.array_join(
                     F.expr(
                         "filter(segs, s -> NOT array_contains("
-                        "freq_h, md5(encode(s, 'UTF-8'))))"
+                        "freq_h, md5(encode(lower(s), 'UTF-8'))))"
                     ),
                     " ",
                 )
@@ -822,15 +832,11 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified pair set. The remedy -- drop or re-split the leaked docs --
     is one anti-join, same as decontamination.
     """
+    from .training import split_col
+
     pairs = _pair_jaccard(shingled_docs(spark, sf_dir))
-    pfx = F.substring(
-        F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 2
-    )
-    split = (
-        F.when(pfx < "cc", "train").when(pfx < "e6", "val").otherwise("test")
-    )
     splits = read_table(spark, sf_dir, "documents").select(
-        "doc_id", split.alias("split")
+        "doc_id", split_col().alias("split")
     )
     sa = splits.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")

@@ -398,6 +398,7 @@ def lm_score_docs(
     vocab_size: int,
     lam: float = LM_LAMBDA,
     alpha: float = LM_ALPHA,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under the bigram LM -- the perplexity
     quality signal: natural text scores low, boilerplate/garbled/
@@ -411,12 +412,16 @@ def lm_score_docs(
     with fewer than 2 tokens score NULL.
 
     Plan shape: the exploded bigram stream joins the two model tables on
-    their keys (equi-joins against corpus-sublinear sides -- broadcast
-    when the model fits, shuffle-hash otherwise; never a product), and
+    their keys (equi-joins against corpus-sublinear sides; never a
+    product). ``broadcast_model=True`` (default, right when the model
+    fits executor memory) hints the model side; pass False on a corpus
+    whose distinct-bigram table outgrows broadcast so Spark picks a
+    partitioned join instead -- the hint is a knob, not hard-coded. And
     the per-doc mean accumulates log-probs in exact DECIMAL, so scores
     are bit-stable under repartitioning like every other float aggregate
     in this repo (functions/det.py discipline).
     """
+    hint = F.broadcast if broadcast_model else (lambda df: df)
     base_denom = float(total_tokens + alpha * vocab_size)
     toks = docs.select(F.col("doc_id"), _toks().alias("t"))
     stream = toks.select(
@@ -433,9 +438,9 @@ def lm_score_docs(
     c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     joined = (
-        stream.join(F.broadcast(bi), ["w1", "w2"], "left")
-        .join(F.broadcast(c1), "w1", "left")
-        .join(F.broadcast(c2), "w2", "left")
+        stream.join(hint(bi), ["w1", "w2"], "left")
+        .join(hint(c1), "w1", "left")
+        .join(hint(c2), "w2", "left")
     )
     p_bi = F.when(
         F.col("c1").isNotNull() & F.col("c12").isNotNull(),
@@ -594,6 +599,7 @@ def lm_score_docs_grouped(
     group_col: str = "lang",
     lam: float = LM_LAMBDA,
     alpha: float = LM_ALPHA,
+    broadcast_model: bool = True,
 ) -> DataFrame:
     """Per-document cross-entropy under the document's OWN group's LM.
 
@@ -611,11 +617,12 @@ def lm_score_docs_grouped(
     )
     c1 = uni.select("g", F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select("g", F.col("w").alias("w2"), F.col("c").alias("c2"))
+    hint = F.broadcast if broadcast_model else (lambda df: df)
     joined = (
-        stream.join(F.broadcast(bi), ["g", "w1", "w2"], "left")
-        .join(F.broadcast(c1), ["g", "w1"], "left")
-        .join(F.broadcast(c2), ["g", "w2"], "left")
-        .join(F.broadcast(totals), "g", "left")
+        stream.join(hint(bi), ["g", "w1", "w2"], "left")
+        .join(hint(c1), ["g", "w1"], "left")
+        .join(hint(c2), ["g", "w2"], "left")
+        .join(hint(totals), "g", "left")
     )
     p_bi = F.when(
         F.col("c1").isNotNull() & F.col("c12").isNotNull(),

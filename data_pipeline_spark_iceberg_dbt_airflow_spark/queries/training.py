@@ -62,6 +62,23 @@ PACK_BUDGET = 8192
 WEIGHTED_K = 100
 _WS_SEED = "ws1"
 
+#: Hash-split boundaries (hex prefixes of md5(doc_id)): < TRAIN -> train,
+#: < VAL -> val, else test (~80/10/10). THE single source of truth --
+#: the oracle SQL, the Spark split expression, the pipeline's assigned
+#: stage, and dedup.split_leakage all reference these.
+SPLIT_TRAIN_HEX = "cc"
+SPLIT_VAL_HEX = "e6"
+
+
+def split_col() -> F.Column:
+    """train/val/test assignment from md5(doc_id)'s first hex byte."""
+    pfx = F.substring(_doc_hash(), 1, 2)
+    return (
+        F.when(pfx < SPLIT_TRAIN_HEX, "train")
+        .when(pfx < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+    )
+
 
 def _doc_hash() -> F.Column:
     """md5 hex of the document key -- the deterministic 'randomness'."""
@@ -89,8 +106,10 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
         ),
         wsel AS (SELECT doc_id FROM wkeys ORDER BY k DESC, doc_id
                  LIMIT {WEIGHTED_K})
-        SELECT CASE WHEN substr({_ORACLE_HASH}, 1, 2) < 'cc' THEN 'train'
-                    WHEN substr({_ORACLE_HASH}, 1, 2) < 'e6' THEN 'val'
+        SELECT CASE WHEN substr({_ORACLE_HASH}, 1, 2) < '{SPLIT_TRAIN_HEX}'
+                         THEN 'train'
+                    WHEN substr({_ORACLE_HASH}, 1, 2) < '{SPLIT_VAL_HEX}'
+                         THEN 'val'
                     ELSE 'test' END AS split,
                lang,
                COUNT(*) AS n_docs,
@@ -131,9 +150,7 @@ _ORACLE_HASH = "md5(CAST(doc_id AS VARCHAR))"
 )
 def train_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = F.substring(_doc_hash(), 1, 2)
-    split = (
-        F.when(prefix < "cc", "train").when(prefix < "e6", "val").otherwise("test")
-    )
+    split = split_col()
     mix_pfx = F.substring(
         F.md5(
             F.encode(
@@ -554,4 +571,10 @@ def plan_mixture(
             )
             remaining -= per_source_tokens[s]
         active -= capped
+    # Sources the loop never reached (zero weight, or all weight went to
+    # capped sources) are drawn from at rate 0 -- every entry always
+    # carries the full key set.
+    for s, e in out.items():
+        e.setdefault("rate", 0.0)
+        e.setdefault("sampled_tokens", 0.0)
     return out

@@ -1061,3 +1061,27 @@ def test_corpus_report_card(spark, sf_dir):
         .count()
     )
     assert total_dup == expected_dup
+
+
+def test_strip_boilerplate_preserves_case(spark):
+    """The rewrite must NOT launder the corpus through the lowercased
+    dedup channel: original case survives, and boilerplate matching
+    still works case-insensitively (the mining channel is lowercased)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        strip_boilerplate,
+    )
+
+    header = "Terms Of Service Apply To All Content On This Site"  # 10 toks
+    body = "NASA Launched Artemis And The Mission Succeeded Again Today"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{header} {body}"),
+            (2, f"{header.lower()} other unique words fill this line now ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_boilerplate(docs).collect()}
+    # mixed-case and lowercased headers share a digest -> both stripped;
+    # surviving text keeps its original capitalization
+    assert out[1] == body
+    assert out[2] == "other unique words fill this line now ok"
