@@ -45,9 +45,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Bits per dimension. 16 bits x 4 dims = 64-bit z-value, the widest
-#: that fits a LongType without decimal math; 2^16 cells per dimension
-#: is far finer than row-group granularity needs.
+#: Bits per dimension. The interleaved z-value must stay within the 63
+#: value bits of a signed LongType (bit 63 is the sign bit and would
+#: mis-order repartitionByRange), so ndims * bits <= 63: 16 bits covers
+#: up to 3 dims; 4 dims need <= 15 bits (write_zordered auto-shrinks).
+#: 2^15-2^16 cells per dimension is far finer than row-group
+#: granularity needs.
 DEFAULT_BITS = 16
 
 
@@ -97,8 +100,11 @@ def write_zordered(
     One stats row, one range shuffle, one write. ``num_files`` sets the
     range partition count (at 100 TB, size it so files land near the
     row-group/HDFS-block sweet spot; combine with ``maxRecordsPerFile``
-    for a hard upper bound).
+    for a hard upper bound). ``bits`` is auto-shrunk to ``63 //
+    len(cols)`` so any dimension count fits the signed-long z-value
+    (e.g. 4 cols at the 16-bit default run at 15 bits).
     """
+    bits = min(bits, 63 // max(len(cols), 1))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"lo_{i}") for i, c in enumerate(cols)],
         *[F.max(F.col(c).cast("double")).alias(f"hi_{i}") for i, c in enumerate(cols)],

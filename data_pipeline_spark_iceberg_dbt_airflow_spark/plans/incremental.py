@@ -121,11 +121,18 @@ def incremental_dedup_append(
 
     Within the batch itself, keep-first-by-``order_col`` resolves
     intra-batch duplicates before the cross-corpus screen (same
-    semantics as ``dedup_exact_keep_first``). Returns the post-append
+    semantics as ``dedup_exact_keep_first``). NULL-key rows are DROPPED
+    at ingest: a NULL content digest is not ingestable content, and
+    keeping it would break idempotency -- the bloom gate passes NULL
+    keys through as unlistable and ``left_anti`` never matches NULL, so
+    every at-least-once replay would re-append the NULL-key row. The
+    streaming path (``streaming.jobs.ingest_stream_dedup``) relies on
+    this for its exactly-once-content claim. Returns the post-append
     target.
     """
     from ..operators.bloom import blocklist_screen
 
+    batch = batch.where(F.col(key_col).isNotNull())
     w = Window.partitionBy(key_col).orderBy(F.asc_nulls_last(order_col))
     in_batch = (
         batch.withColumn("__rn", F.row_number().over(w))

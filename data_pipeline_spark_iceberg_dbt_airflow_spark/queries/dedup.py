@@ -734,7 +734,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def strip_boilerplate(
-    docs: DataFrame, min_dup: int = LINE_MIN_DUP
+    docs: DataFrame,
+    min_dup: int = LINE_MIN_DUP,
+    *,
+    broadcast_frequent: bool = True,
 ) -> DataFrame:
     """Consume the line-mining output: rewrite every document with its
     boilerplate lines REMOVED (the RefinedWeb/C4 cleanup step that
@@ -760,6 +763,13 @@ def strip_boilerplate(
     document text crosses no exchange. At blocklist scale the frequent
     set can additionally ride the bloom gate (operators/bloom.py)
     before the exact join.
+
+    ``broadcast_frequent`` (default True) hints the corpus-frequent
+    digest table for broadcast. The table is corpus-sublinear but
+    UNBOUNDED (every digest with count >= min_dup), so at blocklist
+    scale -- where it can outgrow executor memory -- pass False to fall
+    back to a partitioned shuffle join (mirrors lm_score_docs'
+    broadcast_model knob).
     """
     segs = F.expr(
         f"transform(sequence(0, size(wt) - 1, {LINE_TOKENS}),"
@@ -785,8 +795,10 @@ def strip_boilerplate(
     )
     # per-doc set of frequent digests present in THAT doc (small: bounded
     # by segments per doc), joined back on doc_id
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
     doc_freq = (
-        digests.join(F.broadcast(frequent), "h")
+        digests.join(frequent, "h")
         .groupBy("doc_id")
         .agg(F.collect_set("h").alias("freq_h"))
     )
@@ -875,3 +887,150 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def mask_repeated_spans(
+    docs: DataFrame,
+    window: int = LINE_TOKENS,
+    min_dup: int = LINE_MIN_DUP,
+    *,
+    keep_first: bool = True,
+    broadcast_frequent: bool = True,
+) -> DataFrame:
+    """Substring-level dedup: mask token SPANS that repeat across the
+    corpus -- the passage-granularity step between doc-level dedup (too
+    coarse: two docs sharing one long quote are not duplicates) and
+    line-level boilerplate strip (too rigid: fixed non-overlapping
+    segments miss any repeat that straddles a segment boundary).
+
+    Distributed approximation of suffix-array ExactSubstr dedup (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): every OVERLAPPING ``window``-token span is digested
+    (stride 1, so a repeated passage is caught at ANY alignment); spans
+    whose digest occurs >= ``min_dup`` times corpus-wide are flagged;
+    per doc, flagged spans MERGE into maximal intervals (overlapping
+    windows of one long repeat coalesce, so the whole repeated passage
+    masks as a unit, exactly the maximal-repeat behavior the suffix
+    array computes exactly); covered tokens are dropped and survivors
+    re-join in order. The approximation vs the suffix array: repeats
+    shorter than ``window`` tokens are invisible, and a repeat of
+    length L is detected only via its full-window sub-spans (detected
+    extent = the union of flagged windows). The reference has no such
+    operator (its corpus is numeric micro-batches); this is north-star
+    extension surface, inventoried in SURVEY 2.12.
+
+    ``keep_first=True`` (the paper's semantics) leaves the globally
+    FIRST occurrence of each repeated span intact -- first = min
+    (doc_id, pos) over the span digest's occurrences, a deterministic
+    total order -- and masks the rest, so content survives exactly
+    once. ``keep_first=False`` strips every occurrence (the
+    boilerplate-removal stance of ``strip_boilerplate``, for spans
+    frequent enough to be template noise).
+
+    Output: (doc_id, text, masked_tokens). ORIGINAL CASE is preserved
+    in survivors; digests ride the lowercased whitespace-collapsed
+    channel (lower() distributes over the space-joined window, matching
+    ``_tokens_col``/``strip_boilerplate`` byte for byte). NULL text
+    stays NULL; a doc shorter than ``window`` tokens has no spans and
+    passes through (the explicit size guard matters: ``sequence(0, n)``
+    with n < 0 counts DOWN, it is not empty). A doc that was entirely
+    repeated spans becomes ''.
+
+    Scale shape -- document text never shuffles: the stride-1 explode
+    emits (doc_id, pos, 16-byte digest) rows, ~1 per corpus token (the
+    same order of work as the shingle index, which is also stride-1);
+    the occurrence count is one map-side-combinable HashAggregate on
+    the digest; the frequent table (corpus-sublinear, digest + first
+    occurrence) joins back to the position rows -- broadcast by
+    default, ``broadcast_frequent=False`` for blocklist-scale corpora
+    (same knob as ``strip_boilerplate``); interval merge is one window
+    + one combinable groupBy, all keyed by doc_id with (int, int)
+    records; the rewrite happens map-side inside the final scan stage
+    against each doc's own (tiny) merged-interval array.
+    """
+    case_tokens = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    with_toks = docs.withColumn("wt", case_tokens)
+    # stride-1 window digests with positions; guard short docs (see
+    # docstring: sequence() counts DOWN past an inverted bound)
+    occ = with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(wt) >= {window},"
+                f" transform(sequence(0, size(wt) - {window}),"
+                f" i -> md5(encode(lower(concat_ws(' ',"
+                f" slice(wt, i + 1, {window}))), 'UTF-8'))),"
+                " CAST(array() AS ARRAY<STRING>))"
+            )
+        ).alias("pos", "h"),
+    )
+    frequent = (
+        occ.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .where(F.col("c") >= min_dup)
+        .select("h", "first.doc_id", "first.pos")
+        .withColumnRenamed("doc_id", "first_doc")
+        .withColumnRenamed("pos", "first_pos")
+    )
+    if broadcast_frequent:
+        frequent = F.broadcast(frequent)
+    flagged = occ.join(frequent, "h")
+    if keep_first:
+        flagged = flagged.where(
+            (F.col("doc_id") != F.col("first_doc"))
+            | (F.col("pos") != F.col("first_pos"))
+        )
+    # merge overlapping/adjacent flagged windows into maximal intervals
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    spans = flagged.select(
+        "doc_id", "pos", (F.col("pos") + F.lit(window)).alias("end")
+    )
+    prev_max = F.max("end").over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        spans.withColumn(
+            "new_island",
+            F.when(
+                prev_max.isNull() | (F.col("pos") > prev_max), F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_doc))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("end").alias("e"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"))
+    )
+    rewritten = (
+        with_toks.join(islands, "doc_id", "left")
+        .withColumn(
+            "ivs",
+            F.coalesce(
+                "ivs", F.expr("CAST(array() AS ARRAY<STRUCT<s: INT, e: INT>>)")
+            ),
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("wt").isNull(), F.lit(None).cast("string"))
+            .otherwise(
+                # array_join skips NULL elements: covered tokens null
+                # out map-side and vanish from the joined text
+                F.expr(
+                    "array_join(transform(wt, (tok, i) ->"
+                    " IF(exists(ivs, iv -> i >= iv.s AND i < iv.e),"
+                    " CAST(NULL AS STRING), tok)), ' ')"
+                )
+            )
+            .alias("text"),
+            F.coalesce(
+                F.expr("aggregate(ivs, 0, (acc, iv) -> acc + iv.e - iv.s)"),
+                F.lit(0),
+            ).alias("masked_tokens"),
+        )
+    )
+    return rewritten

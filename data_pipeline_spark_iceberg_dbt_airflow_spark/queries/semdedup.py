@@ -1,0 +1,164 @@
+"""SemDeDup: semantic deduplication over the embedding column.
+
+Exact and near dedup (queries/dedup.py) catch LEXICAL copies; SemDeDup
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication", arXiv:2303.09540) removes documents
+that SAY the same thing in different words -- pairs whose embeddings sit
+within ``eps`` cosine of each other. The reference has no embedding
+surface at all (numeric price micro-batches,
+/root/reference/Iceberg-dbt-project/scripts/extract_bitcoin_prices.py);
+this is north-star extension surface (SURVEY 2.12), and it is a pure
+COMPOSITION of machinery this repo already ships:
+
+1. k-means clusters the corpus (operators/kmeans.py -- driver-held
+   model, literal-inlined assignment, zero shuffle), so the quadratic
+   pair search never crosses cluster boundaries: the paper's core
+   scaling trick, pair space = k * (N/k)^2, never N^2.
+2. Within each cluster, candidate pairs with cosine >= 1 - eps come
+   from the BLOCKED all-pairs operator
+   (queries/similarity.blocked_cell_pairs): the equi-join on
+   (cluster, block_i, block_j) bounds every task at
+   (cluster_size / PAIR_BLOCKS)^2 candidates, so a hot cluster cannot
+   produce a straggler.
+3. Near-duplicate pairs form a graph; connected components
+   (operators/graph.py) groups them (a paper deviation, documented
+   below), and ONE representative per component survives: following
+   the paper, the member with the LOWEST cosine to its cluster
+   centroid -- keeping the outlier preserves diversity, which is the
+   whole point of semantic dedup as a data-efficiency step.
+
+Deviation from the paper, on purpose: the paper greedily keeps "one
+point per epsilon-ball" without defining what happens when balls chain
+(a~b, b~c, a!~c); connected components makes that closure explicit and
+deterministic -- every chained group collapses to exactly one survivor.
+At small eps chains are short, so the two readings agree on real
+corpora; ours is order-independent, which the greedy scan is not.
+
+Scale shape (100 TB): the k-means model is k x dim floats at the
+driver (a broadcast visible to Catalyst as literals); assignment and
+centroid-cosine are one codegen expression each, no shuffle; the pair
+join shuffles (id, cluster, vector) rows replicated ~PAIR_BLOCKS/2
+times, never the corpus against itself; components run min-label
+propagation over the (tiny) near-dup edge set with
+localCheckpoint-bounded lineage; survivor choice is one map-side
+combinable groupBy over component members. NULL / wrong-dimension
+embeddings cannot be compared semantically and pass through with
+keep = true, component = NULL (same stance as assign_clusters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.kmeans import assign_clusters, kmeans_fit
+from .similarity import blocked_cell_pairs, dot, norm
+
+#: Default epsilon: pairs with cosine >= 1 - EPS are semantic duplicates.
+#: The paper sweeps eps per-corpus; 0.03 is its "conservative dedup"
+#: regime (near-identical meaning), the right default for a training
+#: corpus where false merges destroy real data.
+DEFAULT_EPS = 0.03
+
+#: Default cluster count for the pair-search partition. The paper uses
+#: k ~ sqrt(N); callers should size k so N/k vectors fit a task's
+#: (cluster/PAIR_BLOCKS)^2 pair budget.
+DEFAULT_K = 8
+
+
+def semdedup(
+    emb: DataFrame,
+    *,
+    k: int = DEFAULT_K,
+    eps: float = DEFAULT_EPS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Label every vector with its semantic-duplicate component and a
+    keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
+
+    Output: (``id_col``, cluster, cos_centroid, component, keep) --
+    ``component`` is NULL for vectors with no semantic duplicate (all
+    kept); within a component exactly one row has ``keep`` = true: the
+    member with the LOWEST cosine to its cluster centroid (ties break
+    to the smallest id, making the survivor a deterministic function of
+    the input set).
+    """
+    centroids = kmeans_fit(
+        emb, k, id_col=id_col, vec_col=vec_col
+    )
+    dim = len(next(iter(centroids.values())))
+    v = F.col(vec_col)
+    valid = v.isNotNull() & (F.size(v) == dim)
+    assigned = assign_clusters(emb, centroids, vec_col=vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        v.alias("embedding"),
+        F.col("cluster"),
+    )
+    # cosine to the assigned centroid, literal-inlined like the
+    # assignment itself: one chained CASE over k branches, no join
+    import math
+
+    cos_cent = F.lit(None).cast("double")
+    for cid, c in sorted(centroids.items()):
+        cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
+        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        cos_cent = F.when(
+            F.col("cluster") == cid,
+            dot(F.col("embedding"), lit_c)
+            / (norm(F.col("embedding")) * F.lit(cnorm)),
+        ).otherwise(cos_cent)
+    scored = assigned.withColumn(
+        "cos_centroid", F.when(valid, cos_cent)
+    )
+    # near-dup pairs: blocked all-pairs inside each cluster at the
+    # SemDeDup threshold (blocked_cell_pairs expects the _normed
+    # projection: vec_id, label, embedding, nrm)
+    proj = scored.where(valid & F.col("cluster").isNotNull()).select(
+        "vec_id",
+        F.col("cluster").alias("label"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    edges = blocked_cell_pairs(proj, threshold=1.0 - eps).select(
+        "id_a", "id_b"
+    )
+    from ..operators.graph import connected_components
+
+    comp = connected_components(edges).withColumnRenamed(
+        "label", "component"
+    )
+    labeled = scored.join(
+        comp.withColumnRenamed("doc_id", "vec_id"), "vec_id", "left"
+    )
+    # survivor per component: argmin (cos_centroid, vec_id), one
+    # combinable min-over-struct groupBy over component MEMBERS only
+    # (duplicate rows -- small). The join back rides a NULL-FREE key:
+    # unique vectors (component IS NULL) get a per-row sentinel key
+    # (-vec_id - 1, disjoint from the non-negative min-id component
+    # labels), so they spread uniformly instead of piling into one
+    # NULL-key partition -- a window partitioned by the raw component
+    # would send every unique vector to a single task at corpus scale.
+    reps = (
+        labeled.where(F.col("component").isNotNull())
+        .groupBy("component")
+        .agg(
+            F.min(F.struct("cos_centroid", "vec_id"))["vec_id"].alias(
+                "rep"
+            )
+        )
+    )
+    join_key = F.coalesce("component", -F.col("vec_id") - 1)
+    return (
+        labeled.withColumn("__k", join_key)
+        .join(reps.withColumnRenamed("component", "__k"), "__k", "left")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cluster",
+            "cos_centroid",
+            "component",
+            F.when(F.col("component").isNull(), F.lit(True))
+            .otherwise(F.col("rep") == F.col("vec_id"))
+            .alias("keep"),
+        )
+    )

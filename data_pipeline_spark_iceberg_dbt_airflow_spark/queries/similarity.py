@@ -633,7 +633,9 @@ def quantized_rerank_topk(
 
 
 def blocked_cell_pairs(
-    emb_n: DataFrame, blocks: int = PAIR_BLOCKS
+    emb_n: DataFrame,
+    blocks: int = PAIR_BLOCKS,
+    threshold: float = PAIR_THRESHOLD,
 ) -> DataFrame:
     """Within-cell threshold pair mining, BLOCKED against hot cells.
 
@@ -710,7 +712,7 @@ def blocked_cell_pairs(
             F.greatest("id_a", "id_b").alias("id_b"),
             cos.alias("cosine"),
         )
-        .where(F.col("cosine") >= PAIR_THRESHOLD)
+        .where(F.col("cosine") >= F.lit(threshold))
     )
 
 
@@ -797,6 +799,8 @@ def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         (r["id_a"], r["id_b"])
         for r in sim_topk_bruteforce(spark, sf_dir).collect()
     }
+    if not truth:  # empty / all-NULL corpus: no ground truth to recall
+        return {}
     got: dict[str, set] = {}
     for r in sim_ann_family(spark, sf_dir).collect():
         if r["rank"] is not None:

@@ -132,6 +132,22 @@ def test_zorder_key_is_codegen_only(spark, sf_dir):
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
 
 
+def test_write_zordered_four_dims_auto_shrinks(spark, tmp_path):
+    """The documented 4-dim configuration at the 16-bit default must
+    WORK: write_zordered auto-shrinks bits to 63 // ndims (15 here) so
+    the z-value stays inside a signed long's value bits, while
+    zorder_key itself still rejects an explicit overflow."""
+    df = spark.createDataFrame(
+        [(i, i * 3 % 97, i * 7 % 89, i * 11 % 83) for i in range(200)],
+        "a long, b long, c long, d long",
+    )
+    out = str(tmp_path / "z4")
+    write_zordered(df, out, ["a", "b", "c", "d"], num_files=4)
+    assert spark.read.parquet(out).count() == 200
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b"), F.col("c"), F.col("d")], bits=16)
+
+
 def test_zorder_key_interleaves(spark):
     """Hand-check the Morton interleave on known cells: (x=0b11, y=0b01)
     with 2 bits -> z = x0<<0 | y0<<1 | x1<<2 | y1<<3 = 1 + 2 + 4 = 7."""

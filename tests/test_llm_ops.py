@@ -811,6 +811,14 @@ def test_strip_boilerplate_removes_shared_lines(spark):
     assert out[3] == ""
     assert out[4] is None
 
+    # the partitioned-join fallback (broadcast_frequent=False, for
+    # blocklist-scale frequent tables) is semantics-identical
+    out_part = {
+        r["doc_id"]: r["text"]
+        for r in strip_boilerplate(docs, broadcast_frequent=False).collect()
+    }
+    assert out_part == out
+
 
 def test_strip_boilerplate_never_shuffles_text(spark, sf_dir):
     """The rewrite's scale contract, measured: every shuffled record is
@@ -844,6 +852,32 @@ def test_ann_recall_report(spark, sf_dir):
     assert rep["q8"] == 1.0, rep
     assert all(0.0 <= v <= 1.0 for v in rep.values())
     assert rep["ivf"] < rep["q8"] and rep["lsh"] < rep["q8"], rep
+
+
+def test_ann_recall_report_empty_corpus(spark, tmp_path):
+    """An empty embeddings corpus yields an empty report, not a
+    ZeroDivisionError -- the CLI recall subcommand must degrade
+    gracefully."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        recall_report,
+    )
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path / "sf_empty"
+    sf.mkdir()
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        schema.empty_table(), str(sf / "embeddings.parquet")
+    )
+    assert recall_report(spark, str(sf)) == {}
 
 
 def test_grouped_lm_equals_per_language_global(spark, sf_dir):

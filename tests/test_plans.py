@@ -512,6 +512,26 @@ def test_incremental_dedup_append(spark, tmp_path):
     # exactly one row per distinct content digest survives
     assert out3.groupBy("digest").count().where("count > 1").count() == 0
 
+    # NULL-key rows are dropped at ingest (not ingestable), so replay
+    # stays idempotent even for batches carrying NULL digests: the
+    # bloom gate passes NULL through as unlistable and left_anti never
+    # matches NULL, so keeping them would re-append one per replay.
+    b3 = spark.createDataFrame(
+        [(7, "delta"), (8, None)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("digest"),  # NULL text -> NULL digest
+    )
+    out4 = incremental_dedup_append(
+        spark, b3, target, key_col="digest", order_col="doc_id"
+    )
+    assert {r["doc_id"] for r in out4.collect()} == {1, 2, 5, 7}
+    out5 = incremental_dedup_append(
+        spark, b3, target, key_col="digest", order_col="doc_id"
+    )
+    assert out5.count() == 4  # replay with NULL keys appends nothing
+
 
 def test_manifest_describes_the_dag(spark, sf_dir, capsys):
     """dbt-docs analog: the manifest lists every model with both edge

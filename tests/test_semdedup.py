@@ -1,0 +1,149 @@
+"""SemDeDup: semantic dedup over embeddings (queries/semdedup.py).
+
+The driver fixtures' embeddings are deliberately unstructured (no
+semantic near-dups by construction), so these tests PLANT structure:
+well-separated direction clusters with near-duplicate groups
+(perturbation << eps) and singletons, then assert the paper's contract
+-- every planted group collapses to exactly one survivor, the survivor
+is the member FARTHEST from its centroid (lowest cosine), singletons
+and NULL/wrong-dim vectors all survive, and the whole labeling is a
+deterministic function of the input set.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import semdedup
+
+DIM = 8
+
+
+def _vec(direction: int, wobble: float = 0.0, scale: float = 1.0) -> list:
+    """A vector along axis ``direction`` with a small off-axis wobble --
+    wobble 0.01 keeps cosine-to-base ~0.99995 (within eps=0.03); a
+    different axis is orthogonal (cosine 0, far outside eps)."""
+    v = [0.0] * DIM
+    v[direction] = scale
+    v[(direction + 1) % DIM] = wobble * scale
+    return v
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """3 orthogonal clusters; axis-0 carries a 3-way near-dup group and
+    one singleton, axis-1 a 2-way group, axis-2 singletons only; plus a
+    NULL and a wrong-dimension row."""
+    rows = [
+        # 3-way semantic dup group (ids 0,1,2), wobble grows with id so
+        # id 2 is farthest from the group/centroid direction
+        (0, _vec(0, 0.000)),
+        (1, _vec(0, 0.005, scale=2.0)),  # different magnitude, same meaning
+        (2, _vec(0, 0.010)),
+        (3, _vec(0, 0.400)),  # same cluster, NOT a dup (cos ~0.93)
+        # 2-way group (ids 10, 11)
+        (10, _vec(1, 0.000)),
+        (11, _vec(1, 0.008)),
+        # singletons
+        (20, _vec(2, 0.0)),
+        (21, _vec(2, 0.5)),
+        (30, None),  # NULL embedding
+        (31, [1.0, 2.0]),  # wrong dimension
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+@pytest.fixture(scope="module")
+def result(planted):
+    out = semdedup(planted, k=3, eps=0.03).collect()
+    return {r["vec_id"]: r for r in out}
+
+
+def test_semdedup_groups_collapse_to_one_survivor(result):
+    g1 = [result[i] for i in (0, 1, 2)]
+    comps = {r["component"] for r in g1}
+    assert len(comps) == 1 and None not in comps, g1
+    assert sum(r["keep"] for r in g1) == 1
+    g2 = [result[i] for i in (10, 11)]
+    assert result[10]["component"] == result[11]["component"] is not None
+    assert sum(r["keep"] for r in g2) == 1
+    # the two groups are distinct components
+    assert g1[0]["component"] != g2[0]["component"]
+
+
+def test_semdedup_survivor_is_farthest_from_centroid(planted, result):
+    """The paper keeps the LOWEST-centroid-cosine member: in each
+    component the survivor's cos_centroid is the minimum (ties to the
+    smallest id), and cos_centroid itself matches an INDEPENDENT numpy
+    recomputation from the same deterministic k-means fit."""
+    import numpy as np
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        kmeans_fit,
+    )
+
+    for comp in {r["component"] for r in result.values()} - {None}:
+        members = [r for r in result.values() if r["component"] == comp]
+        survivor = [r for r in members if r["keep"]]
+        assert len(survivor) == 1
+        best = min((r["cos_centroid"], r["vec_id"]) for r in members)
+        assert (survivor[0]["cos_centroid"], survivor[0]["vec_id"]) == best
+
+    cents = {
+        cid: np.array(c)
+        for cid, c in kmeans_fit(planted, 3, vec_col="embedding").items()
+    }
+    for row in planted.collect():
+        got = result[row["vec_id"]]
+        if row["embedding"] is None or len(row["embedding"]) != DIM:
+            continue
+        v = np.array(row["embedding"])
+        c = cents[got["cluster"]]
+        want = float(v @ c / (np.linalg.norm(v) * np.linalg.norm(c)))
+        assert abs(got["cos_centroid"] - want) < 1e-9, (row["vec_id"], want)
+
+
+def test_semdedup_non_duplicates_all_kept(result):
+    for vid in (3, 20, 21):
+        assert result[vid]["component"] is None, result[vid]
+        assert result[vid]["keep"] is True
+
+
+def test_semdedup_null_and_wrong_dim_pass_through(result):
+    for vid in (30, 31):
+        assert result[vid]["cluster"] is None
+        assert result[vid]["cos_centroid"] is None
+        assert result[vid]["component"] is None
+        assert result[vid]["keep"] is True
+
+
+def test_semdedup_is_deterministic(planted):
+    a = sorted(map(tuple, semdedup(planted, k=3, eps=0.03).collect()))
+    b = sorted(
+        map(
+            tuple,
+            semdedup(
+                planted.repartition(7), k=3, eps=0.03
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_semdedup_row_count_preserved(planted, result):
+    assert len(result) == planted.count()
+
+
+def test_semdedup_on_fixture_corpus(spark, sf_dir):
+    """The driver fixture is unstructured (no semantic near-dups at
+    eps=0.03), so semdedup must be the identity there: every vector
+    kept, no components -- the false-merge guard."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    out = semdedup(emb, k=4, eps=0.03)
+    assert out.where(~F.col("keep")).count() == 0
+    assert out.count() == emb.count()
