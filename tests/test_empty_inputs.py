@@ -124,3 +124,28 @@ def test_round4_operators_survive_empty_inputs(spark, tmp_path):
     for p in (a, b):
         spark.createDataFrame([], "doc_id long, digest string").write.parquet(p)
     assert corpus_diff(spark, a, b).count() == 0
+
+
+def test_round5_operators_survive_empty_inputs(spark):
+    """Round-5 additions hold the empty-input contract: empty in, empty
+    out -- never a crash."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        mask_repeated_spans,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
+        semdedup,
+    )
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert mask_repeated_spans(empty_docs).count() == 0
+
+    # semdedup needs at least one vector to fit a model; on an empty
+    # corpus it must fail LOUDLY (kmeans_fit's explicit guard), not hang
+    # or return garbage
+    import pytest
+
+    empty_emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        semdedup(empty_emb, k=2)

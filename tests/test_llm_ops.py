@@ -1119,3 +1119,136 @@ def test_strip_boilerplate_preserves_case(spark):
     # surviving text keeps its original capitalization
     assert out[1] == body
     assert out[2] == "other unique words fill this line now ok"
+
+
+# --- mask_repeated_spans: substring-level dedup ----------------------------
+
+
+def _mask_oracle(rows, window, min_dup, keep_first):
+    """Independent pure-Python recomputation of mask_repeated_spans:
+    sliding windows over lowercased tokens, corpus-wide occurrence
+    counts, optional first-occurrence survivor, per-doc interval union."""
+    toks = {
+        d: (t.split() if t is not None and t.strip() else ([] if t is not None else None))
+        for d, t in rows
+    }
+    occs = {}
+    for d in sorted(toks):
+        wt = toks[d]
+        if not wt:
+            continue
+        for i in range(len(wt) - window + 1):
+            key = " ".join(w.lower() for w in wt[i : i + window])
+            occs.setdefault(key, []).append((d, i))
+    covered = {d: set() for d in toks}
+    for key, lst in occs.items():
+        if len(lst) < min_dup:
+            continue
+        first = min(lst)
+        for d, i in lst:
+            if keep_first and (d, i) == first:
+                continue
+            covered[d].update(range(i, i + window))
+    out = {}
+    for d, wt in toks.items():
+        if wt is None:
+            out[d] = (None, 0)
+        else:
+            kept = [w for i, w in enumerate(wt) if i not in covered[d]]
+            out[d] = (" ".join(kept), len(covered[d]))
+    return out
+
+
+def test_mask_repeated_spans_semantics(spark):
+    """Keep-first passage dedup at arbitrary alignments, case-insensitive
+    matching with case-PRESERVING output, self-repeats masked, short and
+    NULL docs untouched."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        mask_repeated_spans,
+    )
+
+    passage = "The QUICK Brown fox Jumps OVER the lazy Sleeping dog"  # 10 toks
+    uniq1 = "Alpha beta GAMMA delta epsilon"
+    uniq2 = "one TWO three four five six"
+    rows = [
+        (1, f"{passage} {uniq1}"),  # first occurrence: survives intact
+        (2, f"{uniq2} {passage.lower()}"),  # shifted + different case: masked
+        (3, f"{uniq1} {passage} {passage}"),  # both masked (doc 1 was first)
+        (4, "Too short"),  # < window tokens: no spans
+        (5, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["text"], r["masked_tokens"])
+        for r in mask_repeated_spans(docs, window=10, min_dup=2).collect()
+    }
+    assert out[1] == (f"{passage} {uniq1}", 0)  # case preserved, untouched
+    assert out[2] == (uniq2, 10)
+    assert out[3] == (uniq1, 20)  # both copies masked, interval-merged
+    assert out[4] == ("Too short", 0)
+    assert out[5] == (None, 0)
+
+    # keep_first=False strips every occurrence, including the first
+    out_all = {
+        r["doc_id"]: (r["text"], r["masked_tokens"])
+        for r in mask_repeated_spans(
+            docs, window=10, min_dup=2, keep_first=False
+        ).collect()
+    }
+    assert out_all[1] == (uniq1, 10)
+    assert out_all[2] == (uniq2, 10)
+    assert out_all[3] == (uniq1, 20)
+
+    assert out == {
+        d: v for d, v in _mask_oracle(rows, 10, 2, True).items()
+    }
+    assert out_all == {
+        d: v for d, v in _mask_oracle(rows, 10, 2, False).items()
+    }
+
+
+def test_mask_repeated_spans_matches_oracle_randomized(spark):
+    """Differential check on a seeded random corpus with planted repeats:
+    the distributed plan reproduces the pure-Python recomputation row for
+    row (both keep_first modes), including overlap merging and the
+    partitioned-join fallback."""
+    import random
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        mask_repeated_spans,
+    )
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(40)] + ["Mixed", "CASE", "Tok"]
+    passages = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14)))
+        for _ in range(4)
+    ]
+    rows = []
+    for d in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        if rng.random() < 0.6:
+            p = rng.choice(passages)
+            cut = rng.randint(0, len(words))
+            words = words[:cut] + p.split() + words[cut:]
+        if rng.random() < 0.2 and words:
+            words = words + words  # self-repeat
+        rows.append((d, " ".join(words) if words else ""))
+    rows.append((98, None))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for keep_first in (True, False):
+        want = _mask_oracle(rows, 6, 2, keep_first)
+        got = {
+            r["doc_id"]: (r["text"], r["masked_tokens"])
+            for r in mask_repeated_spans(
+                docs,
+                window=6,
+                min_dup=2,
+                keep_first=keep_first,
+                broadcast_frequent=keep_first,  # exercise both join paths
+            ).collect()
+        }
+        assert got == want, {
+            d: (got[d], want[d]) for d in got if got[d] != want[d]
+        }
