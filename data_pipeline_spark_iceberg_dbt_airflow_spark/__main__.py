@@ -97,6 +97,17 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rp = sub.add_parser("report", help="per-source corpus report card")
     rp.add_argument("--sf", default=DEFAULT_SF)
+
+    sd = sub.add_parser("semdedup", help="semantic dedup over embeddings")
+    sd.add_argument("--sf", default=DEFAULT_SF)
+    sd.add_argument("--k", type=int, default=8, help="k-means clusters")
+    sd.add_argument(
+        "--eps", type=float, default=0.03, help="1 - cosine duplicate gate"
+    )
+
+    ct = sub.add_parser("contain", help="doc-in-doc containment pairs")
+    ct.add_argument("--sf", default=DEFAULT_SF)
+    ct.add_argument("--threshold", type=float, default=0.9)
     return p
 
 
@@ -265,6 +276,41 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         from .quality.report import corpus_report
 
         corpus_report(spark, args.sf).show(100, truncate=False)
+        return 0
+
+    if args.cmd == "semdedup":
+        from pyspark.sql import functions as F
+
+        from .io import read_table
+        from .queries.semdedup import semdedup
+
+        out = semdedup(
+            read_table(spark, args.sf, "embeddings"), k=args.k, eps=args.eps
+        )
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("keep").cast("int")).alias("kept"),
+            F.countDistinct("component").alias("groups"),
+        ).collect()[0]
+        print(
+            f"vectors={agg['n']}\tkept={agg['kept']}\t"
+            f"dropped={agg['n'] - agg['kept']}\tdup_groups={agg['groups']}"
+        )
+        return 0
+
+    if args.cmd == "contain":
+        from .queries.dedup import containment_pairs, shingled_docs
+
+        rows = containment_pairs(
+            shingled_docs(spark, args.sf), threshold=args.threshold
+        ).collect()
+        for r in sorted(rows, key=lambda r: (-r["containment"], r["doc_a"])):
+            print(
+                f"{r['doc_a']}\t{r['doc_b']}\tcontained={r['contained_doc']}"
+                f"\tcontainment={r['containment']:.3f}"
+                f"\tjaccard={r['jaccard']:.3f}"
+            )
+        print(f"# {len(rows)} containment pairs", file=sys.stderr)
         return 0
 
     if args.cmd == "check":

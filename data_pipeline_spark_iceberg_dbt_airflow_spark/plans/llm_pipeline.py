@@ -16,8 +16,11 @@ training-data build actually has:
             ├── assigned = deterministic hash split train/val/test
             └── cleaned  = curated text minus corpus-frequent
                            boilerplate lines (strip_boilerplate)
-                  ├── chunks = overlapping context windows over cleaned
-                  └── packed = chunks binned into char budgets per lang
+                  └── span_deduped = cleaned minus repeated token spans,
+                           first occurrence kept (mask_repeated_spans)
+                        ├── chunks = overlapping context windows
+                        └── packed = chunks binned into char budgets
+                                     per lang
 
 Every stage is the registry operator (or its formula) -- this module adds
 no new semantics, only the dbt-style composition: each model is a
@@ -186,6 +189,28 @@ def build_llm_curation_pipeline(
 
     runner.add(Model("cleaned", cleaned, refs=("curated",)))
 
+    def span_deduped(cl: DataFrame) -> DataFrame:
+        # Passage-level dedup AFTER line-level boilerplate strip and
+        # BEFORE the chunk fan-out: repeated token spans survive exactly
+        # once (keep_first), so near-identical passages cannot enter the
+        # training stream from several hosts. Same filter-early-
+        # explode-late placement rationale as `cleaned`.
+        from ..queries.dedup import mask_repeated_spans
+
+        masked = mask_repeated_spans(cl.select("doc_id", "text"))
+        return (
+            cl.select("doc_id", "lang")
+            .join(masked.select("doc_id", "text"), "doc_id")
+            .select(
+                "doc_id",
+                "lang",
+                "text",
+                F.coalesce(F.length("text"), F.lit(0)).alias("n_chars"),
+            )
+        )
+
+    runner.add(Model("span_deduped", span_deduped, refs=("cleaned",)))
+
     def chunks(cur: DataFrame) -> DataFrame:
         n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
         return (
@@ -208,7 +233,7 @@ def build_llm_curation_pipeline(
             )
         )
 
-    runner.add(Model("chunks", chunks, refs=("cleaned",)))
+    runner.add(Model("chunks", chunks, refs=("span_deduped",)))
 
     def packed(ch: DataFrame) -> DataFrame:
         sized = ch.select(

@@ -1034,3 +1034,83 @@ def mask_repeated_spans(
         )
     )
     return rewritten
+
+
+#: Containment gate: |A ∩ B| / min(|A|, |B|) -- the asymmetric overlap
+#: measure. 0.9 means 90% of the SMALLER doc's shingles appear in the
+#: larger one.
+CONTAINMENT_THRESHOLD = 0.9
+
+#: Containment is meaningless for trivially small shingle sets (any two
+#: docs sharing one template phrase would "contain" a 2-shingle doc);
+#: both sides must carry at least this many capped shingles.
+CONTAINMENT_MIN_SH = 5
+
+
+def containment_pairs(
+    sh: DataFrame,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    min_shingles: int = CONTAINMENT_MIN_SH,
+) -> DataFrame:
+    """Doc-in-doc detection: pairs where the SMALLER document's shingle
+    set is (near-)contained in the larger one's -- the quote-expansion /
+    page-plus-boilerplate duplication that symmetric Jaccard
+    structurally misses. A doc B embedded verbatim in a 3x-longer doc A
+    has containment 1.0 but Jaccard ~1/3, far below
+    ``JACCARD_THRESHOLD``, so ``dedup_neardup_verified`` keeps both; a
+    training corpus usually wants the contained copy dropped (its
+    content already rides the superset doc).
+
+    Same machinery as the near-dup miner -- ``sh`` is the (doc_id,
+    sid, n_sh) shingle index, normally the SHARED persisted
+    ``shingled_docs`` output; inverted-index equi-join on the 8-byte
+    sid, one map-side-combinable pair-count aggregate -- with the
+    asymmetric
+    gate containment = |A ∩ B| / min(|A|, |B|) >= ``threshold``. The
+    size-compatibility prefilter that protects the Jaccard join is
+    deliberately ABSENT (incompatibly-sized pairs are exactly the
+    interesting ones); what bounds the join instead is the
+    ``min_shingles`` floor (pruned at the index scan: both sides must
+    carry >= ``min_shingles`` capped shingles, killing the
+    every-tiny-doc-is-contained blowup) plus the same DF_CAP
+    stop-shingle cap that keeps candidate generation linear.
+
+    Output: (doc_a, doc_b, containment, jaccard, contained_doc) with
+    doc_a < doc_b; ``contained_doc`` is the smaller-shingle-set side
+    (ties to the smaller id -- deterministic). Jaccard rides along for
+    free from the same counts, so callers can distinguish "true subset"
+    (high containment, low jaccard) from "plain near-dup" (both high).
+    """
+    sh = sh.where(F.col("n_sh") >= F.lit(min_shingles))
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), "sid", F.col("n_sh").alias("na")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), "sid", F.col("n_sh").alias("nb")
+    )
+    inter = (
+        a.join(b, "sid")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("icnt"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    cont = F.col("icnt").cast("double") / F.least("na", "nb")
+    jac = F.col("icnt").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("icnt")
+    )
+    contained = F.when(F.col("na") < F.col("nb"), F.col("doc_a")).otherwise(
+        F.when(F.col("nb") < F.col("na"), F.col("doc_b")).otherwise(
+            F.least("doc_a", "doc_b")
+        )
+    )
+    return inter.select(
+        "doc_a",
+        "doc_b",
+        cont.alias("containment"),
+        jac.alias("jaccard"),
+        contained.alias("contained_doc"),
+    ).where(F.col("containment") >= F.lit(threshold))

@@ -1252,3 +1252,106 @@ def test_mask_repeated_spans_matches_oracle_randomized(spark):
         assert got == want, {
             d: (got[d], want[d]) for d in got if got[d] != want[d]
         }
+
+
+# --- containment_pairs: doc-in-doc detection -------------------------------
+
+
+def test_containment_finds_what_jaccard_misses(spark, tmp_path):
+    """A doc embedded verbatim in a 3x-longer doc: containment 1.0 but
+    Jaccard ~1/3 (below the near-dup gate) -- containment_pairs flags
+    it, and the values match a pure-Python shingle-set recomputation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        JACCARD_THRESHOLD,
+        _pair_jaccard,
+        containment_pairs,
+        shingled_docs,
+    )
+
+    rng_words = [f"w{i}" for i in range(60)]
+    small = " ".join(rng_words[:12])  # doc 1: 12 tokens
+    big = " ".join(rng_words[:40])  # doc 2: small is its prefix
+    other = " ".join(rng_words[30:55])  # doc 3: overlaps big, not small
+    sf = tmp_path / "sf_contain"
+    sf.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [small, big, other],
+                "lang": ["en"] * 3,
+                "source": ["t"] * 3,
+                "n_chars": pa.array(
+                    [len(small), len(big), len(other)], pa.int64()
+                ),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    sh = shingled_docs(spark, str(sf))
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_pairs(sh, threshold=0.9).collect()
+    }
+
+    # python recomputation over true shingle sets
+    def shset(text):
+        t = text.lower().split()
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    s1, s2 = shset(small), shset(big)
+    want_cont = len(s1 & s2) / min(len(s1), len(s2))
+    want_jac = len(s1 & s2) / len(s1 | s2)
+    assert want_cont == 1.0 and want_jac < JACCARD_THRESHOLD
+    got = out[(1, 2)]
+    assert abs(got["containment"] - want_cont) < 1e-12
+    assert abs(got["jaccard"] - want_jac) < 1e-12
+    assert got["contained_doc"] == 1
+    assert (1, 3) not in out and (2, 3) not in out
+    # and the symmetric near-dup gate indeed misses the pair
+    assert _pair_jaccard(sh).where("doc_a = 1 AND doc_b = 2").count() == 0
+
+
+def test_containment_min_shingle_floor(spark):
+    """Docs below the min_shingles floor never pair -- the
+    every-tiny-doc-is-contained guard."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        containment_pairs,
+    )
+
+    # doc 1 has 3 shingles, all shared with doc 2 (floor is 5)
+    sh = spark.createDataFrame(
+        [(1, s, 3) for s in (10, 11, 12)]
+        + [(2, s, 20) for s in list(range(10, 13)) + list(range(100, 117))],
+        "doc_id long, sid long, n_sh long",
+    )
+    assert containment_pairs(sh, threshold=0.5, min_shingles=5).count() == 0
+    assert (
+        containment_pairs(sh, threshold=0.5, min_shingles=3).count() == 1
+    )
+
+
+def test_containment_on_fixture_corpus(spark, sf_dir):
+    """On the shared index: output sane (bounds, ordering, determinism),
+    and every emitted pair's numbers agree with direct per-pair
+    recomputation from the index itself."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        containment_pairs,
+        shingled_docs,
+    )
+
+    sh = shingled_docs(spark, sf_dir)
+    rows = containment_pairs(sh).collect()
+    idx = {}
+    for r in sh.collect():
+        idx.setdefault(r["doc_id"], set()).add(r["sid"])
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        sa, sb = idx[r["doc_a"]], idx[r["doc_b"]]
+        cont = len(sa & sb) / min(len(sa), len(sb))
+        assert abs(r["containment"] - cont) < 1e-12
+        assert r["containment"] >= 0.9
+        assert r["contained_doc"] in (r["doc_a"], r["doc_b"])

@@ -364,10 +364,24 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
     )
     assert grew == 0
-    # chunking: every cleaned doc with text emits ceil-based chunk count
+    # span dedup: covers cleaned 1:1 and never grows a document (the
+    # keep-first mask can only remove tokens)
+    sd = out["span_deduped"]
+    assert sd.count() == cur_n
+    sd_grew = (
+        sd.select("doc_id", F.col("n_chars").alias("after"))
+        .join(
+            cleaned.select("doc_id", F.col("n_chars").alias("before")),
+            "doc_id",
+        )
+        .where(F.col("after") > F.col("before"))
+        .count()
+    )
+    assert sd_grew == 0
+    # chunking: every span-deduped doc with text emits ceil-based count
     chunks = out["chunks"]
     per_doc = chunks.groupBy("doc_id").count()
-    expect = cleaned.where(F.col("n_chars") > 0).select(
+    expect = sd.where(F.col("n_chars") > 0).select(
         "doc_id",
         (F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE) + 1).alias("want"),
     )
@@ -596,3 +610,16 @@ def test_cli_recall_and_leakage(spark, sf_dir, capsys):
     assert main(["leakage", "--sf", sf_dir], spark=spark) == 0
     out = capsys.readouterr().out
     assert "jaccard=" in out  # the fixture's planted dups cross splits
+
+
+def test_cli_semdedup_and_contain(spark, sf_dir, capsys):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    assert main(["semdedup", "--sf", sf_dir, "--k", "4"], spark=spark) == 0
+    out = capsys.readouterr().out
+    # the fixture corpus is unstructured: nothing drops at eps=0.03
+    assert "dropped=0" in out and "vectors=" in out
+
+    assert main(["contain", "--sf", sf_dir], spark=spark) == 0
+    err = capsys.readouterr().err
+    assert "containment pairs" in err

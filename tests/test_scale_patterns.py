@@ -300,3 +300,45 @@ def test_blocked_cell_pairs_exact_under_hot_cell(spark):
         )
     )
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mask_repeated_spans_never_shuffles_text(spark, sf_dir):
+    """The span-dedup scale contract, measured: every shuffled record is
+    digest-or-interval width -- document text crosses no exchange (the
+    same bound strip_boilerplate holds; spans shuffle (doc_id, pos,
+    16-byte digest) and (doc_id, int, int) interval rows only)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        measure,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        mask_repeated_spans,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows, m = measure(mask_repeated_spans(docs))
+    assert len(rows) == docs.count()
+    assert m.shuffle_records > 0
+    assert m.shuffle_bytes / m.shuffle_records < 128, m
+
+
+def test_semdedup_pair_search_is_blocked_equi_join(spark):
+    """SemDeDup's quadratic stage must ride the blocked in-cluster
+    equi-join (never a cartesian product), and the k-means assignment +
+    centroid cosine must be pure codegen (literal-inlined model, no
+    model join)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
+        semdedup,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 4 == j) + 0.01 * ((i * 7) % 5) for j in range(4)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    df = semdedup(emb, k=2, eps=0.05)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
