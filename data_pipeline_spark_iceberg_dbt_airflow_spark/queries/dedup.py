@@ -946,7 +946,18 @@ def mask_repeated_spans(
     (same knob as ``strip_boilerplate``); interval merge is one window
     + one combinable groupBy, all keyed by doc_id with (int, int)
     records; the rewrite happens map-side inside the final scan stage
-    against each doc's own (tiny) merged-interval array.
+    against each doc's own (tiny) merged-interval array. Unlike pair
+    mining there is NO quadratic candidate stage to cap: a corpus-hot
+    span digest joins ONE frequent-table row however often it occurs,
+    so skew cannot blow up the join -- cost is linear in occurrences by
+    construction.
+
+    Measured scale-law (local[32], round 5, warm, best-of-2): a
+    dup-heavy synthetic corpus (every doc carries a ~30-token passage
+    repeated ~10x corpus-wide, ~90 tokens/doc) runs in 1.53s at 5k docs
+    and 3.67s at 50k docs -- 2.4x the time for 10x the docs and 10x the
+    masked output (135k -> 1.35M tokens): cost tracks input + output,
+    not corpus^2.
     """
     case_tokens = F.split(
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
