@@ -653,3 +653,82 @@ def lm_score_docs_grouped(
             F.exp("cross_entropy").alias("perplexity"),
         )
     )
+
+
+def normalize_text(
+    docs: DataFrame,
+    *,
+    form: str = "NFKC",
+    strip_accents: bool = True,
+    casefold: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unicode text normalization -- the ingest-time cleaner every
+    web-scale pipeline applies BEFORE any hashing channel (the
+    ccnet / RefinedWeb preprocessing step): without it, "Ｈｅｌｌｏ"
+    (full-width), "café" in NFC vs NFD, and NBSP-spaced copies of one
+    sentence all hash as distinct content and silently defeat exact,
+    line, span, and shingle dedup alike.
+
+    Per document, in order: (1) ``unicodedata.normalize(form, s)``
+    (NFKC folds compatibility forms -- full-width latin, ligatures,
+    superscripts -- into their canonical text); (2) format/control
+    characters (categories Cf/Cc: zero-width space and joiners, BOM,
+    bidi marks) are removed, with every Unicode whitespace mapped to a
+    plain space first; (3) optional accent strip = NFD, drop Mn
+    combining marks, NFC (so e-acute -> e regardless of input form);
+    (4) optional ``str.casefold()`` (stronger than lower(): folds ß ->
+    ss and dotted-I correctly); (5) space runs collapse and trim.
+    NULL stays NULL. The result is IDEMPOTENT (re-normalizing output
+    is the identity -- pinned in tests), which is what makes it safe
+    to run at every ingest boundary without coordination.
+
+    This is genuinely Python-only territory -- Spark has no NFKC /
+    category-table expression -- so it uses the fast Python tier: one
+    Arrow-batched scalar ``pandas_udf`` (vectorized batch transfer,
+    never row-at-a-time), applied map-side in the scan stage with zero
+    shuffle. At 100 TB this runs once at ingest and materializes; every
+    downstream channel (md5 digests, shingles, spans, lines) then
+    operates on already-canonical bytes at full JVM speed.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    drop_cats = ("Cf", "Cc")
+
+    def _norm_one(s):
+        if s is None:
+            return None
+        s = unicodedata.normalize(form, s)
+        out = []
+        for ch in s:
+            if ch.isspace():
+                out.append(" ")
+                continue
+            if unicodedata.category(ch) in drop_cats:
+                continue
+            out.append(ch)
+        s = "".join(out)
+        if strip_accents:
+            s = unicodedata.normalize(
+                "NFC",
+                "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", s)
+                    if unicodedata.category(ch) != "Mn"
+                ),
+            )
+        if casefold:
+            s = s.casefold()
+        return " ".join(s.split())
+
+    # no type hints: the module-wide `from __future__ import annotations`
+    # stringifies them, which pandas_udf cannot infer from -- the
+    # unhinted form defaults to the scalar eval type (same pattern as
+    # similarity's Arrow kernel)
+    @pandas_udf("string")
+    def _norm(batch):
+        return batch.map(_norm_one)
+
+    return docs.withColumn(text_col, _norm(F.col(text_col)))

@@ -107,3 +107,95 @@ def test_round4_text_operators_handle_unicode_and_nulls(spark):
     # doc survives intact (modulo token normalization)
     assert out[1] == ""
     assert out[3] == "ascii only text here"
+
+
+def test_normalize_text_canonicalizes_unicode(spark):
+    """normalize_text folds the classic dedup-defeating variants to one
+    canonical form: full-width latin, NFC-vs-NFD accents, NBSP /
+    ideographic spaces, zero-width chars, BOM. Idempotent; NULL-safe;
+    casefold handles the sharp-s trap."""
+    import unicodedata
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        normalize_text,
+    )
+
+    nfd_cafe = unicodedata.normalize("NFD", "café")
+    rows = [
+        (1, "Ｈｅｌｌｏ world"),  # full-width Hello
+        (2, "café menu"),  # NFC
+        (3, f"{nfd_cafe} menu"),  # NFD spelling of the same text
+        (4, "a b　c"),  # NBSP + ideographic space
+        (5, "z​ero‍width﻿!"),  # ZWSP, ZWJ, BOM
+        (6, "  spaced\t\tout  "),
+        (7, None),
+        (8, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"] for r in normalize_text(docs).collect()
+    }
+    assert out[1] == "Hello world"
+    assert out[2] == "cafe menu"  # accents stripped
+    assert out[3] == out[2]  # NFC and NFD spellings converge
+    assert out[4] == "a b c"
+    assert out[5] == "zerowidth!"
+    assert out[6] == "spaced out"
+    assert out[7] is None
+    assert out[8] == ""
+
+    # idempotence: re-normalizing the output is the identity
+    once = normalize_text(docs)
+    twice = {
+        r["doc_id"]: r["text"] for r in normalize_text(once).collect()
+    }
+    assert twice == out
+
+    # casefold folds the sharp-s (lower() would not)
+    sharp = spark.createDataFrame(
+        [(1, "STRASSE"), (2, "Straße")], "doc_id long, text string"
+    )
+    folded = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(sharp, casefold=True).collect()
+    }
+    assert folded[1] == folded[2] == "strasse"
+
+
+def test_normalize_text_unifies_dedup_channels(spark):
+    """The point of the operator: two copies of one sentence that differ
+    only by width/accent-form/space encoding hash as DISTINCT content
+    raw, and as the SAME content post-normalization."""
+    import unicodedata
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        normalize_text,
+    )
+
+    a = "the café menu lists tea"
+    b = unicodedata.normalize("NFD", a).replace(" ", " ")
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    raw = docs.selectExpr("md5(text) h").distinct().count()
+    norm = (
+        normalize_text(docs).selectExpr("md5(text) h").distinct().count()
+    )
+    assert raw == 2 and norm == 1
+
+
+def test_normalize_text_is_arrow_batched_no_shuffle(spark):
+    """Plan contract: the Python tier is ArrowEvalPython (vectorized
+    batch transfer), never row-at-a-time BatchEvalPython, and the
+    operator adds no exchange."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        normalize_text,
+    )
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = (
+        normalize_text(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
