@@ -1,0 +1,172 @@
+"""Distributed BPE training/encoding (queries/bpe.py) vs an independent
+reference implementation of Sennrich et al.'s algorithm, written here
+from the paper's pseudocode (count pairs over the word-frequency table,
+merge the argmax greedily, repeat)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.bpe import (
+    EOW,
+    bpe_encode,
+    train_bpe,
+)
+
+_TOKEN_RE = re.compile(r"[^ \t\n\x0b\f\r]+")
+
+
+def _ref_train(texts, n_merges, min_pair_count=2):
+    """Reference BPE trainer: dict-of-word-counts, argmax pair with
+    (count desc, pair asc) tie-break, greedy left-to-right merge."""
+    words: dict[tuple, int] = {}
+    for t in texts:
+        if t is None:
+            continue
+        for w in _TOKEN_RE.findall(t):
+            key = tuple(list(w) + [EOW])
+            words[key] = words.get(key, 0) + 1
+    merges = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = (
+                    pairs.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        (a, b), _n = best
+        merges.append((a, b))
+        new_words = {}
+        for syms, n in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return merges
+
+
+@pytest.fixture(scope="module")
+def corpus_rows():
+    # the classic subword corpus plus case/punct/self-repeat traps
+    return [
+        (0, "low low low low low"),
+        (1, "lower lower newest newest newest newest newest newest"),
+        (2, "widest widest widest"),
+        (3, "Low LOW aaaa aaa"),
+        (4, None),
+        (5, ""),
+    ]
+
+
+def test_train_bpe_matches_reference(spark, corpus_rows):
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    want = _ref_train([t for _, t in corpus_rows], 12)
+    got = train_bpe(docs, 12)
+    assert got == want, (got, want)
+    assert len(got) == 12  # this corpus supports 12 real merges
+
+
+def test_train_bpe_deterministic_under_partitioning(spark, corpus_rows):
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    assert train_bpe(docs, 6) == train_bpe(docs.repartition(13), 6)
+
+
+def test_train_bpe_stops_below_min_pair_count(spark):
+    docs = spark.createDataFrame(
+        [(0, "ab ab cd")], "doc_id long, text string"
+    )
+    # 'ab' occurs twice -> (a,b) then (ab,</w>) are legitimate merges;
+    # every pair of the singleton word 'cd' is below the floor and must
+    # not be learned
+    merges = train_bpe(docs, 10, min_pair_count=2)
+    assert merges == [("a", "b"), ("ab", EOW)]
+    assert not any("c" in a or "c" in b for a, b in merges)
+
+
+def test_bpe_encode_matches_reference_apply(spark, corpus_rows):
+    """Encoding applies merges by RANK (lowest first), not left-to-right
+    -- checked against an independent rank-apply on every word, and the
+    tokens reassemble the exact original words."""
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    merges = train_bpe(docs, 12)
+    out = {r["doc_id"]: r["tokens"] for r in bpe_encode(docs, merges).collect()}
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def ref_word(w):
+        syms = list(w) + [EOW]
+        while len(syms) >= 2:
+            cand = [
+                (ranks[(syms[i], syms[i + 1])], i)
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    for doc_id, text in corpus_rows:
+        if text is None:
+            assert out[doc_id] is None
+            continue
+        want = [s for w in _TOKEN_RE.findall(text) for s in ref_word(w)]
+        assert out[doc_id] == want, (doc_id, out[doc_id], want)
+        # lossless: stripping EOW reassembles the original words
+        joined = "".join(out[doc_id]).replace(EOW, " ").split()
+        assert joined == _TOKEN_RE.findall(text)
+
+
+def test_bpe_encode_is_arrow_batched_no_shuffle(spark):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.bpe import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    plan = (
+        bpe_encode(docs, [("a", "b")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_train_bpe_on_fixture_corpus(spark, sf_dir):
+    """End-to-end on the driver fixture: training learns real merges,
+    encoding covers every doc, and compression is visible (subword
+    tokens per doc strictly fewer than characters)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe(docs, 20)
+    assert len(merges) == 20
+    enc = bpe_encode(docs, merges)
+    stats = (
+        enc.join(docs, "doc_id")
+        .where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            (F.size("tokens") < F.length("text")).alias("compressed"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("compressed").cast("int")).alias("c"))
+        .collect()[0]
+    )
+    assert stats["n"] > 0 and stats["c"] == stats["n"]
