@@ -147,3 +147,35 @@ def test_semdedup_on_fixture_corpus(spark, sf_dir):
     out = semdedup(emb, k=4, eps=0.03)
     assert out.where(~F.col("keep")).count() == 0
     assert out.count() == emb.count()
+
+
+def test_semdedup_over_hash_embeddings_model_free(spark):
+    """The model-free bridge: a corpus WITHOUT a neural embedding column
+    runs semantic dedup over hash_embed vectors -- planted lexical
+    near-dups (one word changed in 12) collapse; unrelated docs all
+    survive."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    variant = base.replace("mu", "nu")  # 11/12 tokens shared
+    others = [
+        " ".join(f"x{i}_{j}" for j in range(12)) for i in range(6)
+    ]
+    rows = [(0, base), (1, variant)] + [
+        (i + 2, t) for i, t in enumerate(others)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = hash_embed(docs).select(
+        F.col("doc_id").alias("vec_id"), F.col("embedding")
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(emb, k=2, eps=0.2).collect()
+    }
+    assert out[0]["component"] is not None
+    assert out[0]["component"] == out[1]["component"]
+    assert out[0]["keep"] != out[1]["keep"]  # exactly one survives
+    for i in range(2, 8):
+        assert out[i]["keep"] is True and out[i]["component"] is None
