@@ -57,11 +57,17 @@ EOW = "</w>"
 CHECKPOINT_EVERY = 8
 
 
-def _word_counts(docs: DataFrame) -> DataFrame:
-    """(word, n) over the whitespace/lowercase token channel -- the
+def _word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, n) over the whitespace-split, case-PRESERVING token
+    channel (``text._toks``'s regex on ``text_col``) -- the
     corpus-sublinear table all training iterations run on."""
+    toks = (
+        _toks()
+        if text_col == "text"
+        else F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
+    )
     return (
-        docs.select(F.explode(_toks()).alias("word"))
+        docs.select(F.explode(toks).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -87,7 +93,10 @@ def _merge_expr(col: Column, a: str, b: str) -> Column:
 
 
 def train_bpe(
-    docs: DataFrame, n_merges: int, min_pair_count: int = 2
+    docs: DataFrame,
+    n_merges: int,
+    min_pair_count: int = 2,
+    text_col: str = "text",
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right), ...] -- the tokenizer model.
@@ -99,7 +108,7 @@ def train_bpe(
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
-    words = _word_counts(docs).select(
+    words = _word_counts(docs, text_col).select(
         F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "n"
     )
     words = words.localCheckpoint(eager=True)

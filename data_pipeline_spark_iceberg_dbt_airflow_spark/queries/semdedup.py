@@ -41,9 +41,11 @@ join shuffles (id, cluster, vector) rows replicated ~PAIR_BLOCKS/2
 times, never the corpus against itself; components run min-label
 propagation over the (tiny) near-dup edge set with
 localCheckpoint-bounded lineage; survivor choice is one map-side
-combinable groupBy over component members. NULL / wrong-dimension
-embeddings cannot be compared semantically and pass through with
-keep = true, component = NULL (same stance as assign_clusters).
+combinable groupBy over component members. NULL, wrong-dimension, and
+NaN-containing embeddings cannot be compared semantically and pass
+through with keep = true, component = NULL (NaN needs its own guard:
+Spark evaluates NaN >= threshold as TRUE, so an unguarded NaN vector
+would pair with its entire cluster).
 """
 
 from __future__ import annotations
@@ -84,16 +86,36 @@ def semdedup(
     to the smallest id, making the survivor a deterministic function of
     the input set).
     """
+    # NaN components are the third invalid class next to NULL and
+    # wrong-dim: they would crash the decimal k-means sums and -- via
+    # Spark's NaN comparison semantics (NaN >= t is TRUE) -- pass every
+    # cosine gate and weld their whole cluster into one component.
+    # Exclude them from fitting and comparison; like NULL/wrong-dim
+    # they pass through with cluster/component NULL and keep = true.
+    has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x))
+    fit_input = emb.where(
+        F.col(vec_col).isNotNull() & ~has_nan
+    )
     centroids = kmeans_fit(
-        emb, k, id_col=id_col, vec_col=vec_col
+        fit_input, k, id_col=id_col, vec_col=vec_col
     )
     dim = len(next(iter(centroids.values())))
     v = F.col(vec_col)
-    valid = v.isNotNull() & (F.size(v) == dim)
+    pre_valid = v.isNotNull() & (F.size(v) == dim) & ~has_nan
     assigned = assign_clusters(emb, centroids, vec_col=vec_col).select(
         F.col(id_col).alias("vec_id"),
         v.alias("embedding"),
-        F.col("cluster"),
+        # NaN rows get whatever argmin the NaN comparisons produced;
+        # null their cluster so every invalid class reads the same
+        F.when(pre_valid, F.col("cluster")).alias("cluster"),
+    )
+    # downstream of the rename the vector column is ALWAYS 'embedding'
+    # (the user's vec_col no longer exists here)
+    e = F.col("embedding")
+    valid = (
+        e.isNotNull()
+        & (F.size(e) == dim)
+        & ~F.exists(e, lambda x: F.isnan(x))
     )
     # cosine to the assigned centroid, literal-inlined like the
     # assignment itself: one chained CASE over k branches, no join

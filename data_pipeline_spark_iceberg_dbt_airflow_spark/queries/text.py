@@ -676,9 +676,12 @@ def normalize_text(
     characters (categories Cf/Cc: zero-width space and joiners, BOM,
     bidi marks) are removed, with every Unicode whitespace mapped to a
     plain space first; (3) optional accent strip = NFD, drop Mn
-    combining marks, NFC (so e-acute -> e regardless of input form);
-    (4) optional ``str.casefold()`` (stronger than lower(): folds ß ->
-    ss and dotted-I correctly); (5) space runs collapse and trim.
+    combining marks WHOSE BASE CHARACTER IS LATIN, NFC (so e-acute ->
+    e regardless of input form, while Thai/Devanagari/Arabic/Hebrew
+    vowel marks -- also category Mn, but meaning-bearing -- survive
+    untouched); (4) optional ``str.casefold()`` (stronger than
+    lower(): folds ß -> ss and dotted-I correctly); (5) space runs
+    collapse and trim.
     NULL stays NULL. The result is IDEMPOTENT (re-normalizing output
     is the identity -- pinned in tests), which is what makes it safe
     to run at every ingest boundary without coordination.
@@ -711,14 +714,21 @@ def normalize_text(
             out.append(ch)
         s = "".join(out)
         if strip_accents:
-            s = unicodedata.normalize(
-                "NFC",
-                "".join(
-                    ch
-                    for ch in unicodedata.normalize("NFD", s)
-                    if unicodedata.category(ch) != "Mn"
-                ),
-            )
+            # drop combining marks ONLY after Latin base characters:
+            # blanket Mn removal would destroy scripts where Mn marks
+            # carry meaning, not decoration -- Thai/Lao vowels,
+            # Devanagari matras, Arabic/Hebrew pointing ('kin' in Thai
+            # would lose its vowel and become a different word)
+            decomposed = unicodedata.normalize("NFD", s)
+            kept, base_is_latin = [], False
+            for ch in decomposed:
+                if unicodedata.category(ch) == "Mn":
+                    if not base_is_latin:
+                        kept.append(ch)
+                    continue
+                base_is_latin = ord(ch) < 0x250  # Latin blocks
+                kept.append(ch)
+            s = unicodedata.normalize("NFC", "".join(kept))
         if casefold:
             s = s.casefold()
         return " ".join(s.split())

@@ -170,3 +170,16 @@ def test_train_bpe_on_fixture_corpus(spark, sf_dir):
         .collect()[0]
     )
     assert stats["n"] > 0 and stats["c"] == stats["n"]
+
+
+def test_train_bpe_custom_text_column(spark):
+    """train/encode symmetry: both accept text_col, and the learned
+    merges agree with training on the default column name."""
+    rows = [(0, "low low low lower")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    renamed = docs.withColumnRenamed("text", "body")
+    merges_default = train_bpe(docs, 4)
+    merges_body = train_bpe(renamed, 4, text_col="body")
+    assert merges_body == merges_default
+    enc = bpe_encode(renamed, merges_body, text_col="body").collect()
+    assert enc and enc[0]["tokens"]

@@ -179,3 +179,36 @@ def test_semdedup_over_hash_embeddings_model_free(spark):
     assert out[0]["keep"] != out[1]["keep"]  # exactly one survives
     for i in range(2, 8):
         assert out[i]["keep"] is True and out[i]["component"] is None
+
+
+def test_semdedup_custom_vec_col(planted):
+    """The advertised vec_col parameter must work end to end (the
+    internal rename to 'embedding' cannot leak into predicates)."""
+    renamed = planted.withColumnRenamed("embedding", "vec")
+    out = {
+        r["vec_id"]: r
+        for r in semdedup(renamed, k=3, eps=0.03, vec_col="vec").collect()
+    }
+    assert sum(r["keep"] for r in (out[0], out[1], out[2])) == 1
+    assert out[30]["keep"] is True
+
+
+def test_semdedup_nan_embeddings_pass_through(spark):
+    """NaN-containing vectors are the third invalid class: they must not
+    crash the k-means fit, must not weld their cluster together (Spark
+    evaluates NaN >= t as TRUE), and pass through kept/unlabeled."""
+    rows = [
+        (0, _vec(0, 0.0)),
+        (1, _vec(0, 0.005)),  # genuine dup pair with 0
+        (2, _vec(1, 0.0)),
+        (3, _vec(1, 0.4)),  # same cluster as 2, NOT a dup
+        (9, [float("nan")] + [1.0] * (DIM - 1)),
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(docs, k=2, eps=0.03).collect()}
+    assert out[9]["cluster"] is None
+    assert out[9]["component"] is None
+    assert out[9]["keep"] is True
+    # the real dup pair still collapses; the non-dups stay apart
+    assert out[0]["component"] == out[1]["component"] is not None
+    assert out[2]["component"] is None and out[3]["component"] is None

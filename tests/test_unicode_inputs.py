@@ -199,3 +199,26 @@ def test_normalize_text_is_arrow_batched_no_shuffle(spark):
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "Exchange" not in plan, plan
+
+
+def test_normalize_text_preserves_nonlatin_combining_marks(spark):
+    """Accent stripping is LATIN-BASE-ONLY: Thai/Devanagari/Hebrew/
+    Arabic marks are category Mn but meaning-bearing -- they must
+    survive normalization while café still folds."""
+    rows = [
+        (1, "กิน ข้าว"),  # Thai: vowel sign + tone marks (Mn)
+        (2, "हिन्दी"),  # Devanagari: matra + virama (Mn)
+        (3, "שָׁלוֹם"),  # Hebrew pointing (Mn)
+        (4, "café"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        normalize_text,
+    )
+    import unicodedata
+
+    out = {r["doc_id"]: r["text"] for r in normalize_text(docs).collect()}
+    assert out[1] == unicodedata.normalize("NFC", "กิน ข้าว")
+    assert out[2] == unicodedata.normalize("NFC", "हिन्दी")
+    assert out[3] == unicodedata.normalize("NFC", "שָׁלוֹם")
+    assert out[4] == "cafe"
