@@ -108,6 +108,10 @@ def _build_parser() -> argparse.ArgumentParser:
     ct = sub.add_parser("contain", help="doc-in-doc containment pairs")
     ct.add_argument("--sf", default=DEFAULT_SF)
     ct.add_argument("--threshold", type=float, default=0.9)
+
+    bp = sub.add_parser("bpe", help="train BPE merges on documents")
+    bp.add_argument("--sf", default=DEFAULT_SF)
+    bp.add_argument("--merges", type=int, default=50)
     return p
 
 
@@ -311,6 +315,15 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
                 f"\tjaccard={r['jaccard']:.3f}"
             )
         print(f"# {len(rows)} containment pairs", file=sys.stderr)
+        return 0
+
+    if args.cmd == "bpe":
+        from .io import read_table
+        from .queries.bpe import train_bpe
+
+        docs = read_table(spark, args.sf, "documents")
+        for i, (a, b) in enumerate(train_bpe(docs, args.merges)):
+            print(f"{i}\t{a}\t{b}")
         return 0
 
     if args.cmd == "check":

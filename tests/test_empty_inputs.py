@@ -149,3 +149,20 @@ def test_round5_operators_survive_empty_inputs(spark):
     )
     with pytest.raises(ValueError):
         semdedup(empty_emb, k=2)
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.bpe import (
+        bpe_encode,
+        train_bpe,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        containment_pairs,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        normalize_text,
+    )
+
+    assert normalize_text(empty_docs).count() == 0
+    assert train_bpe(empty_docs, 5) == []
+    assert bpe_encode(empty_docs, [("a", "b")]).count() == 0
+    empty_sh = spark.createDataFrame([], "doc_id long, sid long, n_sh long")
+    assert containment_pairs(empty_sh).count() == 0

@@ -623,3 +623,11 @@ def test_cli_semdedup_and_contain(spark, sf_dir, capsys):
     assert main(["contain", "--sf", sf_dir], spark=spark) == 0
     err = capsys.readouterr().err
     assert "containment pairs" in err
+
+
+def test_cli_bpe(spark, sf_dir, capsys):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    assert main(["bpe", "--sf", sf_dir, "--merges", "5"], spark=spark) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 5 and all(len(ln.split("\t")) == 3 for ln in lines)
