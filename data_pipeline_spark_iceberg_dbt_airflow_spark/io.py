@@ -472,7 +472,9 @@ def read_snapshots(spark: SparkSession, table: str) -> DataFrame:
     """S11: Iceberg metadata/time-travel scan
     (``SELECT * FROM <t>.snapshots``, README.md:301,712). Requires an
     Iceberg catalog; without the runtime jar Spark raises -- callers gate
-    on capability (tests skip-mark when absent, SURVEY.md §7 risks)."""
+    on capability (tests skip-mark when absent, SURVEY.md §7 risks).
+    For the jar-free engine-native equivalent (log-structured commits,
+    version/timestamp travel), see ``snapshots.py``."""
     return spark.read.table(f"{table}.snapshots")
 
 

@@ -1,0 +1,164 @@
+"""Engine-native table snapshots: append/overwrite commits, snapshot
+listing, and time travel over plain parquet.
+
+The reference's S11 capability is Iceberg snapshot metadata + time
+travel (`SELECT * FROM t.snapshots`, rollback by snapshot id --
+/root/reference/README.md:301,712). This sandbox has no
+iceberg-spark-runtime jar (probe evidence: SCALING.md), so
+``io.read_snapshots`` stays capability-gated; THIS module provides the
+same contract engine-natively, with the standard log-structured table
+format design (the mechanism Iceberg/Delta themselves use):
+
+- Every commit writes its data files under an immutable, uniquely-named
+  directory ``<table>/data/<version>-<uuid>/`` -- files are never
+  mutated or deleted by writers, so readers need no locks.
+- A commit then publishes ONE manifest ``<table>/_snapshots/v<N>.json``
+  naming the data directories LIVE at that snapshot (append = parent's
+  list + the new dir; overwrite = just the new dir). The manifest is
+  created with an exclusive-create (``open(..., 'x')``): two racing
+  writers cannot both publish version N -- the loser retries at N+1
+  against the winner's state, which is optimistic concurrency exactly
+  as Delta's transaction log does it. On an object store, swap the
+  exclusive create for a conditional PUT (if-none-match).
+- Reading snapshot N = ``spark.read.parquet(*live_dirs)``: plans,
+  pushdown, and pruning are ordinary parquet scans; time travel by
+  timestamp picks the newest manifest committed at or before the
+  requested instant.
+
+Scale shape: manifests are driver-side metadata (KBs; one tiny JSON
+per commit -- the same driver-coordinated commit every table format
+performs); data moves only through executor parquet writes. Listing
+``_snapshots/`` is O(commits); a production deployment compacts old
+manifests exactly as Iceberg does -- out of scope here, noted for the
+record. Not provided (use the real Iceberg runtime in production):
+file-level delete vectors, hidden partition transforms, and
+multi-table transactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json")
+
+
+def _load_manifests(table_dir: str) -> list[dict]:
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.startswith("v") and name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit(table_dir: str, df: DataFrame, operation: str) -> int:
+    """Write data, then publish the next manifest with optimistic
+    concurrency (exclusive create; loser retries against new state)."""
+    data_root = os.path.join(table_dir, "data")
+    os.makedirs(data_root, exist_ok=True)
+    os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    while True:
+        manifests = _load_manifests(table_dir)
+        version = manifests[-1]["version"] + 1 if manifests else 0
+        new_dir = os.path.join(data_root, f"{version:08d}-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(new_dir)
+        if operation == "append" and manifests:
+            dirs = manifests[-1]["dirs"] + [new_dir]
+        else:
+            dirs = [new_dir]
+        manifest = {
+            "version": version,
+            "parent": manifests[-1]["version"] if manifests else None,
+            "operation": operation,
+            "committed_at_ns": time.time_ns(),
+            "dirs": dirs,
+        }
+        try:
+            with open(_manifest_path(table_dir, version), "x") as f:
+                json.dump(manifest, f)
+            return version
+        except FileExistsError:
+            # another writer won version N; our data dir is unreferenced
+            # (harmless garbage, cleaned by vacuum in a real deployment)
+            continue
+
+
+def snapshot_append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as an APPEND snapshot; returns the new version."""
+    return _commit(table_dir, df, "append")
+
+
+def snapshot_overwrite(
+    spark: SparkSession, df: DataFrame, table_dir: str
+) -> int:
+    """Commit ``df`` as a full-replace snapshot; returns the version."""
+    return _commit(table_dir, df, "overwrite")
+
+
+def snapshot_versions(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The `.snapshots` metadata scan: one row per committed snapshot
+    (version, parent, operation, committed_at, n_dirs)."""
+    rows = [
+        (
+            m["version"],
+            m["parent"],
+            m["operation"],
+            m["committed_at_ns"],
+            len(m["dirs"]),
+        )
+        for m in _load_manifests(table_dir)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version int, parent int, operation string, "
+        "committed_at_ns long, n_dirs int",
+    )
+
+
+def snapshot_read(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    as_of_ns: int | None = None,
+) -> DataFrame:
+    """Read the table at a snapshot: latest by default, an explicit
+    ``version``, or time travel to the newest snapshot committed at or
+    before ``as_of_ns``. Plain parquet scans of the live directories --
+    pushdown/pruning behave exactly as any other read."""
+    manifests = _load_manifests(table_dir)
+    if not manifests:
+        raise ValueError(f"no snapshots at {table_dir}")
+    if version is not None and as_of_ns is not None:
+        raise ValueError("pass version OR as_of_ns, not both")
+    if version is not None:
+        picked = next(
+            (m for m in manifests if m["version"] == version), None
+        )
+        if picked is None:
+            raise ValueError(f"no snapshot version {version} at {table_dir}")
+    elif as_of_ns is not None:
+        eligible = [
+            m for m in manifests if m["committed_at_ns"] <= as_of_ns
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before {as_of_ns} at {table_dir}"
+            )
+        picked = eligible[-1]
+    else:
+        picked = manifests[-1]
+    return spark.read.parquet(*picked["dirs"])
