@@ -109,6 +109,36 @@ def snapshot_overwrite(
     return _commit(table_dir, df, "overwrite")
 
 
+def snapshot_rollback(
+    spark: SparkSession, table_dir: str, version: int
+) -> int:
+    """Roll the table back to ``version`` AS A NEW COMMIT (Iceberg's
+    rollback semantics): history is never rewritten -- a manifest with
+    operation='rollback' republishes the old snapshot's directory list,
+    so the bad snapshots stay inspectable and the rollback itself is
+    time-travelable."""
+    manifests = _load_manifests(table_dir)
+    target = next((m for m in manifests if m["version"] == version), None)
+    if target is None:
+        raise ValueError(f"no snapshot version {version} at {table_dir}")
+    while True:
+        manifests = _load_manifests(table_dir)
+        new_version = manifests[-1]["version"] + 1
+        manifest = {
+            "version": new_version,
+            "parent": manifests[-1]["version"],
+            "operation": "rollback",
+            "committed_at_ns": time.time_ns(),
+            "dirs": target["dirs"],
+        }
+        try:
+            with open(_manifest_path(table_dir, new_version), "x") as f:
+                json.dump(manifest, f)
+            return new_version
+        except FileExistsError:
+            continue
+
+
 def snapshot_versions(spark: SparkSession, table_dir: str) -> DataFrame:
     """The `.snapshots` metadata scan: one row per committed snapshot
     (version, parent, operation, committed_at, n_dirs)."""
@@ -134,11 +164,15 @@ def snapshot_read(
     table_dir: str,
     version: int | None = None,
     as_of_ns: int | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table at a snapshot: latest by default, an explicit
     ``version``, or time travel to the newest snapshot committed at or
     before ``as_of_ns``. Plain parquet scans of the live directories --
-    pushdown/pruning behave exactly as any other read."""
+    pushdown/pruning behave exactly as any other read. Pass
+    ``merge_schema=True`` when appends evolved the schema across
+    commits (columns added later read as NULL for older directories --
+    the same union-by-name posture as ``io.read_evolving``)."""
     manifests = _load_manifests(table_dir)
     if not manifests:
         raise ValueError(f"no snapshots at {table_dir}")
@@ -161,4 +195,7 @@ def snapshot_read(
         picked = eligible[-1]
     else:
         picked = manifests[-1]
-    return spark.read.parquet(*picked["dirs"])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*picked["dirs"])

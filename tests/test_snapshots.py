@@ -101,3 +101,40 @@ def test_read_errors(spark, table):
         snapshot_read(spark, table, version=7)
     with pytest.raises(ValueError):
         snapshot_read(spark, table, version=0, as_of_ns=1)
+
+
+def test_rollback_is_a_new_commit(spark, table):
+    """Rollback republishes an old snapshot's state as a NEW version --
+    history stays intact and inspectable, and the rollback itself is
+    time-travelable (Iceberg semantics)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_rollback,
+    )
+
+    snapshot_append(spark, _df(spark, [1]), table)  # v0
+    snapshot_overwrite(spark, _df(spark, [9]), table)  # v1: the bad commit
+    v = snapshot_rollback(spark, table, 0)
+    assert v == 2
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1]
+    # the bad snapshot is still there for inspection
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=1).collect()
+    ) == [9]
+    meta = {r["version"]: r for r in snapshot_versions(spark, table).collect()}
+    assert meta[2]["operation"] == "rollback" and meta[2]["parent"] == 1
+    with pytest.raises(ValueError):
+        snapshot_rollback(spark, table, 44)
+
+
+def test_schema_evolution_across_appends(spark, table):
+    """Appends may add columns; merge_schema=True reads the union with
+    NULLs for pre-evolution directories, and historical versions still
+    read with their own schema."""
+    snapshot_append(spark, _df(spark, [1]), table)
+    evolved = spark.createDataFrame([(2, "r2", 7.5)], "id long, v string, score double")
+    snapshot_append(spark, evolved, table)
+    out = snapshot_read(spark, table, merge_schema=True)
+    assert set(out.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in out.collect()}
+    assert rows == {1: None, 2: 7.5}
+    assert set(snapshot_read(spark, table, version=0).columns) == {"id", "v"}
