@@ -112,6 +112,9 @@ def _build_parser() -> argparse.ArgumentParser:
     bp = sub.add_parser("bpe", help="train BPE merges on documents")
     bp.add_argument("--sf", default=DEFAULT_SF)
     bp.add_argument("--merges", type=int, default=50)
+
+    sn = sub.add_parser("snapshots", help="list a snapshot table's versions")
+    sn.add_argument("table_dir")
     return p
 
 
@@ -324,6 +327,16 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         docs = read_table(spark, args.sf, "documents")
         for i, (a, b) in enumerate(train_bpe(docs, args.merges)):
             print(f"{i}\t{a}\t{b}")
+        return 0
+
+    if args.cmd == "snapshots":
+        from .snapshots import snapshot_versions
+
+        for r in snapshot_versions(spark, args.table_dir).collect():
+            print(
+                f"v{r['version']}\tparent={r['parent']}\t{r['operation']}"
+                f"\tdirs={r['n_dirs']}\tat={r['committed_at_ns']}"
+            )
         return 0
 
     if args.cmd == "check":

@@ -139,6 +139,43 @@ def snapshot_rollback(
             continue
 
 
+def snapshot_vacuum(
+    spark: SparkSession,
+    table_dir: str,
+    keep_versions: int | None = None,
+) -> list[str]:
+    """Delete data directories no manifest references (orphans from
+    lost commit races) and, when ``keep_versions`` is given, expire all
+    but the newest N manifests first (their exclusively-held dirs
+    become orphans and are swept in the same pass). Returns the deleted
+    directory paths.
+
+    The maintenance counterpart of optimistic commits: losers leave
+    unreferenced data dirs behind by design (see ``_commit``); readers
+    never see them, so the sweep is safe whenever no commit is
+    IN FLIGHT -- run it from the single maintenance owner, exactly like
+    Iceberg's expire_snapshots/remove_orphan_files pair. History that
+    survives ``keep_versions`` remains fully time-travelable.
+    """
+    import shutil
+
+    manifests = _load_manifests(table_dir)
+    if keep_versions is not None and len(manifests) > keep_versions:
+        for m in manifests[: len(manifests) - keep_versions]:
+            os.remove(_manifest_path(table_dir, m["version"]))
+        manifests = manifests[len(manifests) - keep_versions :]
+    live = {d for m in manifests for d in m["dirs"]}
+    data_root = os.path.join(table_dir, "data")
+    removed = []
+    if os.path.isdir(data_root):
+        for name in sorted(os.listdir(data_root)):
+            path = os.path.join(data_root, name)
+            if path not in live:
+                shutil.rmtree(path)
+                removed.append(path)
+    return removed
+
+
 def snapshot_versions(spark: SparkSession, table_dir: str) -> DataFrame:
     """The `.snapshots` metadata scan: one row per committed snapshot
     (version, parent, operation, committed_at, n_dirs)."""

@@ -631,3 +631,18 @@ def test_cli_bpe(spark, sf_dir, capsys):
     assert main(["bpe", "--sf", sf_dir, "--merges", "5"], spark=spark) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 5 and all(len(ln.split("\t")) == 3 for ln in lines)
+
+
+def test_cli_snapshots(spark, tmp_path, capsys):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_append,
+    )
+
+    table = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    snapshot_append(spark, df, table)
+    snapshot_append(spark, df, table)
+    assert main(["snapshots", table], spark=spark) == 0
+    out = capsys.readouterr().out.splitlines()
+    assert len(out) == 2 and out[0].startswith("v0\tparent=None\tappend")

@@ -138,3 +138,36 @@ def test_schema_evolution_across_appends(spark, table):
     rows = {r["id"]: r["score"] for r in out.collect()}
     assert rows == {1: None, 2: 7.5}
     assert set(snapshot_read(spark, table, version=0).columns) == {"id", "v"}
+
+
+def test_vacuum_sweeps_orphans_and_expired_history(spark, table):
+    """Vacuum deletes only what no surviving manifest references: a
+    planted lost-race orphan goes immediately; expiring history with
+    keep_versions frees dirs held only by expired snapshots; every
+    surviving version still reads exactly."""
+    import os
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_append(spark, _df(spark, [1]), table)  # v0
+    snapshot_overwrite(spark, _df(spark, [2]), table)  # v1 (v0's dir now held only by v0)
+    snapshot_append(spark, _df(spark, [3]), table)  # v2
+    # plant a lost-race orphan dir
+    orphan = os.path.join(table, "data", "99999999-deadbeef")
+    _df(spark, [7]).write.mode("overwrite").parquet(orphan)
+
+    removed = snapshot_vacuum(spark, table)
+    assert removed == [orphan]
+    # nothing referenced was touched
+    assert sorted(r["id"] for r in snapshot_read(spark, table, version=0).collect()) == [1]
+
+    # expire v0: its exclusive dir becomes an orphan and is swept
+    removed = snapshot_vacuum(spark, table, keep_versions=2)
+    assert len(removed) == 1
+    vs = sorted(r["version"] for r in snapshot_versions(spark, table).collect())
+    assert vs == [1, 2]
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=0)
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [2, 3]
