@@ -45,8 +45,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import _toks
-
 #: End-of-word marker appended to every word's symbol sequence (the
 #: Sennrich formulation): merges learned at word ends stay distinct
 #: from word-internal ones, and decoding can reconstruct boundaries.
@@ -61,11 +59,9 @@ def _word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, n) over the whitespace-split, case-PRESERVING token
     channel (``text._toks``'s regex on ``text_col``) -- the
     corpus-sublinear table all training iterations run on."""
-    toks = (
-        _toks()
-        if text_col == "text"
-        else F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
-    )
+    # one expression for any column name (identical to _toks() when
+    # text_col == 'text' -- no second code path to keep in sync)
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), F.lit(0))
     return (
         docs.select(F.explode(toks).alias("word"))
         .where(F.length("word") > 0)

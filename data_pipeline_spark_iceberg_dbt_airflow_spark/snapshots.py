@@ -9,17 +9,24 @@ iceberg-spark-runtime jar (probe evidence: SCALING.md), so
 same contract engine-natively, with the standard log-structured table
 format design (the mechanism Iceberg/Delta themselves use):
 
-- Every commit writes its data files under an immutable, uniquely-named
-  directory ``<table>/data/<version>-<uuid>/`` -- files are never
-  mutated or deleted by writers, so readers need no locks.
+- Every commit writes its data files ONCE under an immutable,
+  uuid-named directory ``<table>/data/<uuid>/`` -- files are never
+  mutated or deleted by writers, so readers need no locks, and a lost
+  commit race retries only the manifest publish, never the data write.
 - A commit then publishes ONE manifest ``<table>/_snapshots/v<N>.json``
-  naming the data directories LIVE at that snapshot (append = parent's
-  list + the new dir; overwrite = just the new dir). The manifest is
-  created with an exclusive-create (``open(..., 'x')``): two racing
-  writers cannot both publish version N -- the loser retries at N+1
-  against the winner's state, which is optimistic concurrency exactly
-  as Delta's transaction log does it. On an object store, swap the
-  exclusive create for a conditional PUT (if-none-match).
+  naming the data-directory BASENAMES live at that snapshot (append =
+  parent's list + the new dir; overwrite = just the new dir); names
+  resolve against the caller's table_dir at read time, so tables can
+  move and no path-spelling mismatch can fool the vacuum liveness
+  check. The manifest is written complete to a temp file (fsync'd) and
+  hard-LINKED to its final name: link() is an atomic exclusive create,
+  so two racing writers cannot both publish version N (the loser
+  retries at N+1 against the winner's state -- optimistic concurrency
+  exactly as Delta's transaction log does it) and no reader can ever
+  observe a partial manifest. On an object store, swap the link for a
+  conditional PUT (if-none-match). Commit timestamps are clamped
+  monotone over the parent so as-of-timestamp reads stay consistent
+  under wall-clock steps.
 - Reading snapshot N = ``spark.read.parquet(*live_dirs)``: plans,
   pushdown, and pruning are ordinary parquet scans; time travel by
   timestamp picks the newest manifest committed at or before the
@@ -65,53 +72,92 @@ def _load_manifests(table_dir: str) -> list[dict]:
     return out
 
 
+def _live_paths(table_dir: str, manifest: dict) -> list[str]:
+    """Manifests record data-directory BASENAMES (never absolute
+    paths): resolved against the caller's table_dir at use time, so a
+    table can be moved/renamed, and equivalent-but-different spellings
+    of table_dir ('tbl' vs './tbl' vs an absolute path) can never make
+    a liveness comparison miss -- a string-compare miss in vacuum would
+    delete live data."""
+    root = os.path.join(table_dir, "data")
+    return [os.path.join(root, d) for d in manifest["dirs"]]
+
+
+def _publish(table_dir: str, version: int, manifest: dict) -> bool:
+    """Atomically publish a manifest: write the full JSON to a hidden
+    temp name, fsync, then hard-link to the final name -- link() is an
+    atomic exclusive create, so readers can never observe an empty or
+    truncated v<N>.json (open('x') + dump would expose one between the
+    create and the write, and a writer dying mid-dump would brick every
+    subsequent load). Returns False if another writer won the version."""
+    tmp = os.path.join(
+        _manifest_dir(table_dir), f".tmp-{uuid.uuid4().hex}"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.remove(tmp)
+
+
+def _next_ts(manifests: list[dict]) -> int:
+    """Commit timestamp, clamped MONOTONE over the parent's: a wall
+    clock stepped backwards (NTP) must not let as-of-timestamp reads
+    pick a snapshot whose content postdates the requested instant --
+    the same invariant Delta/Iceberg enforce."""
+    now = time.time_ns()
+    return max(now, manifests[-1]["committed_at_ns"] + 1) if manifests else now
+
+
 def _commit(table_dir: str, df: DataFrame, operation: str) -> int:
-    """Write data, then publish the next manifest with optimistic
-    concurrency (exclusive create; loser retries against new state)."""
+    """Write data ONCE, then publish the next manifest with optimistic
+    concurrency. Only the (tiny) manifest publish retries on a lost
+    race -- re-running the parquet write per conflict would pay the
+    dominant cost N times and orphan N directories; the data dir's name
+    is a bare uuid precisely so it is version-independent."""
     data_root = os.path.join(table_dir, "data")
     os.makedirs(data_root, exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
+    new_name = uuid.uuid4().hex
+    df.write.mode("overwrite").parquet(os.path.join(data_root, new_name))
     while True:
         manifests = _load_manifests(table_dir)
         version = manifests[-1]["version"] + 1 if manifests else 0
-        new_dir = os.path.join(data_root, f"{version:08d}-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(new_dir)
         if operation == "append" and manifests:
-            dirs = manifests[-1]["dirs"] + [new_dir]
+            dirs = manifests[-1]["dirs"] + [new_name]
         else:
-            dirs = [new_dir]
+            dirs = [new_name]
         manifest = {
             "version": version,
             "parent": manifests[-1]["version"] if manifests else None,
             "operation": operation,
-            "committed_at_ns": time.time_ns(),
+            "committed_at_ns": _next_ts(manifests),
             "dirs": dirs,
         }
-        try:
-            with open(_manifest_path(table_dir, version), "x") as f:
-                json.dump(manifest, f)
+        if _publish(table_dir, version, manifest):
             return version
-        except FileExistsError:
-            # another writer won version N; our data dir is unreferenced
-            # (harmless garbage, cleaned by vacuum in a real deployment)
-            continue
+        # another writer won version N; retry the manifest only
 
 
-def snapshot_append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
-    """Commit ``df`` as an APPEND snapshot; returns the new version."""
+def snapshot_append(df: DataFrame, table_dir: str) -> int:
+    """Commit ``df`` as an APPEND snapshot; returns the new version.
+    (No session parameter: commits are the frame's own write plus
+    driver-side manifest metadata -- ``df`` carries its session.)"""
     return _commit(table_dir, df, "append")
 
 
-def snapshot_overwrite(
-    spark: SparkSession, df: DataFrame, table_dir: str
-) -> int:
+def snapshot_overwrite(df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as a full-replace snapshot; returns the version."""
     return _commit(table_dir, df, "overwrite")
 
 
-def snapshot_rollback(
-    spark: SparkSession, table_dir: str, version: int
-) -> int:
+def snapshot_rollback(table_dir: str, version: int) -> int:
     """Roll the table back to ``version`` AS A NEW COMMIT (Iceberg's
     rollback semantics): history is never rewritten -- a manifest with
     operation='rollback' republishes the old snapshot's directory list,
@@ -128,19 +174,14 @@ def snapshot_rollback(
             "version": new_version,
             "parent": manifests[-1]["version"],
             "operation": "rollback",
-            "committed_at_ns": time.time_ns(),
+            "committed_at_ns": _next_ts(manifests),
             "dirs": target["dirs"],
         }
-        try:
-            with open(_manifest_path(table_dir, new_version), "x") as f:
-                json.dump(manifest, f)
+        if _publish(table_dir, new_version, manifest):
             return new_version
-        except FileExistsError:
-            continue
 
 
 def snapshot_vacuum(
-    spark: SparkSession,
     table_dir: str,
     keep_versions: int | None = None,
 ) -> list[str]:
@@ -159,18 +200,24 @@ def snapshot_vacuum(
     """
     import shutil
 
+    if keep_versions is not None and keep_versions < 1:
+        # keep_versions=0 would expire EVERY manifest (current snapshot
+        # included) and the sweep would then delete the whole table
+        raise ValueError("keep_versions must be >= 1")
     manifests = _load_manifests(table_dir)
     if keep_versions is not None and len(manifests) > keep_versions:
         for m in manifests[: len(manifests) - keep_versions]:
             os.remove(_manifest_path(table_dir, m["version"]))
         manifests = manifests[len(manifests) - keep_versions :]
+    # liveness compares BASENAMES (what manifests store), immune to
+    # table_dir spelling differences
     live = {d for m in manifests for d in m["dirs"]}
     data_root = os.path.join(table_dir, "data")
     removed = []
     if os.path.isdir(data_root):
         for name in sorted(os.listdir(data_root)):
-            path = os.path.join(data_root, name)
-            if path not in live:
+            if name not in live:
+                path = os.path.join(data_root, name)
                 shutil.rmtree(path)
                 removed.append(path)
     return removed
@@ -235,4 +282,4 @@ def snapshot_read(
     reader = spark.read
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*picked["dirs"])
+    return reader.parquet(*_live_paths(table_dir, picked))

@@ -641,8 +641,8 @@ def test_cli_snapshots(spark, tmp_path, capsys):
 
     table = str(tmp_path / "t")
     df = spark.createDataFrame([(1, "a")], "id long, v string")
-    snapshot_append(spark, df, table)
-    snapshot_append(spark, df, table)
+    snapshot_append(df, table)
+    snapshot_append(df, table)
     assert main(["snapshots", table], spark=spark) == 0
     out = capsys.readouterr().out.splitlines()
     assert len(out) == 2 and out[0].startswith("v0\tparent=None\tappend")

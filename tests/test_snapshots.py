@@ -27,10 +27,10 @@ def table(tmp_path):
 
 
 def test_append_overwrite_lineage_and_time_travel(spark, table):
-    v0 = snapshot_append(spark, _df(spark, [1, 2]), table)
-    v1 = snapshot_append(spark, _df(spark, [3]), table)
-    v2 = snapshot_overwrite(spark, _df(spark, [9]), table)
-    v3 = snapshot_append(spark, _df(spark, [10]), table)
+    v0 = snapshot_append(_df(spark, [1, 2]), table)
+    v1 = snapshot_append(_df(spark, [3]), table)
+    v2 = snapshot_overwrite(_df(spark, [9]), table)
+    v3 = snapshot_append(_df(spark, [10]), table)
     assert (v0, v1, v2, v3) == (0, 1, 2, 3)
 
     def ids(df):
@@ -68,7 +68,7 @@ def test_commit_conflict_retries(spark, table, monkeypatch):
     append keeps the winner's rows)."""
     import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
 
-    snapshot_append(spark, _df(spark, [1]), table)
+    snapshot_append(_df(spark, [1]), table)
     mdir = os.path.join(table, "_snapshots")
     # racing winner publishes v1 (same data dirs, for simplicity)
     with open(os.path.join(mdir, "v00000000.json")) as f:
@@ -86,7 +86,7 @@ def test_commit_conflict_retries(spark, table, monkeypatch):
         return m[:-1] if calls["n"] == 1 else m  # hide the winner once
 
     monkeypatch.setattr(snap, "_load_manifests", stale_once)
-    v = snapshot_append(spark, _df(spark, [2]), table)
+    v = snapshot_append(_df(spark, [2]), table)
     assert v == 2
     assert calls["n"] >= 2  # the retry actually ran
     got = sorted(r["id"] for r in snapshot_read(spark, table).collect())
@@ -96,7 +96,7 @@ def test_commit_conflict_retries(spark, table, monkeypatch):
 def test_read_errors(spark, table):
     with pytest.raises(ValueError):
         snapshot_read(spark, table)  # no snapshots yet
-    snapshot_append(spark, _df(spark, [1]), table)
+    snapshot_append(_df(spark, [1]), table)
     with pytest.raises(ValueError):
         snapshot_read(spark, table, version=7)
     with pytest.raises(ValueError):
@@ -111,9 +111,9 @@ def test_rollback_is_a_new_commit(spark, table):
         snapshot_rollback,
     )
 
-    snapshot_append(spark, _df(spark, [1]), table)  # v0
-    snapshot_overwrite(spark, _df(spark, [9]), table)  # v1: the bad commit
-    v = snapshot_rollback(spark, table, 0)
+    snapshot_append(_df(spark, [1]), table)  # v0
+    snapshot_overwrite(_df(spark, [9]), table)  # v1: the bad commit
+    v = snapshot_rollback(table, 0)
     assert v == 2
     assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1]
     # the bad snapshot is still there for inspection
@@ -123,16 +123,16 @@ def test_rollback_is_a_new_commit(spark, table):
     meta = {r["version"]: r for r in snapshot_versions(spark, table).collect()}
     assert meta[2]["operation"] == "rollback" and meta[2]["parent"] == 1
     with pytest.raises(ValueError):
-        snapshot_rollback(spark, table, 44)
+        snapshot_rollback(table, 44)
 
 
 def test_schema_evolution_across_appends(spark, table):
     """Appends may add columns; merge_schema=True reads the union with
     NULLs for pre-evolution directories, and historical versions still
     read with their own schema."""
-    snapshot_append(spark, _df(spark, [1]), table)
+    snapshot_append(_df(spark, [1]), table)
     evolved = spark.createDataFrame([(2, "r2", 7.5)], "id long, v string, score double")
-    snapshot_append(spark, evolved, table)
+    snapshot_append(evolved, table)
     out = snapshot_read(spark, table, merge_schema=True)
     assert set(out.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in out.collect()}
@@ -151,23 +151,61 @@ def test_vacuum_sweeps_orphans_and_expired_history(spark, table):
         snapshot_vacuum,
     )
 
-    snapshot_append(spark, _df(spark, [1]), table)  # v0
-    snapshot_overwrite(spark, _df(spark, [2]), table)  # v1 (v0's dir now held only by v0)
-    snapshot_append(spark, _df(spark, [3]), table)  # v2
+    snapshot_append(_df(spark, [1]), table)  # v0
+    snapshot_overwrite(_df(spark, [2]), table)  # v1 (v0's dir now held only by v0)
+    snapshot_append(_df(spark, [3]), table)  # v2
     # plant a lost-race orphan dir
     orphan = os.path.join(table, "data", "99999999-deadbeef")
     _df(spark, [7]).write.mode("overwrite").parquet(orphan)
 
-    removed = snapshot_vacuum(spark, table)
+    removed = snapshot_vacuum(table)
     assert removed == [orphan]
     # nothing referenced was touched
     assert sorted(r["id"] for r in snapshot_read(spark, table, version=0).collect()) == [1]
 
     # expire v0: its exclusive dir becomes an orphan and is swept
-    removed = snapshot_vacuum(spark, table, keep_versions=2)
+    removed = snapshot_vacuum(table, keep_versions=2)
     assert len(removed) == 1
     vs = sorted(r["version"] for r in snapshot_versions(spark, table).collect())
     assert vs == [1, 2]
     with pytest.raises(ValueError):
         snapshot_read(spark, table, version=0)
     assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [2, 3]
+
+
+def test_vacuum_immune_to_table_dir_spelling(spark, table):
+    """Liveness is compared on manifest-stored BASENAMES: vacuuming
+    through a differently-spelled path to the same table must delete
+    nothing live (a raw path string-compare would delete everything)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_append(_df(spark, [1]), table)
+    spelled = os.path.join(os.path.dirname(table), ".", os.path.basename(table))
+    assert snapshot_vacuum(spelled) == []
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == [1]
+
+
+def test_vacuum_rejects_keep_versions_zero(spark, table):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_append(_df(spark, [1]), table)
+    with pytest.raises(ValueError):
+        snapshot_vacuum(table, keep_versions=0)
+    assert snapshot_read(spark, table).count() == 1
+
+
+def test_table_survives_a_move(spark, table, tmp_path):
+    """Manifests store relative names, so a moved/renamed table keeps
+    its whole history readable from the new location."""
+    import shutil
+
+    snapshot_append(_df(spark, [1]), table)
+    snapshot_append(_df(spark, [2]), table)
+    moved = str(tmp_path / "relocated")
+    shutil.move(table, moved)
+    assert sorted(r["id"] for r in snapshot_read(spark, moved).collect()) == [1, 2]
+    assert snapshot_read(spark, moved, version=0).count() == 1
