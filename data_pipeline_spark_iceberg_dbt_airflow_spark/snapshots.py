@@ -50,6 +50,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _manifest_dir(table_dir: str) -> str:
@@ -283,3 +284,45 @@ def snapshot_read(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*_live_paths(table_dir, picked))
+
+
+def snapshot_merge(
+    updates: DataFrame,
+    table_dir: str,
+    key_col: str,
+    delete_col: str | None = None,
+) -> int:
+    """MERGE INTO over the snapshot layer: upsert ``updates`` by
+    ``key_col`` -- matched target rows are replaced, unmatched update
+    rows are inserted, and (when ``delete_col`` names a boolean column)
+    update rows flagged true DELETE their target match instead. One
+    commit; the pre-merge state stays time-travelable, which is the
+    lakehouse MERGE contract (Iceberg/Delta) this layer mirrors.
+
+    Plan shape: the target's live files are read once, survivors come
+    from one ``left_anti`` join against the (pruned) update keys --
+    16-byte-key shuffle, never a row-by-row lookup -- and the union
+    with the inserts lands as an overwrite commit. NULL-key update
+    rows are rejected: a NULL never matches in the anti-join, so each
+    replay would re-insert it -- the same idempotency rule as
+    ``plans.incremental.incremental_dedup_append``. At real scale the
+    rewrite cost is the whole table; partition the table (one snapshot
+    table per partition) or use real Iceberg merge-on-read where
+    update/table ratios are tiny.
+    """
+    spark = updates.sparkSession
+    if updates.where(F.col(key_col).isNull()).limit(1).count() > 0:
+        raise ValueError(f"NULL {key_col} in updates: not mergeable")
+    current = snapshot_read(spark, table_dir)
+    survivors = current.join(
+        updates.select(key_col).distinct(), key_col, "left_anti"
+    )
+    incoming = updates
+    if delete_col is not None:
+        incoming = updates.where(
+            ~F.col(delete_col).cast("boolean")
+            | F.col(delete_col).isNull()
+        ).drop(delete_col)
+    merged = survivors.unionByName(incoming)
+    return _commit(table_dir, merged, "merge")
+

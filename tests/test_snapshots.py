@@ -209,3 +209,37 @@ def test_table_survives_a_move(spark, table, tmp_path):
     shutil.move(table, moved)
     assert sorted(r["id"] for r in snapshot_read(spark, moved).collect()) == [1, 2]
     assert snapshot_read(spark, moved, version=0).count() == 1
+
+
+def test_merge_upserts_deletes_and_preserves_history(spark, table):
+    """MERGE semantics over the snapshot layer: matched keys replaced,
+    new keys inserted, delete-flagged keys removed -- one commit, with
+    the pre-merge snapshot still time-travelable; NULL-key updates are
+    rejected (replay idempotency)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_merge,
+    )
+
+    snapshot_append(_df(spark, [1, 2, 3]), table)  # v0
+    updates = spark.createDataFrame(
+        [
+            (2, "r2-new", False),  # update
+            (4, "r4", False),  # insert
+            (3, "whatever", True),  # delete
+        ],
+        "id long, v string, is_delete boolean",
+    )
+    v = snapshot_merge(updates, table, "id", delete_col="is_delete")
+    assert v == 1
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "r1", 2: "r2-new", 4: "r4"}
+    # pre-merge state intact
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=0).collect()
+    ) == [1, 2, 3]
+    meta = {r["version"]: r for r in snapshot_versions(spark, table).collect()}
+    assert meta[1]["operation"] == "merge"
+
+    bad = spark.createDataFrame([(None, "x")], "id long, v string")
+    with pytest.raises(ValueError):
+        snapshot_merge(bad, table, "id")
