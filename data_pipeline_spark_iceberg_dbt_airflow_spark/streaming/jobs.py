@@ -254,3 +254,44 @@ def ingest_stream_dedup(
         .start()
     )
     q.awaitTermination()
+
+
+def ingest_stream_snapshots(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> list[int]:
+    """Streaming ingest into the SNAPSHOT layer: every micro-batch is
+    one atomic append commit (snapshots.snapshot_append), so readers
+    see batch boundaries, never half-written files -- the property raw
+    directory appends cannot give -- and any past batch boundary stays
+    time-travelable (reprocess "as of before batch N" after a bad
+    deploy). Returns the committed versions.
+
+    Exactly-once note: the pairing is file-source checkpoint
+    (at-least-once micro-batches) + idempotence at the CONTENT level if
+    composed with the dedup screen; a REPLAYED batch here commits a new
+    version with duplicate rows -- by design, because the snapshot log
+    is exactly the audit trail that makes the replay visible and
+    revertible (snapshot_rollback). For content-level exactly-once use
+    ``ingest_stream_dedup``; for auditability use this; a production
+    pipeline chains both (dedup screen inside the foreachBatch, commit
+    through the snapshot layer).
+    """
+    from ..snapshots import snapshot_append
+
+    versions: list[int] = []
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        versions.append(snapshot_append(batch, table_dir))
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return versions
