@@ -32,12 +32,15 @@ one single-row collect -- the documented scalar-read exception. The
 loop is inherently sequential (merge k+1's counts depend on merge k's
 rewrite); what distributes is each iteration's counting and rewriting.
 
-Measured scale-law (local[32], round 5, 10 merges, warm): a synthetic
-Zipf corpus at 5k docs (833 distinct words) trains in 3.3s; at 50k
-docs (2,363 distinct words) in 3.8s -- 10x the documents is 1.16x the
-wall time, because cost rides the Zipf-sublinear word table plus a
-fixed per-merge driver round trip, not the corpus. At 100 TB the word
-table is still millions of rows, not billions of documents.
+Scale shape, with a supporting spot measurement (local[32], round 5,
+10 merges, warm, single run each -- the 0.5s delta is inside this
+VM's documented ambient noise band, so read the DIRECTION, not the
+decimals): a synthetic Zipf corpus at 5k docs (833 distinct words)
+trained in ~3.3s and at 50k docs (2,363 distinct words) in ~3.8s --
+10x the documents moved wall time far less than 10x, because cost
+rides the Zipf-sublinear word table plus a fixed per-merge driver
+round trip, not the corpus. At 100 TB the word table is still
+millions of rows, not billions of documents.
 
 Encoding (``bpe_encode``) applies the learned merge ranks per word via
 the classic lowest-rank-first algorithm. That is a per-word priority

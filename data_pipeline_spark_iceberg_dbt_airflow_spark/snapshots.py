@@ -69,7 +69,15 @@ def _load_manifests(table_dir: str) -> list[dict]:
     for name in sorted(os.listdir(mdir)):
         if name.startswith("v") and name.endswith(".json"):
             with open(os.path.join(mdir, name)) as f:
-                out.append(json.load(f))
+                m = json.load(f)
+            # Legacy manifests (pre-basename format) stored full or
+            # relative dir PATHS; normalize to basenames on load so
+            # reads resolve correctly and vacuum's liveness set can
+            # never string-compare-miss a live dir and delete it.
+            m["dirs"] = [
+                os.path.basename(d.rstrip("/")) for d in m["dirs"]
+            ]
+            out.append(m)
     return out
 
 
@@ -116,12 +124,33 @@ def _next_ts(manifests: list[dict]) -> int:
     return max(now, manifests[-1]["committed_at_ns"] + 1) if manifests else now
 
 
-def _commit(table_dir: str, df: DataFrame, operation: str) -> int:
+class SnapshotConflictError(RuntimeError):
+    """A read-modify-write commit (merge) found the table advanced past
+    the snapshot it was derived from -- retrying the manifest alone
+    would silently erase the concurrent commit's rows, so the whole
+    operation must be re-run against the new state (Delta raises
+    ConcurrentAppendException for the same situation)."""
+
+
+def _commit(
+    table_dir: str,
+    df: DataFrame,
+    operation: str,
+    expected_parent: int | None = None,
+) -> int:
     """Write data ONCE, then publish the next manifest with optimistic
     concurrency. Only the (tiny) manifest publish retries on a lost
     race -- re-running the parquet write per conflict would pay the
     dominant cost N times and orphan N directories; the data dir's name
-    is a bare uuid precisely so it is version-independent."""
+    is a bare uuid precisely so it is version-independent.
+
+    ``expected_parent`` guards read-modify-write commits: when set, the
+    publish only proceeds while the latest version still equals it --
+    content derived from snapshot N must not land on top of an unseen
+    N+1 (lost update). Blind appends/overwrites pass None: their
+    content is base-independent, so retrying at N+1 is always sound.
+    On conflict the just-written data dir is left as an orphan for
+    ``snapshot_vacuum`` -- never half-referenced."""
     data_root = os.path.join(table_dir, "data")
     os.makedirs(data_root, exist_ok=True)
     os.makedirs(_manifest_dir(table_dir), exist_ok=True)
@@ -130,6 +159,12 @@ def _commit(table_dir: str, df: DataFrame, operation: str) -> int:
     while True:
         manifests = _load_manifests(table_dir)
         version = manifests[-1]["version"] + 1 if manifests else 0
+        if expected_parent is not None and version != expected_parent + 1:
+            raise SnapshotConflictError(
+                f"table at {table_dir} advanced to v{version - 1} while "
+                f"a {operation} was computed against v{expected_parent}; "
+                "re-run the operation against the current snapshot"
+            )
         if operation == "append" and manifests:
             dirs = manifests[-1]["dirs"] + [new_name]
         else:
@@ -221,6 +256,17 @@ def snapshot_vacuum(
                 path = os.path.join(data_root, name)
                 shutil.rmtree(path)
                 removed.append(path)
+    # A writer killed between the temp write and os.link leaks a
+    # .tmp-<uuid> manifest forever (its finally never ran); no live
+    # commit ever references a temp name, so sweeping them here is safe
+    # under the same no-commit-in-flight contract as the data sweep.
+    mdir = _manifest_dir(table_dir)
+    if os.path.isdir(mdir):
+        for name in sorted(os.listdir(mdir)):
+            if name.startswith(".tmp-"):
+                path = os.path.join(mdir, name)
+                os.remove(path)
+                removed.append(path)
     return removed
 
 
@@ -302,27 +348,57 @@ def snapshot_merge(
     Plan shape: the target's live files are read once, survivors come
     from one ``left_anti`` join against the (pruned) update keys --
     16-byte-key shuffle, never a row-by-row lookup -- and the union
-    with the inserts lands as an overwrite commit. NULL-key update
-    rows are rejected: a NULL never matches in the anti-join, so each
-    replay would re-insert it -- the same idempotency rule as
-    ``plans.incremental.incremental_dedup_append``. At real scale the
-    rewrite cost is the whole table; partition the table (one snapshot
-    table per partition) or use real Iceberg merge-on-read where
-    update/table ratios are tiny.
+    with the inserts lands as an overwrite commit. NULL-key and
+    duplicate-key update rows are rejected in ONE aggregate pass: a
+    NULL never matches in the anti-join so each replay would re-insert
+    it (the same idempotency rule as
+    ``plans.incremental.incremental_dedup_append``), and two source
+    rows for one key would both insert -- the "multiple source rows
+    matched" error every lakehouse MERGE raises. The target is read
+    with mergeSchema so columns added by later appends survive the
+    rewrite (the union is by name with missing columns NULL-filled on
+    either side). Merge is read-modify-write: the commit pins the base
+    version and raises ``SnapshotConflictError`` if the table advanced
+    underneath -- silently republishing would erase the concurrent
+    commit's rows. At real scale the rewrite cost is the whole table;
+    partition the table (one snapshot table per partition) or use real
+    Iceberg merge-on-read where update/table ratios are tiny.
     """
     spark = updates.sparkSession
-    if updates.where(F.col(key_col).isNull()).limit(1).count() > 0:
+    key_stats = updates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(key_col).alias("n_nonnull"),
+        F.countDistinct(key_col).alias("n_keys"),
+    ).first()
+    if key_stats["n"] != key_stats["n_nonnull"]:
         raise ValueError(f"NULL {key_col} in updates: not mergeable")
-    current = snapshot_read(spark, table_dir)
+    if key_stats["n_keys"] != key_stats["n_nonnull"]:
+        raise ValueError(
+            f"duplicate {key_col} in updates: multiple source rows "
+            "would match one target row (ambiguous MERGE)"
+        )
+    if delete_col is not None:
+        dtype = updates.schema[delete_col].dataType.simpleString()
+        if dtype != "boolean":
+            # A lossy cast ('yes' -> NULL) would silently turn an
+            # intended update into a delete: the row drops out of
+            # incoming while its key still anti-joins the target away.
+            raise TypeError(
+                f"delete_col {delete_col} must be boolean, got {dtype}"
+            )
+    manifests = _load_manifests(table_dir)
+    if not manifests:
+        raise ValueError(f"no snapshots at {table_dir}")
+    base_version = manifests[-1]["version"]
+    current = snapshot_read(spark, table_dir, merge_schema=True)
     survivors = current.join(
         updates.select(key_col).distinct(), key_col, "left_anti"
     )
     incoming = updates
     if delete_col is not None:
         incoming = updates.where(
-            ~F.col(delete_col).cast("boolean")
-            | F.col(delete_col).isNull()
+            F.coalesce(~F.col(delete_col), F.lit(True))
         ).drop(delete_col)
-    merged = survivors.unionByName(incoming)
-    return _commit(table_dir, merged, "merge")
+    merged = survivors.unionByName(incoming, allowMissingColumns=True)
+    return _commit(table_dir, merged, "merge", expected_parent=base_version)
 

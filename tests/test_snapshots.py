@@ -277,3 +277,124 @@ def test_streaming_ingest_commits_snapshots(spark, tmp_path):
     # the first committed version is a strict prefix of the data
     first = snapshot_read(spark, table, version=versions[0]).count()
     assert first <= 3
+
+
+def test_merge_preserves_evolved_schema(spark, table):
+    """MERGE against a schema-evolved table must not drop the later-
+    added column: the base is read with mergeSchema and the union is
+    by name with NULL fill, so 'score' survives the rewrite."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_merge,
+    )
+
+    snapshot_append(_df(spark, [1, 2]), table)  # v0: (id, v)
+    snapshot_append(
+        spark.createDataFrame(
+            [(3, "r3", 0.9)], "id long, v string, score double"
+        ),
+        table,
+    )  # v1 adds score
+    updates = spark.createDataFrame(
+        [(2, "r2-new", 0.5)], "id long, v string, score double"
+    )
+    snapshot_merge(updates, table, "id")
+    got = {
+        r["id"]: (r["v"], r["score"])
+        for r in snapshot_read(spark, table).collect()
+    }
+    assert got == {
+        1: ("r1", None),
+        2: ("r2-new", 0.5),
+        3: ("r3", 0.9),
+    }
+
+
+def test_merge_conflict_raises_not_lost_update(spark, table, monkeypatch):
+    """A concurrent append landing between merge's read and publish
+    must raise SnapshotConflictError -- NOT silently commit content
+    derived from the stale base (which would erase the append)."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+
+    snapshot_append(_df(spark, [1, 2]), table)  # v0
+    real_publish = snap._publish
+    fired = {"done": False}
+
+    def racing_publish(table_dir, version, manifest):
+        if not fired["done"] and manifest["operation"] == "merge":
+            fired["done"] = True
+            monkeypatch.undo()
+            snapshot_append(_df(spark, [9]), table)  # concurrent v1
+        return real_publish(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    updates = spark.createDataFrame([(2, "r2-new")], "id long, v string")
+    with pytest.raises(snap.SnapshotConflictError):
+        snap.snapshot_merge(updates, table, "id")
+    # the concurrent append's row is intact at latest
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == [1, 2, 9]
+
+
+def test_merge_rejects_duplicate_and_badly_typed_updates(spark, table):
+    """Two source rows for one key is the ambiguous-MERGE error every
+    lakehouse raises; a non-boolean delete_col is a TypeError (a lossy
+    cast would silently turn updates into deletes)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_merge,
+    )
+
+    snapshot_append(_df(spark, [1, 2]), table)
+    dup = spark.createDataFrame(
+        [(2, "a"), (2, "b")], "id long, v string"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_merge(dup, table, "id")
+    stringy = spark.createDataFrame(
+        [(2, "a", "yes")], "id long, v string, is_delete string"
+    )
+    with pytest.raises(TypeError, match="boolean"):
+        snapshot_merge(stringy, table, "id", delete_col="is_delete")
+    # nothing committed by the rejected merges
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == [1, 2]
+
+
+def test_legacy_full_path_manifests_read_and_vacuum_safely(spark, table):
+    """Manifests written by the pre-basename format stored full dir
+    paths; the loader normalizes them so reads resolve and vacuum can
+    never mistake a live dir for an orphan and delete the table."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_append(_df(spark, [1, 2]), table)
+    mpath = os.path.join(table, "_snapshots", "v00000000.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["dirs"] = [os.path.join(table, "data", d) + "/" for d in m["dirs"]]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    assert snapshot_vacuum(table) == []  # live dir NOT treated as orphan
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == [1, 2]
+
+
+def test_vacuum_sweeps_leaked_tmp_manifests(spark, table):
+    """A writer killed between the temp write and the hard link leaks
+    .tmp-<uuid> in _snapshots/; vacuum reclaims it."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    snapshot_append(_df(spark, [1]), table)
+    leak = os.path.join(table, "_snapshots", ".tmp-deadbeef")
+    with open(leak, "w") as f:
+        f.write('{"version": 99')  # truncated, as a crash would leave
+    removed = snapshot_vacuum(table)
+    assert leak in removed and not os.path.exists(leak)
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == [1]
