@@ -927,7 +927,8 @@ def mask_repeated_spans(
     boilerplate-removal stance of ``strip_boilerplate``, for spans
     frequent enough to be template noise).
 
-    Output: (doc_id, text, masked_tokens). ORIGINAL CASE is preserved
+    Output: (doc_id, text, masked_tokens, n_spans -- the count of
+    maximal merged intervals). ORIGINAL CASE is preserved
     in survivors; digests ride the lowercased whitespace-collapsed
     channel (lower() distributes over the space-joined window, matching
     ``_tokens_col``/``strip_boilerplate`` byte for byte). NULL text
@@ -1042,9 +1043,105 @@ def mask_repeated_spans(
                 F.expr("aggregate(ivs, 0, (acc, iv) -> acc + iv.e - iv.s)"),
                 F.lit(0),
             ).alias("masked_tokens"),
+            F.size("ivs").alias("n_spans"),
         )
     )
     return rewritten
+
+
+@register(
+    "dedup_span_mask",
+    oracle=rf"""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                ' ') AS wt
+            FROM documents
+            WHERE text IS NOT NULL),
+        occ AS (
+            SELECT doc_id, i,
+                   md5(lower(array_to_string(
+                       list_slice(wt, i + 1, i + {LINE_TOKENS}), ' '))) AS h
+            FROM toks, UNNEST(range(0, len(wt) - {LINE_TOKENS - 1})) AS u(i)
+            WHERE len(wt) >= {LINE_TOKENS}),
+        flagged AS (
+            SELECT doc_id, i FROM (
+                SELECT doc_id, i,
+                       COUNT(*) OVER (PARTITION BY h) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY h
+                                          ORDER BY doc_id, i) AS rn
+                FROM occ)
+            WHERE c >= {LINE_MIN_DUP} AND rn > 1),
+        islands AS (
+            SELECT doc_id, island,
+                   MIN(i) AS s, MAX(i + {LINE_TOKENS}) AS e
+            FROM (
+                SELECT doc_id, i,
+                       SUM(CASE WHEN pm IS NULL OR i > pm
+                                THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY i) AS island
+                FROM (
+                    SELECT doc_id, i,
+                           MAX(i + {LINE_TOKENS}) OVER (
+                               PARTITION BY doc_id ORDER BY i
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS pm
+                    FROM flagged))
+            GROUP BY doc_id, island),
+        doc_islands AS (
+            SELECT doc_id,
+                   CAST(SUM(e - s) AS BIGINT) AS masked_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM islands GROUP BY doc_id),
+        tok_rows AS (
+            SELECT t.doc_id, u.i, t.wt[u.i + 1] AS tok
+            FROM toks t
+            JOIN doc_islands d ON d.doc_id = t.doc_id,
+            UNNEST(range(0, len(t.wt))) AS u(i)),
+        survivors AS (
+            SELECT t.doc_id, t.i, t.tok
+            FROM tok_rows t
+            LEFT JOIN islands v
+              ON v.doc_id = t.doc_id AND t.i >= v.s AND t.i < v.e
+            WHERE v.doc_id IS NULL),
+        agg AS (
+            SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS masked_text
+            FROM survivors GROUP BY doc_id)
+        SELECT d.doc_id,
+               md5(coalesce(a.masked_text, '')) AS masked_text_hash,
+               d.masked_tokens, d.n_spans
+        FROM doc_islands d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """,
+    doc="Substring-level span dedup (round 5): `mask_repeated_spans` -- the "
+    "distributed ExactSubstr approximation (Lee et al. 2022) -- over the "
+    "documents corpus with the default (window=10, min_dup=2, keep_first) "
+    "geometry, rendered driver-hashable as one row per AFFECTED doc: "
+    "doc_id, md5 of the masked text (so the full rewritten content is "
+    "value-checked without emitting corpus text), total masked tokens, "
+    "and the count of maximal merged intervals. The oracle recomputes the "
+    "whole pipeline relationally in DuckDB -- stride-1 window digests, "
+    "first-occurrence exemption via ROW_NUMBER over (doc_id, pos), "
+    "gaps-and-islands interval merge, and a survivor-token string_agg "
+    "rebuild -- so keep-first semantics, interval coalescing, and the "
+    "exact byte-level rewrite are all cross-engine-pinned. Scale shape "
+    "documented on the operator: text never shuffles; digests+positions "
+    "do (~1 row per corpus token, same order as the shingle index); no "
+    "quadratic candidate stage exists to cap.",
+    bench=True,
+    tags=("dedup", "span", "llm-data"),
+)
+def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        mask_repeated_spans(docs)
+        .where(F.col("masked_tokens") > 0)
+        .select(
+            "doc_id",
+            F.md5(F.encode("text", "UTF-8")).alias("masked_text_hash"),
+            F.col("masked_tokens").cast("long").alias("masked_tokens"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+    )
 
 
 #: Containment gate: |A ∩ B| / min(|A|, |B|) -- the asymmetric overlap

@@ -171,7 +171,7 @@ def scalar_row_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_array_ops",
     oracle="""
-        SELECT vec_id,
+        SELECT 'fold' AS kind, vec_id,
                len(embedding) AS dim,
                embedding[1] AS first_component,
                embedding[64] AS last_component,
@@ -181,23 +181,44 @@ def scalar_row_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     x -> CAST(x AS DOUBLE))) AS DOUBLE) AS head4_sum,
                CAST(list_sum(list_transform(embedding,
                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS DOUBLE)
-                   AS sq_norm
+                   AS sq_norm,
+               CAST(NULL AS FLOAT) AS component
         FROM embeddings
+        UNION ALL
+        SELECT 'explode' AS kind, vec_id,
+               CAST(NULL AS INT) AS dim,
+               CAST(NULL AS FLOAT) AS first_component,
+               CAST(NULL AS FLOAT) AS last_component,
+               CAST(NULL AS FLOAT) AS h2,
+               CAST(NULL AS FLOAT) AS h3,
+               CAST(NULL AS DOUBLE) AS head4_sum,
+               CAST(NULL AS DOUBLE) AS sq_norm,
+               u.component
+        FROM embeddings, UNNEST(embedding) AS u(component)
+        WHERE vec_id < 50
     """,
-    doc="F12 array + higher-order families, consolidated (was "
-    "scalar_array_family + scalar_array_transform_agg): size/element_at "
-    "(both engines 1-based here), slice rendered as its element scalars + "
-    "fold (head4_sum over slice(1,4)) because array-typed output cells "
-    "crash the driver comparator (round-2 harness error), and the "
+    doc="F12 array + higher-order + explode families, consolidated under a "
+    "`kind` marker (was scalar_array_family + scalar_array_transform_agg, "
+    "then + scalar_explode_positions in round 5 to free a registry slot "
+    "for dedup_span_mask). kind='fold': size/element_at (both engines "
+    "1-based here), slice rendered as its element scalars + fold "
+    "(head4_sum over slice(1,4)) because array-typed output cells crash "
+    "the driver comparator (round-2 harness error), and the "
     "transform+aggregate squared-L2 norm whose lambda runs inside codegen "
     "-- the pattern the cosine-similarity operators build on (no Python, "
-    "no explode-shuffle).",
-    tags=("scalar", "array", "higher_order"),
+    "no explode-shuffle). kind='explode': one row per array element "
+    "(UNNEST analog) -- generator output multiplies rows by array length, "
+    "filtered to a key range so the test stays bounded; at scale "
+    "explode-early-then-aggregate beats carrying wide arrays through "
+    "shuffles.",
+    tags=("scalar", "array", "higher_order", "explode"),
 )
 def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     head4 = F.slice("embedding", 1, 4)
-    return emb.select(
+    nf = F.lit(None).cast("float")
+    fold = emb.select(
+        F.lit("fold").alias("kind"),
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("first_component"),
@@ -216,24 +237,18 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc + x,
         ).alias("sq_norm"),
+        nf.alias("component"),
     )
-
-
-@register(
-    "scalar_explode_positions",
-    oracle="""
-        SELECT vec_id, u.component
-        FROM embeddings, UNNEST(embedding) AS u(component)
-        WHERE vec_id < 50
-    """,
-    doc="F12 explode: one row per array element (UNNEST analog). Generator "
-    "output multiplies rows by the array length -- filtered to a key range "
-    "so the test stays bounded; at scale explode early-then-aggregate "
-    "beats carrying wide arrays through shuffles.",
-    tags=("scalar", "array", "explode"),
-)
-def scalar_explode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
-    return emb.filter(F.col("vec_id") < 50).select(
-        "vec_id", F.explode("embedding").alias("component")
+    exploded = emb.filter(F.col("vec_id") < 50).select(
+        F.lit("explode").alias("kind"),
+        "vec_id",
+        F.lit(None).cast("int").alias("dim"),
+        nf.alias("first_component"),
+        nf.alias("last_component"),
+        nf.alias("h2"),
+        nf.alias("h3"),
+        F.lit(None).cast("double").alias("head4_sum"),
+        F.lit(None).cast("double").alias("sq_norm"),
+        F.explode("embedding").alias("component"),
     )
+    return fold.unionByName(exploded)
