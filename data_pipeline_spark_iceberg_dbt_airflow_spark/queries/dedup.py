@@ -1131,7 +1131,13 @@ def mask_repeated_spans(
     tags=("dedup", "span", "llm-data"),
 )
 def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Widen the single-file scan BEFORE the stride-1 explode: the
+    # per-position md5 is the dominant map cost and must spread over
+    # every core, not ride one parquet split (at warehouse scale the
+    # table arrives as thousands of splits and this is a guarded no-op).
+    docs = widen_for_compute(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     return (
         mask_repeated_spans(docs)
         .where(F.col("masked_tokens") > 0)
