@@ -320,6 +320,12 @@ def contaminated_docs(
     tags=("dedup", "llm-data"),
 )
 def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened (measured, round 5): widening would repartition-
+    # shuffle raw document text -- exactly what this entry's design
+    # avoids -- to parallelize digest work too light to amortize it
+    # (one md5 per doc + stride-10 line digests; 0.47s -> 0.76s when
+    # tried). The span operator makes the opposite call for the
+    # opposite reason: its stride-1 digest volume is ~10x this.
     docs = read_table(spark, sf_dir, "documents")
     doc_stats = (
         docs.groupBy(F.md5(F.encode(F.expr(_NORM), "UTF-8")).alias("text_hash"))
