@@ -1,0 +1,346 @@
+"""Product quantization (PQ) for billion-scale ANN.
+
+Jégou, Douze, Schmid 2011 ("Product Quantization for Nearest Neighbor
+Search", TPAMI): split each D-dim vector into M disjoint sub-vectors,
+vector-quantize each subspace independently with its own K-centroid
+codebook, and store each vector as M small codes. At K=16, M=8 a
+64-dim float32 vector (256 bytes) compresses to 8 codes (8 bytes, 4
+bits each): the corpus that streams through an ANN scan shrinks ~32x,
+which is the difference between "fits in cluster page cache" and "does
+not" at 100 TB. Queries stay full-precision and score candidates with
+ASYMMETRIC distance computation (ADC): per query, precompute the M x K
+table of sub-dot-products against every codebook entry, then score a
+candidate by summing M table lookups -- no float vector is ever
+touched for corpus rows. This is the scale path the brief's "IVF or
+LSH-bucketed variant" points at; FAISS's IVF-PQ is exactly (coarse
+cells from `operators/kmeans.py`) + (this module inside each cell).
+
+The reference has no vector surface at all (its corpus is numeric
+price batches); this is north-star extension surface, inventoried in
+SURVEY.md 2.12 alongside the IVF/LSH/q8 branches it completes.
+
+Spark-first rendering (the same discipline as `operators/kmeans.py`,
+which documents the shared patterns in depth):
+
+- **Training** runs ONE joint Lloyd loop for all M subspaces: the
+  corpus explodes once into (id, sub, subvec) rows and every round is
+  one map-side assignment pass (codebooks inlined as a nested literal,
+  no join, no broadcast exchange) + one map-side-combinable
+  groupBy(sub, code, dim) decimal-sum update whose output is K x D
+  rows -- bounded by MODEL size, not corpus size. Centroid sums use
+  DECIMAL(38,12) so centroids are bit-identical under any partitioning
+  (addition-order independence; see kmeans.py).
+- **Encoding** is one codegen expression per vector -- an M-wide
+  transform whose inner argmin scans the sub's K centroids -- zero
+  shuffle, zero Python.
+- **ADC top-k** mirrors `sim_topk_bruteforce`'s shape: the (tiny)
+  query set broadcasts, the CODES table streams (M bytes a row instead
+  of D floats), scores are one fold over M lookups into the inlined
+  codebook, and one (query-partitioned) window takes top-k. The
+  reconstruction norm |r| needed for cosine is itself a pure function
+  of the codes (subspaces are disjoint coordinates, so |r|^2 = sum_s
+  |c_s|^2), computed in the same expression.
+
+Determinism: seeds are the K smallest-md5(id) vectors (same rule as
+kmeans.py), arithmetic is decimal-exact in training and
+fixed-fold-order in scoring, so the same input => identical codebooks, codes,
+and rankings on every run and partitioning. NULL or wrong-dimension
+vectors carry NULL codes and never enter training or rankings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .kmeans import MAX_KMEANS_ITERATIONS, _SUM_TYPE
+
+#: Default PQ geometry: M=8 subspaces x K=16 codes (4 bits each) over
+#: the testdata's 64-dim embeddings -- 8-byte codes, 32x compression.
+DEFAULT_M = 8
+DEFAULT_K = 16
+
+Codebooks = dict[int, dict[int, list[float]]]  # sub -> code -> centroid
+
+
+def _codebook_lit(codebooks: Codebooks) -> Column:
+    """The full model as ONE nested literal array CB[sub][code][dim]
+    (1-based element_at indexing at use sites). K*D doubles total --
+    model-sized, the same literal-inlining posture as the kmeans
+    assignment and the LSH plane matrix."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
+                    for c in sorted(codebooks[s])
+                ]
+            )
+            for s in sorted(codebooks)
+        ]
+    )
+
+
+def _dist2(sv: Column, cent: Column) -> Column:
+    """Squared L2 distance, fixed left-to-right fold order (see
+    kmeans._dist2 -- deterministic double arithmetic per row)."""
+    return F.aggregate(
+        F.zip_with(
+            sv, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _nearest_code(sv: Column, sub: Column, cb: Column, k: int) -> Column:
+    """argmin_code dist2(sv, CB[sub][code]): an array_min over K
+    (dist, code) structs -- ties break to the smaller code id via
+    struct ordering, exactly as assign_clusters."""
+    choices = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda c: F.struct(
+            _dist2(sv, F.element_at(F.element_at(cb, sub + 1), c + 1)).alias(
+                "d"
+            ),
+            c.alias("cid"),
+        ),
+    )
+    return F.array_min(choices)["cid"]
+
+
+def pq_fit(
+    vectors: DataFrame,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_iterations: int = MAX_KMEANS_ITERATIONS,
+) -> Codebooks:
+    """Train M codebooks of K centroids each; returns
+    {sub: {code: centroid}}. Requires dim % m == 0 (PQ's standard
+    constraint) and at least k valid vectors.
+
+    One joint Lloyd loop: all subspaces assign and update in the same
+    two jobs per round, so wall-clock is that of ONE k-means fit, not
+    M of them. Stops at the decimal fixpoint or ``max_iterations``.
+    """
+    first = (
+        vectors.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("i"), F.size(vec_col).alias("d"))
+        .orderBy("i")
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("pq_fit on an empty vector column")
+    dim = first[0]["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    clean = vectors.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+    ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    # Seeds: the k smallest-md5(id) vectors, sliced per subspace -- one
+    # TakeOrdered job supplies every codebook (deterministic spread; no
+    # sequential kmeans++ dependence).
+    seeds = (
+        clean.select(
+            F.md5(F.col("__id").cast("string")).alias("h"), "__id", "__v"
+        )
+        .orderBy("h", "__id")
+        .limit(k)
+        .collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} valid vectors, found {len(seeds)}")
+    codebooks: Codebooks = {
+        s: {
+            c: [float(x) for x in row["__v"][s * dsub : (s + 1) * dsub]]
+            for c, row in enumerate(seeds)
+        }
+        for s in range(m)
+    }
+
+    # (id, sub, subvec): ONE explode reused every round -- M rows per
+    # vector, dsub floats each (same total bytes as the corpus).
+    subs = clean.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.slice(F.col("__v"), s * dsub + 1, dsub),
+            )
+        ).alias("sub", "sv"),
+    )
+
+    for _ in range(max_iterations):
+        cb = _codebook_lit(codebooks)
+        assigned = subs.withColumn(
+            "code", _nearest_code(F.col("sv"), F.col("sub"), cb, k)
+        )
+        sums = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("dim", "val"))
+            .groupBy("sub", "code", "dim")
+            .agg(
+                F.sum(F.col("val").cast(_SUM_TYPE)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # K x D rows: model-sized, not corpus-sized
+        )
+        new_cb: Codebooks = {
+            s: {c: list(v) for c, v in cs.items()} for s, cs in codebooks.items()
+        }
+        for row in sums:
+            # exact decimal sum / int count, floated once at the end
+            new_cb[row["sub"]][row["code"]][row["dim"]] = float(
+                row["s"] / row["n"]
+            )
+        if new_cb == codebooks:
+            break
+        codebooks = new_cb
+    return codebooks
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Add ``out_col`` = array<int> of M codes (NULL for NULL or
+    wrong-dimension vectors). One codegen expression -- an M-wide
+    transform whose inner argmin scans K centroids -- zero shuffle."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cb = _codebook_lit(codebooks)
+    v = F.col(vec_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: _nearest_code(F.slice(v, s * dsub + 1, dsub), s, cb, k),
+    )
+    return vectors.withColumn(
+        out_col,
+        F.when(
+            v.isNull() | (F.size(v) != dim),
+            F.lit(None).cast("array<int>"),
+        ).otherwise(codes),
+    )
+
+
+def pq_decode(
+    coded: DataFrame,
+    codebooks: Codebooks,
+    codes_col: str = "codes",
+    out_col: str = "approx",
+) -> DataFrame:
+    """Reconstruct the quantized vector (concatenated codebook
+    entries) -- the test/debug inverse of pq_encode."""
+    cb = _codebook_lit(codebooks)
+    m = len(codebooks)
+    c = F.col(codes_col)
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb, s + 1), F.element_at(c, s + 1) + 1
+            ),
+        )
+    )
+    return coded.withColumn(
+        out_col,
+        F.when(c.isNull(), F.lit(None).cast("array<double>")).otherwise(recon),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    query_n: int,
+    top_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC cosine top-k: queries (id < ``query_n``) keep full vectors;
+    every corpus row is scored FROM ITS CODES ALONE. Output
+    (id_a, id_b, cosine, rank) -- the same shape as the sim_ann_family
+    branches, so recall against `sim_topk_bruteforce` is a set
+    intersection.
+
+    Score = sum_s dot(q_s, CB[s][code_s]) / (|q| * |r|), with the
+    reconstruction norm |r| folded from the same code lookups
+    (disjoint coordinates => norms add across subspaces). The corpus
+    side of the broadcast join carries (id, M codes) -- never the
+    vector -- which is the whole point: at 100 TB the scan streams
+    M-byte rows against an inlined model and the only shuffle is the
+    query-partitioned top-k window over Q x N score rows.
+    """
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _codebook_lit(codebooks)
+    coded = pq_encode(vectors, codebooks, vec_col=vec_col).where(
+        F.col("codes").isNotNull()
+    )
+    codes = coded.select(F.col(id_col).alias("id_b"), "codes")
+    norm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    queries = (
+        vectors.where(
+            (F.col(id_col) < query_n)
+            & F.col(vec_col).isNotNull()
+            & (F.size(vec_col) == m * dsub)
+        )
+        .select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("q_emb"),
+            norm(F.col(vec_col)).alias("q_nrm"),
+        )
+    )
+    cent = lambda s: F.element_at(  # noqa: E731
+        F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1
+    )
+    sub_dot = lambda s: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.slice(F.col("q_emb"), s * dsub + 1, dsub),
+            cent(s),
+            lambda q, c: q.cast("double") * c,
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sub_nrm2 = lambda s: F.aggregate(  # noqa: E731
+        F.transform(cent(s), lambda c: c * c), F.lit(0.0), lambda a, x: a + x
+    )
+    dot = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda a, s: a + sub_dot(s)
+    )
+    r_nrm = F.sqrt(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda a, s: a + sub_nrm2(s),
+        )
+    )
+    scored = codes.join(F.broadcast(queries), F.col("id_b") != F.col("id_a")).select(
+        "id_a",
+        "id_b",
+        F.when(
+            (F.col("q_nrm") > 0) & (r_nrm > 0), dot / (F.col("q_nrm") * r_nrm)
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )

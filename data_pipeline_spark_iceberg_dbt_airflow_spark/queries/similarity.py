@@ -805,6 +805,20 @@ def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     for r in sim_ann_family(spark, sf_dir).collect():
         if r["rank"] is not None:
             got.setdefault(r["method"], set()).add((r["id_a"], r["id_b"]))
+    # The PQ branch (operators/pq.py) trains on the corpus, so it runs
+    # here rather than inside the deterministic sim_ann_family entry;
+    # a corpus too small to train (< K vectors) simply omits the row.
+    try:
+        from ..operators.pq import pq_fit, pq_topk
+
+        emb = read_table(spark, sf_dir, "embeddings")
+        books = pq_fit(emb)
+        got["pq"] = {
+            (r["id_a"], r["id_b"])
+            for r in pq_topk(emb, books, QUERY_N, TOP_K).collect()
+        }
+    except ValueError:
+        pass
     return {
         method: len(pairs & truth) / len(truth)
         for method, pairs in sorted(got.items())
