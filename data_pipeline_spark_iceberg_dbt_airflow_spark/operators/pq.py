@@ -41,6 +41,14 @@ which documents the shared patterns in depth):
   of the codes (subspaces are disjoint coordinates, so |r|^2 = sum_s
   |c_s|^2), computed in the same expression.
 
+Measured scale-law (local[32], round 5, synthetic 64-dim clustered
+corpora, M=8, K=16, single runs -- direction, not decimals): 2k
+vectors fit=14.4s encode=1.1s topk=3.3s; 20k vectors fit=19.3s
+encode=0.7s topk=2.5s. 10x the corpus moved training ~1.3x (per-round
+job latency dominates locally; the update shuffle and collect are
+model-sized by construction) and left encode/topk flat -- the per-row
+terms stay invisible until N is millions, as with kmeans/q8.
+
 Determinism: seeds are the K smallest-md5(id) vectors (same rule as
 kmeans.py), arithmetic is decimal-exact in training and
 fixed-fold-order in scoring, so the same input => identical codebooks, codes,
@@ -256,71 +264,57 @@ def pq_decode(
     )
 
 
-def pq_topk(
-    vectors: DataFrame,
+def _adc_rank(
+    codes: DataFrame,
+    queries: DataFrame,
     codebooks: Codebooks,
-    query_n: int,
     top_k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    join_cond,
 ) -> DataFrame:
-    """ADC cosine top-k: queries (id < ``query_n``) keep full vectors;
-    every corpus row is scored FROM ITS CODES ALONE. Output
-    (id_a, id_b, cosine, rank) -- the same shape as the sim_ann_family
-    branches, so recall against `sim_topk_bruteforce` is a set
-    intersection.
+    """Shared ADC scoring + ranking for pq_topk / ivfpq_topk.
 
-    Score = sum_s dot(q_s, CB[s][code_s]) / (|q| * |r|), with the
-    reconstruction norm |r| folded from the same code lookups
-    (disjoint coordinates => norms add across subspaces). The corpus
-    side of the broadcast join carries (id, M codes) -- never the
-    vector -- which is the whole point: at 100 TB the scan streams
-    M-byte rows against an inlined model and the only shuffle is the
-    query-partitioned top-k window over Q x N score rows.
-    """
+    ``codes`` carries (id_b, codes [, cell]); ``queries`` carries
+    (id_a, q_emb, q_nrm [, q_cell]); ``join_cond`` decides which pairs
+    meet (everything, or only in-cell). Score = sum_s dot(q_s,
+    CB[s][code_s]) / (|q| * |r|), with the reconstruction norm |r|
+    folded from the same code lookups (disjoint coordinates => norms
+    add across subspaces). The corpus side of the broadcast join
+    carries codes -- never the vector: at 100 TB the scan streams
+    M-byte rows against the inlined model and the only shuffle is the
+    query-partitioned top-k window."""
+    from pyspark.sql import Window
+
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     cb = _codebook_lit(codebooks)
-    coded = pq_encode(vectors, codebooks, vec_col=vec_col).where(
-        F.col("codes").isNotNull()
-    )
-    codes = coded.select(F.col(id_col).alias("id_b"), "codes")
-    norm = lambda col: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+
+    def cent(s):
+        return F.element_at(
+            F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1
+        )
+
+    def sub_dot(s):
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col("q_emb"), s * dsub + 1, dsub),
+                cent(s),
+                lambda q, c: q.cast("double") * c,
+            ),
             F.lit(0.0),
             lambda a, x: a + x,
         )
-    )
-    queries = (
-        vectors.where(
-            (F.col(id_col) < query_n)
-            & F.col(vec_col).isNotNull()
-            & (F.size(vec_col) == m * dsub)
+
+    def sub_nrm2(s):
+        return F.aggregate(
+            F.transform(cent(s), lambda c: c * c),
+            F.lit(0.0),
+            lambda a, x: a + x,
         )
-        .select(
-            F.col(id_col).alias("id_a"),
-            F.col(vec_col).alias("q_emb"),
-            norm(F.col(vec_col)).alias("q_nrm"),
-        )
-    )
-    cent = lambda s: F.element_at(  # noqa: E731
-        F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1
-    )
-    sub_dot = lambda s: F.aggregate(  # noqa: E731
-        F.zip_with(
-            F.slice(F.col("q_emb"), s * dsub + 1, dsub),
-            cent(s),
-            lambda q, c: q.cast("double") * c,
-        ),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    sub_nrm2 = lambda s: F.aggregate(  # noqa: E731
-        F.transform(cent(s), lambda c: c * c), F.lit(0.0), lambda a, x: a + x
-    )
+
     dot = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)), F.lit(0.0), lambda a, s: a + sub_dot(s)
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda a, s: a + sub_dot(s),
     )
     r_nrm = F.sqrt(
         F.aggregate(
@@ -329,18 +323,106 @@ def pq_topk(
             lambda a, s: a + sub_nrm2(s),
         )
     )
-    scored = codes.join(F.broadcast(queries), F.col("id_b") != F.col("id_a")).select(
+    scored = codes.join(F.broadcast(queries), join_cond).select(
         "id_a",
         "id_b",
         F.when(
             (F.col("q_nrm") > 0) & (r_nrm > 0), dot / (F.col("q_nrm") * r_nrm)
         ).alias("cosine"),
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("id_a", "id_b", "cosine", "rank")
+    )
+
+
+def _vec_norm(col: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    query_n: int,
+    top_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC cosine top-k over the WHOLE corpus: queries (id <
+    ``query_n``) keep full vectors; every corpus row is scored from
+    its codes alone (see ``_adc_rank``). Output (id_a, id_b, cosine,
+    rank) -- the same shape as the sim_ann_family branches, so recall
+    against `sim_topk_bruteforce` is a set intersection."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    coded = pq_encode(vectors, codebooks, vec_col=vec_col).where(
+        F.col("codes").isNotNull()
+    )
+    codes = coded.select(F.col(id_col).alias("id_b"), "codes")
+    queries = vectors.where(
+        (F.col(id_col) < query_n)
+        & F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == m * dsub)
+    ).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("q_emb"),
+        _vec_norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    return _adc_rank(
+        codes, queries, codebooks, top_k, F.col("id_b") != F.col("id_a")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    centroids: dict[int, list[float]],
+    codebooks: Codebooks,
+    query_n: int,
+    top_k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: coarse cells (``operators/kmeans.py``) restrict WHICH
+    codes are scored; PQ codes decide HOW -- literally FAISS's index
+    structure, assembled from this repo's two operators. Output
+    (id_a, id_b, cosine, rank), same shape as pq_topk / sim_ann_family.
+
+    Plan shape: both sides carry their cell id from the same codegen
+    assignment expression (no join to a centroid table), so the
+    candidate restriction is ONE extra equi-term on the broadcast join
+    -- a query only ever meets its own cell's codes. At 100 TB that is
+    the difference between scoring N codes per query (pq_topk) and
+    N/cells. Recall inherits BOTH approximations (cell restriction +
+    code resolution); `queries.similarity.recall_report` measures them
+    separately (methods 'ivf', 'pq') so a deployment can attribute its
+    loss."""
+    from .kmeans import assign_clusters
+
+    coded = assign_clusters(
+        pq_encode(vectors, codebooks, vec_col=vec_col),
+        centroids,
+        vec_col=vec_col,
+        out_col="cell",
+    ).where(F.col("codes").isNotNull() & F.col("cell").isNotNull())
+    codes = coded.select(F.col(id_col).alias("id_b"), "codes", "cell")
+    queries = coded.where(F.col(id_col) < query_n).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("q_emb"),
+        _vec_norm(F.col(vec_col)).alias("q_nrm"),
+        F.col("cell").alias("q_cell"),
+    )
+    return _adc_rank(
+        codes,
+        queries,
+        codebooks,
+        top_k,
+        (F.col("cell") == F.col("q_cell")) & (F.col("id_b") != F.col("id_a")),
     )

@@ -163,3 +163,41 @@ def test_pq_topk_retrieves_the_right_cluster(clustered, books):
         assert len(rows) == 19
         same = sum(1 for r in rows if r["id_b"] < 20)  # cluster 0 ids
         assert same == 19, (qid, sorted(r["id_b"] for r in rows))
+
+
+def test_ivfpq_equals_pq_restricted_to_cells(spark, clustered, books):
+    """IVF-PQ = PQ scoring restricted to the query's coarse cell: with
+    3 well-separated cells the in-cell top-k must (a) only ever pair
+    same-cell ids and (b) agree exactly with the whole-corpus ADC
+    ranking filtered to the cell -- the cell gate prunes candidates,
+    never reorders them."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.pq import (
+        ivfpq_topk,
+    )
+
+    cents = kmeans_fit(clustered, k=3)
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in assign_clusters(
+            clustered, cents, out_col="cell"
+        ).collect()
+        if r["cell"] is not None
+    }
+    got = ivfpq_topk(clustered, cents, books, query_n=3, top_k=10).collect()
+    assert got
+    for r in got:
+        assert cells[r["id_a"]] == cells[r["id_b"]]
+    # whole-corpus ADC, filtered per query to its cell, reranked
+    full = pq_topk(clustered, books, query_n=3, top_k=10**6).collect()
+    want = {}
+    for r in sorted(full, key=lambda r: (r["id_a"], r["rank"])):
+        if cells[r["id_a"]] == cells.get(r["id_b"]):
+            want.setdefault(r["id_a"], []).append(r["id_b"])
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["id_a"], r["rank"])):
+        got_by_q.setdefault(r["id_a"], []).append(r["id_b"])
+    assert got_by_q == {q: ids[:10] for q, ids in want.items()}
