@@ -70,14 +70,19 @@ MAX_KMEANS_ITERATIONS = 10
 _SUM_TYPE = "decimal(38,12)"
 
 
-def _dist2(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance from ``vec`` to a LITERAL centroid.
+def _dist2(vec: Column, centroid: list[float] | Column) -> Column:
+    """Squared L2 distance from ``vec`` to a centroid given as a
+    LITERAL list or an already-built array Column (operators/pq.py
+    passes codebook lookups).
 
     zip_with pairs index-wise and the fold adds strictly left to right:
     per-row the arithmetic order is fixed, so distances (and hence
     assignments) are deterministic even though they are doubles.
     """
-    lit = F.array(*[F.lit(float(c)) for c in centroid])
+    if isinstance(centroid, Column):
+        lit = centroid
+    else:
+        lit = F.array(*[F.lit(float(c)) for c in centroid])
     return F.aggregate(
         F.zip_with(
             lit, vec, lambda c, x: (x.cast("double") - c) * (x.cast("double") - c)

@@ -52,8 +52,11 @@ terms stay invisible until N is millions, as with kmeans/q8.
 Determinism: seeds are the K smallest-md5(id) vectors (same rule as
 kmeans.py), arithmetic is decimal-exact in training and
 fixed-fold-order in scoring, so the same input => identical codebooks, codes,
-and rankings on every run and partitioning. NULL or wrong-dimension
-vectors carry NULL codes and never enter training or rankings.
+and rankings on every run and partitioning. NULL, wrong-dimension,
+or NaN-carrying vectors get NULL codes and never enter training or
+rankings (a NaN would silently bias its centroid -- cast to decimal
+it becomes NULL while the member count still includes the row -- and
+would rank as garbage rather than be excluded at query time).
 """
 
 from __future__ import annotations
@@ -61,7 +64,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import MAX_KMEANS_ITERATIONS, _SUM_TYPE
+from .kmeans import MAX_KMEANS_ITERATIONS, _SUM_TYPE, _dist2
 
 #: Default PQ geometry: M=8 subspaces x K=16 codes (4 bits each) over
 #: the testdata's 64-dim embeddings -- 8-byte codes, 32x compression.
@@ -86,18 +89,6 @@ def _codebook_lit(codebooks: Codebooks) -> Column:
             )
             for s in sorted(codebooks)
         ]
-    )
-
-
-def _dist2(sv: Column, cent: Column) -> Column:
-    """Squared L2 distance, fixed left-to-right fold order (see
-    kmeans._dist2 -- deterministic double arithmetic per row)."""
-    return F.aggregate(
-        F.zip_with(
-            sv, cent, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
     )
 
 
@@ -146,8 +137,14 @@ def pq_fit(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # NaN components are excluded like NULLs: cast(NaN as decimal) is
+    # NULL, so a NaN row would silently bias its centroid toward 0 in
+    # the update sum while still being counted (the same "NaN welds to
+    # everything" gotcha semdedup.py documents for cosine).
     clean = vectors.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(F.col(vec_col), lambda x: F.isnan(x.cast("double")))
     ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
 
     # Seeds: the k smallest-md5(id) vectors, sliced per subspace -- one
@@ -233,7 +230,9 @@ def pq_encode(
     return vectors.withColumn(
         out_col,
         F.when(
-            v.isNull() | (F.size(v) != dim),
+            v.isNull()
+            | (F.size(v) != dim)
+            | F.exists(v, lambda x: F.isnan(x.cast("double"))),
             F.lit(None).cast("array<int>"),
         ).otherwise(codes),
     )
@@ -332,7 +331,10 @@ def _adc_rank(
     )
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # a zero-norm query or reconstruction has no defined cosine;
+        # those pairs are EXCLUDED, not ranked by id tiebreak
+        scored.where(F.col("cosine").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select("id_a", "id_b", "cosine", "rank")
     )
@@ -371,6 +373,7 @@ def pq_topk(
         (F.col(id_col) < query_n)
         & F.col(vec_col).isNotNull()
         & (F.size(vec_col) == m * dsub)
+        & ~F.exists(F.col(vec_col), lambda x: F.isnan(x.cast("double")))
     ).select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("q_emb"),

@@ -817,8 +817,12 @@ def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             (r["id_a"], r["id_b"])
             for r in pq_topk(emb, books, QUERY_N, TOP_K).collect()
         }
-    except ValueError:
-        pass
+    except ValueError as e:
+        # ONLY the documented too-small-corpus case is skippable; any
+        # other ValueError (indivisible dim, internal bug) must surface
+        # rather than silently dropping the pq row from the report.
+        if "at least k=" not in str(e):
+            raise
     return {
         method: len(pairs & truth) / len(truth)
         for method, pairs in sorted(got.items())

@@ -854,11 +854,13 @@ def test_ann_recall_report(spark, sf_dir):
     assert rep["ivf"] < rep["q8"] and rep["lsh"] < rep["q8"], rep
     # PQ sits at the same floor on THIS fixture: unstructured random
     # vectors differ by margins below 8-byte-code resolution, so the
-    # quantized ranking is noise (measured 1/24, like ivf/lsh). On
-    # data with real cluster structure it retrieves the true cluster
-    # (tests/test_pq.py) -- which is the honest statement of when PQ
+    # quantized ranking is noise (measured 1/24, like ivf/lsh) and must
+    # stay strictly under the exact-ranking q8 branch -- if pq ever
+    # matched q8 here, codes would not actually be driving the scores.
+    # On data with real cluster structure it retrieves the true cluster
+    # (tests/test_pq.py), which is the honest statement of when PQ
     # applies, exactly as the ivf/lsh caveat above.
-    assert 0.0 <= rep["pq"] <= 1.0, rep
+    assert rep["pq"] < rep["q8"], rep
 
 
 def test_ann_recall_report_empty_corpus(spark, tmp_path):

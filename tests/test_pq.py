@@ -201,3 +201,43 @@ def test_ivfpq_equals_pq_restricted_to_cells(spark, clustered, books):
     for r in sorted(got, key=lambda r: (r["id_a"], r["rank"])):
         got_by_q.setdefault(r["id_a"], []).append(r["id_b"])
     assert got_by_q == {q: ids[:10] for q, ids in want.items()}
+
+
+def test_pq_excludes_nan_vectors_everywhere(spark, clustered, books):
+    """A NaN-carrying vector must be invisible: NULL codes, absent from
+    training, and -- as a query -- no ranked output (not NaN-cosine
+    rows ranked by id tiebreak)."""
+    import math as _m
+
+    withnan = clustered.union(
+        spark.createDataFrame(
+            [(100, [float("nan")] * DIM)],
+            "vec_id long, embedding array<double>",
+        )
+    )
+    codes = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(withnan, books).collect()
+    }
+    assert codes[100] is None
+    # training ignores the NaN row entirely: same model either way
+    assert pq_fit(withnan, m=M, k=K) == books
+    # a NaN query (id 100 >= query_n here, so plant one at id 0's slot)
+    nan_q = spark.createDataFrame(
+        [(0, [float("nan")] * DIM)] + [
+            (r["vec_id"], r["embedding"])
+            for r in clustered.collect()
+            if r["vec_id"] != 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = pq_topk(nan_q, books, query_n=1, top_k=5).collect()
+    assert out == []
+    # zero-norm queries likewise produce no NULL-cosine ranks
+    zero_q = spark.createDataFrame(
+        [(0, [0.0] * DIM)], "vec_id long, embedding array<double>"
+    ).union(clustered.where("vec_id > 0"))
+    out = pq_topk(zero_q, books, query_n=1, top_k=5).collect()
+    assert out == []
+    for r in pq_topk(clustered, books, query_n=3, top_k=5).collect():
+        assert r["cosine"] is not None and not _m.isnan(r["cosine"])
