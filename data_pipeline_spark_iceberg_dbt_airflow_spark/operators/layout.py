@@ -172,3 +172,61 @@ def _count_parquet_files(spark, path: str) -> int:
         for st in fs.listStatus(p)
         if st.getPath().getName().endswith(".parquet")
     )
+
+
+def write_bucketed(
+    df,
+    table: str,
+    key: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a BUCKETED (and, by default, bucket-sorted)
+    managed table: rows are hash-partitioned into ``n_buckets`` files
+    per write-task group BY THE JOIN KEY, and that physical layout is
+    recorded in the catalog.
+
+    Why this exists -- the other half of the layout story: z-order
+    (above) buys scan PRUNING; bucketing buys JOIN CO-LOCATION. Two
+    tables bucketed by the same key into the same bucket count join
+    with ZERO Exchange on either side -- bucket i only ever meets
+    bucket i -- and with ``sort=True`` the per-bucket sort is also
+    pre-paid, so SortMergeJoin needs no Sort either. At 100 TB the
+    facts-with-facts join (orders x lineitem and every incremental
+    re-join after it) is usually the single largest shuffle in the
+    pipeline; bucketing prices it ONCE at write time and every
+    subsequent join reads the layout for free. The same contract
+    Iceberg expresses as a ``bucket(N, key)`` partition transform
+    (/root/reference README's hidden-partitioning surface); this is
+    the plain-Spark catalog rendering.
+
+    Shuffle-free-ness is PLAN-ASSERTED in tests/test_layout.py: the
+    bucketed-x-bucketed join plan contains no Exchange (and no Sort
+    when pre-sorted), while the identical unbucketed join carries two.
+    Sort-elision additionally needs the reader to trust per-bucket
+    order: Spark 3+ dropped that by default because a bucket split
+    across files has no global order -- this writer guarantees ONE
+    file per bucket (see the repartition note below), which makes
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` sound.
+
+    Sizing note (100 TB): pick n_buckets so one bucket of the BIGGER
+    table fits an executor's memory slice (buckets are the unit of
+    join-task work; too few buckets = giant tasks, too many = small
+    files). Spark requires the bucket counts to match (or divide
+    evenly with spark.sql.bucketing.coalesceBucketsInJoin.enabled) for
+    the exchange-free plan.
+    """
+    if sort:
+        # ONE file per bucket: bucketBy hashes rows to buckets inside
+        # every write task, so T tasks leave T files per bucket and the
+        # reader must re-Sort (it only trusts per-bucket order when a
+        # bucket is a single file). repartition(n, key) uses the same
+        # Murmur3-pmod hash as the bucket assignment, so each task
+        # holds exactly one bucket's rows and writes exactly one file
+        # -- the join plan then needs neither Exchange NOR Sort.
+        df = df.repartition(n_buckets, F.col(key))
+    w = df.write.mode(mode).bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.saveAsTable(table)

@@ -216,3 +216,60 @@ def test_compact_parquet_reduces_files_preserves_content(
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # non-overlapping => stats prune across files
+
+
+def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, tmp_path):
+    """The co-location contract, plan-asserted: joining two tables
+    bucketed+sorted on the same key with the same bucket count carries
+    ZERO Exchange and ZERO Sort below the SortMergeJoin, while the
+    identical unbucketed join shuffles (and sorts) both sides. Values
+    must match the plain join exactly -- layout changes physics, never
+    results."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Spark 3+ stopped trusting per-bucket sort order by default (a
+    # bucket split across files has none); with ONE file per bucket
+    # (write_bucketed repartitions to guarantee it) the legacy flag
+    # soundly restores the sort-elision.
+    spark.conf.set(
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+    )
+    try:
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        lineitem = read_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        write_bucketed(orders, "b_orders", "o_orderkey", 8)
+        write_bucketed(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            "o_orderkey",
+            8,
+        )
+        bj = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = bj._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan.replace("SortMergeJoin", ""), plan
+        plain = orders.join(
+            lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert plain_plan.count("Exchange") >= 2, plain_plan
+        # identical results
+        a = sorted(map(tuple, bj.collect()))
+        b = sorted(map(tuple, plain.collect()))
+        assert a == b and len(a) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.unset(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering"
+        )
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
