@@ -342,3 +342,33 @@ def test_semdedup_pair_search_is_blocked_equi_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_pq_encode_is_codegen_only_and_adc_join_broadcasts(spark, sf_dir):
+    """PQ's scale contract, plan-asserted: encoding adds NO Exchange
+    (the codebook is inlined literals, the argmin is one expression)
+    and the ADC top-k joins the broadcast query set against streaming
+    codes (BroadcastHashJoin or BroadcastNestedLoopJoin for the
+    key-less pq_topk variant -- never a shuffled join of the corpus),
+    with the only Exchange being the top-k window's."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.pq import (
+        pq_encode,
+        pq_fit,
+        pq_topk,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=8, k=8)
+    enc_plan = (
+        pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in enc_plan, enc_plan
+    topk_plan = (
+        pq_topk(emb, books, 8, 3)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Broadcast" in topk_plan, topk_plan
+    assert "SortMergeJoin" not in topk_plan, topk_plan
+    assert "CartesianProduct" not in topk_plan, topk_plan
+    # the window's own exchange is the only one on the scoring path
+    assert topk_plan.count("Exchange") <= 2, topk_plan
