@@ -434,3 +434,78 @@ def test_real_concurrent_appends_all_land(spark, table):
     assert got == sorted([0] + [10 * i + d for i in range(1, 7) for d in (0, 1)])
     # every data dir is referenced: nothing for vacuum to sweep
     assert snapshot_vacuum(table) == []
+
+
+# --- model-based property: op sequences vs a pure-Python model -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
+        st.tuples(st.just("rollback"), st.integers(0, 5)),
+        st.tuples(st.just("vacuum_keep"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=_ops)
+def test_snapshot_sequences_match_model(spark, tmp_path_factory, ops):
+    """Any sequence of append/overwrite/rollback/vacuum must leave the
+    table readable at the latest version with exactly the content a
+    trivial in-memory model predicts -- and every version that
+    survives vacuum must time-travel to its modeled historical
+    content. Rollback targets are taken modulo the existing history;
+    vacuum(keep) must never change the LATEST content."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_rollback,
+        snapshot_vacuum,
+        snapshot_versions,
+    )
+
+    table = str(tmp_path_factory.mktemp("prop") / "tbl")
+    history: list[list[int]] = []  # version -> content (multiset as sorted list)
+    live_versions: list[int] = []
+    for op, arg in ops:
+        if op == "append":
+            prev = history[-1] if history else []
+            snapshot_append(_df(spark, arg), table)
+            history.append(sorted(prev + arg))
+            live_versions.append(len(history) - 1)
+        elif op == "overwrite":
+            snapshot_overwrite(_df(spark, arg), table)
+            history.append(sorted(arg))
+            live_versions.append(len(history) - 1)
+        elif op == "rollback":
+            if not history:
+                continue
+            target = live_versions[arg % len(live_versions)]
+            snapshot_rollback(table, target)
+            history.append(history[target])
+            live_versions.append(len(history) - 1)
+        else:  # vacuum_keep
+            if not history:
+                continue
+            keep = min(arg, len(live_versions))
+            snapshot_vacuum(table, keep_versions=keep)
+            live_versions = live_versions[-keep:]
+    if not history:
+        return
+    got = sorted(r["id"] for r in snapshot_read(spark, table).collect())
+    assert got == history[-1]
+    meta = {r["version"] for r in snapshot_versions(spark, table).collect()}
+    assert meta == set(live_versions)
+    for v in live_versions:
+        got_v = sorted(
+            r["id"] for r in snapshot_read(spark, table, version=v).collect()
+        )
+        assert got_v == history[v], (v, ops)
