@@ -22,6 +22,7 @@ any keyed shuffle apply.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -286,6 +287,86 @@ def ingest_stream_snapshots(
         if batch.isEmpty():
             return
         versions.append(snapshot_append(batch, table_dir))
+
+    q = (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return versions
+
+
+def apply_cdc_stream(
+    stream_df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    seq_col: str,
+    delete_col: str | None = None,
+) -> list[int]:
+    """Apply a CHANGE stream (upserts + deletes) to a snapshot table:
+    each micro-batch first collapses to its LATEST change per key
+    (``seq_col`` descending -- the CDC sequence/LSN; ties break toward
+    the delete so a same-sequence insert+delete pair converges on
+    "gone"), then lands as ONE ``snapshot_merge`` commit. This is the
+    foreachBatch-MERGE idiom Delta/Iceberg document for CDC apply,
+    expressed over the engine-native snapshot layer; together with
+    ``io.corpus_diff`` (change capture) it closes the CDC loop.
+
+    The first batch against an empty table bootstraps it (deletes
+    dropped, then a plain initial commit). NULL-key changes are
+    dropped before the merge -- the same not-ingestable rule as
+    ``plans.incremental`` (a NULL key can never be matched, so each
+    replay would re-insert it). Single-writer assumption: the
+    streaming query is the table's one writer, so the merge's
+    SnapshotConflictError is a real error (someone else committed),
+    not a retry signal. A REPLAYED micro-batch re-merges the same
+    collapsed changes: upserts overwrite themselves and deletes
+    re-delete nothing, so the table content is replay-idempotent (the
+    version history, by design, still shows the replay).
+
+    Returns the committed versions (one per non-empty batch).
+    """
+    from pyspark.sql import Window
+
+    from ..snapshots import snapshot_merge, snapshot_overwrite
+
+    versions: list[int] = []
+
+    def _sink(batch: DataFrame, _batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        order = [F.desc(seq_col)]
+        if delete_col is not None:
+            order.append(F.desc(delete_col))
+        latest = (
+            batch.where(F.col(key_col).isNotNull())
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(key_col).orderBy(*order)
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .drop("__rn", seq_col)
+        )
+        if latest.isEmpty():
+            return
+        if not os.path.isdir(os.path.join(table_dir, "_snapshots")):
+            if delete_col is not None:
+                latest = latest.where(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            if not latest.isEmpty():
+                versions.append(snapshot_overwrite(latest, table_dir))
+            return
+        versions.append(
+            snapshot_merge(
+                latest, table_dir, key_col, delete_col=delete_col
+            )
+        )
 
     q = (
         stream_df.writeStream.foreachBatch(_sink)
