@@ -115,6 +115,16 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sn = sub.add_parser("snapshots", help="list a snapshot table's versions")
     sn.add_argument("table_dir")
+
+    cd = sub.add_parser(
+        "cdc", help="apply a change-file directory to a snapshot table"
+    )
+    cd.add_argument("changes_dir", help="parquet change files (streamed)")
+    cd.add_argument("table_dir")
+    cd.add_argument("checkpoint_dir")
+    cd.add_argument("--key", required=True)
+    cd.add_argument("--seq", required=True)
+    cd.add_argument("--delete-col", default=None)
     return p
 
 
@@ -327,6 +337,26 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         docs = read_table(spark, args.sf, "documents")
         for i, (a, b) in enumerate(train_bpe(docs, args.merges)):
             print(f"{i}\t{a}\t{b}")
+        return 0
+
+    if args.cmd == "cdc":
+        from .streaming.jobs import apply_cdc_stream
+
+        schema = spark.read.parquet(args.changes_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(args.changes_dir)
+        )
+        versions = apply_cdc_stream(
+            stream,
+            args.table_dir,
+            args.checkpoint_dir,
+            args.key,
+            args.seq,
+            delete_col=args.delete_col,
+        )
+        print(f"committed versions: {versions}")
         return 0
 
     if args.cmd == "snapshots":

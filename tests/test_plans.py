@@ -646,3 +646,37 @@ def test_cli_snapshots(spark, tmp_path, capsys):
     assert main(["snapshots", table], spark=spark) == 0
     out = capsys.readouterr().out.splitlines()
     assert len(out) == 2 and out[0].startswith("v0\tparent=None\tappend")
+
+
+def test_cli_cdc_applies_changes(spark, tmp_path, capsys):
+    """`cdc` subcommand: change files -> snapshot table, end to end."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    src = tmp_path / "chg"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False), (2, None, 2, True)],
+        "id long, v string, seq long, is_delete boolean",
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    table = str(tmp_path / "tbl")
+    rc = main(
+        [
+            "cdc",
+            str(src) + "/*",
+            table,
+            str(tmp_path / "ckpt"),
+            "--key",
+            "id",
+            "--seq",
+            "seq",
+            "--delete-col",
+            "is_delete",
+        ],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "committed versions" in capsys.readouterr().out
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import snapshot_read
+
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, table).collect()}
+    assert got == {1: "a"}
