@@ -226,6 +226,16 @@ def write_bucketed(
         # holds exactly one bucket's rows and writes exactly one file
         # -- the join plan then needs neither Exchange NOR Sort.
         df = df.repartition(n_buckets, F.col(key))
+    if sort and mode == "append":
+        # an append leaves >1 file per bucket: each is sorted, their
+        # concatenation is NOT, and a reader trusting the legacy
+        # outputOrdering flag would feed SortMergeJoin unsorted input
+        # -- wrong JOIN RESULTS, not just a bad plan. Rewrite the
+        # table (mode='overwrite') or append unsorted.
+        raise ValueError(
+            "append breaks the one-file-per-bucket sort guarantee; "
+            "use mode='overwrite' or sort=False"
+        )
     w = df.write.mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

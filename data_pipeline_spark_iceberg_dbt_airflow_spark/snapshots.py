@@ -270,6 +270,15 @@ def snapshot_vacuum(
     return removed
 
 
+def snapshot_exists(table_dir: str) -> bool:
+    """True when at least one manifest is PUBLISHED. Callers must use
+    this -- not the existence of the ``_snapshots`` directory -- to
+    decide bootstrap-vs-merge: ``_commit`` creates the directory before
+    the (slow) data write, so a writer crashing mid-first-commit leaves
+    the directory present with zero manifests."""
+    return bool(_load_manifests(table_dir))
+
+
 def snapshot_versions(spark: SparkSession, table_dir: str) -> DataFrame:
     """The `.snapshots` metadata scan: one row per committed snapshot
     (version, parent, operation, committed_at, n_dirs)."""

@@ -22,7 +22,6 @@ any keyed shuffle apply.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -248,8 +247,16 @@ def ingest_stream_dedup(
             order_col=order_col,
         )
 
+    _run_foreach_batch(stream_df, checkpoint_dir, _sink)
+
+
+def _run_foreach_batch(stream_df: DataFrame, checkpoint_dir: str, sink) -> None:
+    """One place for the module's batch-sink policy: file-source
+    checkpointing + availableNow (drain everything durable, then stop)
+    -- the three foreachBatch jobs below share it so trigger/checkpoint
+    changes cannot drift between them."""
     q = (
-        stream_df.writeStream.foreachBatch(_sink)
+        stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
@@ -288,13 +295,7 @@ def ingest_stream_snapshots(
             return
         versions.append(snapshot_append(batch, table_dir))
 
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_foreach_batch(stream_df, checkpoint_dir, _sink)
     return versions
 
 
@@ -307,31 +308,51 @@ def apply_cdc_stream(
     delete_col: str | None = None,
 ) -> list[int]:
     """Apply a CHANGE stream (upserts + deletes) to a snapshot table:
-    each micro-batch first collapses to its LATEST change per key
-    (``seq_col`` descending -- the CDC sequence/LSN; ties break toward
-    the delete so a same-sequence insert+delete pair converges on
-    "gone"), then lands as ONE ``snapshot_merge`` commit. This is the
-    foreachBatch-MERGE idiom Delta/Iceberg document for CDC apply,
-    expressed over the engine-native snapshot layer; together with
-    ``io.corpus_diff`` (change capture) it closes the CDC loop.
+    each micro-batch collapses to its LATEST change per key, drops
+    changes STALER than what the table already holds, and lands as ONE
+    ``snapshot_merge`` commit. This is the foreachBatch-MERGE idiom
+    Delta/Iceberg document for CDC apply, expressed over the
+    engine-native snapshot layer; together with ``io.corpus_diff``
+    (change capture) it closes the CDC loop.
 
-    The first batch against an empty table bootstraps it (deletes
-    dropped, then a plain initial commit). NULL-key changes are
-    dropped before the merge -- the same not-ingestable rule as
-    ``plans.incremental`` (a NULL key can never be matched, so each
-    replay would re-insert it). Single-writer assumption: the
-    streaming query is the table's one writer, so the merge's
-    SnapshotConflictError is a real error (someone else committed),
-    not a retry signal. A REPLAYED micro-batch re-merges the same
-    collapsed changes: upserts overwrite themselves and deletes
-    re-delete nothing, so the table content is replay-idempotent (the
-    version history, by design, still shows the replay).
+    Ordering: ``seq_col`` (the CDC sequence/LSN) is PERSISTED in the
+    table, so ordering is enforced ACROSS batches, not just within one
+    -- a late-arriving file carrying an older change for a key joins
+    against the table's current seq and is discarded instead of
+    silently regressing the row (the ``source.seq > target.seq`` MERGE
+    guard, rendered as one pre-merge left join). Within a batch the
+    collapse orders by seq desc, then delete-flag desc (a same-seq
+    insert+delete pair converges on "gone"), then a hash of the whole
+    row as a deterministic final tiebreak -- replays pick the same
+    winner. Tombstone caveat (standard CDC mirror trade-off): a delete
+    removes the row AND its seq, so a staler-than-the-delete update
+    arriving later reinserts the key; keep tombstone rows (delete_col
+    persisted, filtered at read) where that matters.
 
-    Returns the committed versions (one per non-empty batch).
+    The first batch against an empty table bootstraps it -- detected
+    by PUBLISHED MANIFESTS (snapshot_exists), not the _snapshots
+    directory, which _commit creates before the slow data write and
+    which therefore survives a mid-first-commit crash. NULL-key
+    changes are dropped (not mergeable, not replay-idempotent, as in
+    ``plans.incremental``). Single-writer assumption: the streaming
+    query is the table's one writer, so SnapshotConflictError is a
+    real error (someone else committed), not a retry signal.
+
+    Per batch the collapsed frame is persisted: it feeds an emptiness
+    probe, the merge's validation aggregate, and the merge join --
+    without the persist each action would re-run the source read and
+    the collapse window.
+
+    Returns the committed versions (one per effective batch).
     """
     from pyspark.sql import Window
 
-    from ..snapshots import snapshot_merge, snapshot_overwrite
+    from ..snapshots import (
+        snapshot_exists,
+        snapshot_merge,
+        snapshot_overwrite,
+        snapshot_read,
+    )
 
     versions: list[int] = []
 
@@ -341,6 +362,7 @@ def apply_cdc_stream(
         order = [F.desc(seq_col)]
         if delete_col is not None:
             order.append(F.desc(delete_col))
+        order.append(F.desc(F.xxhash64(*batch.columns)))
         latest = (
             batch.where(F.col(key_col).isNotNull())
             .withColumn(
@@ -350,29 +372,43 @@ def apply_cdc_stream(
                 ),
             )
             .where(F.col("__rn") == 1)
-            .drop("__rn", seq_col)
+            .drop("__rn")
         )
-        if latest.isEmpty():
-            return
-        if not os.path.isdir(os.path.join(table_dir, "_snapshots")):
-            if delete_col is not None:
-                latest = latest.where(
-                    ~F.coalesce(F.col(delete_col), F.lit(False))
-                ).drop(delete_col)
-            if not latest.isEmpty():
-                versions.append(snapshot_overwrite(latest, table_dir))
-            return
-        versions.append(
-            snapshot_merge(
-                latest, table_dir, key_col, delete_col=delete_col
+        bootstrapped = snapshot_exists(table_dir)
+        if bootstrapped:
+            # cross-batch ordering guard: discard changes at or below
+            # the seq the table already holds for that key
+            cur = snapshot_read(batch.sparkSession, table_dir).select(
+                key_col, F.col(seq_col).alias("__cur_seq")
             )
-        )
+            latest = (
+                latest.join(cur, key_col, "left")
+                .where(
+                    F.col("__cur_seq").isNull()
+                    | (F.col(seq_col) > F.col("__cur_seq"))
+                )
+                .drop("__cur_seq")
+            )
+        latest = latest.persist()
+        try:
+            if latest.isEmpty():
+                return
+            if not bootstrapped:
+                first = latest
+                if delete_col is not None:
+                    first = latest.where(
+                        ~F.coalesce(F.col(delete_col), F.lit(False))
+                    ).drop(delete_col)
+                if not first.isEmpty():
+                    versions.append(snapshot_overwrite(first, table_dir))
+                return
+            versions.append(
+                snapshot_merge(
+                    latest, table_dir, key_col, delete_col=delete_col
+                )
+            )
+        finally:
+            latest.unpersist()
 
-    q = (
-        stream_df.writeStream.foreachBatch(_sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    _run_foreach_batch(stream_df, checkpoint_dir, _sink)
     return versions

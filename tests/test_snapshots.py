@@ -574,9 +574,19 @@ def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
     assert len(versions) == 2  # bootstrap + one merge
     got = {r["id"]: r["v"] for r in snapshot_read(spark, table_dir).collect()}
     assert got == {1: "a1", 2: "b2", 4: "d1"}
+    # a LATE file: stale change for key 2 (seq 1 < the applied seq 2)
+    # plus a genuinely new change for key 1 -- the persisted-seq guard
+    # must drop the stale row and apply the fresh one
+    chg([(2, "stale", 1, False), (1, "a2", 3, False)], str(src / "b2"))
+    versions_late = run(str(tmp_path / "ckpt"))  # same checkpoint: only b2
+    assert len(versions_late) == 1
+    got_late = {
+        r["id"]: r["v"] for r in snapshot_read(spark, table_dir).collect()
+    }
+    assert got_late == {1: "a2", 2: "b2", 4: "d1"}
     # replay everything with a FRESH checkpoint: content unchanged,
     # history longer (the audit trail shows the replay)
     versions2 = run(str(tmp_path / "ckpt2"))
-    assert versions2 and min(versions2) > max(versions)
+    assert versions2 and min(versions2) > max(versions_late)
     got2 = {r["id"]: r["v"] for r in snapshot_read(spark, table_dir).collect()}
-    assert got2 == got
+    assert got2 == got_late
