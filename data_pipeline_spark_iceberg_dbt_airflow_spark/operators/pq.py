@@ -4,8 +4,9 @@ Jégou, Douze, Schmid 2011 ("Product Quantization for Nearest Neighbor
 Search", TPAMI): split each D-dim vector into M disjoint sub-vectors,
 vector-quantize each subspace independently with its own K-centroid
 codebook, and store each vector as M small codes. At K=16, M=8 a
-64-dim float32 vector (256 bytes) compresses to 8 codes (8 bytes, 4
-bits each): the corpus that streams through an ANN scan shrinks ~32x,
+64-dim float32 vector (256 bytes) compresses to 8 codes -- 4
+information bits each, 8 bytes stored byte-aligned (4 packed): the
+corpus that streams through an ANN scan shrinks ~32-64x,
 which is the difference between "fits in cluster page cache" and "does
 not" at 100 TB. Queries stay full-precision and score candidates with
 ASYMMETRIC distance computation (ADC): per query, precompute the M x K
