@@ -275,8 +275,15 @@ def snapshot_exists(table_dir: str) -> bool:
     this -- not the existence of the ``_snapshots`` directory -- to
     decide bootstrap-vs-merge: ``_commit`` creates the directory before
     the (slow) data write, so a writer crashing mid-first-commit leaves
-    the directory present with zero manifests."""
-    return bool(_load_manifests(table_dir))
+    the directory present with zero manifests. A name check only (no
+    JSON parse): per-micro-batch callers must not pay O(commits) log
+    parsing for a bool."""
+    mdir = _manifest_dir(table_dir)
+    if not os.path.isdir(mdir):
+        return False
+    return any(
+        n.startswith("v") and n.endswith(".json") for n in os.listdir(mdir)
+    )
 
 
 def snapshot_versions(spark: SparkSession, table_dir: str) -> DataFrame:

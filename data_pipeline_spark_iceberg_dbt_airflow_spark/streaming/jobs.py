@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import StructType
+from pyspark.sql.types import AtomicType, StructType
 
 
 def read_events_stream(
@@ -253,8 +253,9 @@ def ingest_stream_dedup(
 def _run_foreach_batch(stream_df: DataFrame, checkpoint_dir: str, sink) -> None:
     """One place for the module's batch-sink policy: file-source
     checkpointing + availableNow (drain everything durable, then stop)
-    -- the three foreachBatch jobs below share it so trigger/checkpoint
-    changes cannot drift between them."""
+    -- every foreachBatch job in this module (ingest_stream_dedup,
+    ingest_stream_snapshots, apply_cdc_stream) runs through it so
+    trigger/checkpoint changes cannot drift between them."""
     q = (
         stream_df.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
@@ -336,7 +337,10 @@ def apply_cdc_stream(
     changes are dropped (not mergeable, not replay-idempotent, as in
     ``plans.incremental``). Single-writer assumption: the streaming
     query is the table's one writer, so SnapshotConflictError is a
-    real error (someone else committed), not a retry signal.
+    real error (someone else committed), not a retry signal. NULL-seq
+    changes are dropped with NULL keys: an unordered change can
+    neither win nor lose the cross-batch guard coherently (kept for an
+    absent key, it would permanently disable ordering for that key).
 
     Per batch the collapsed frame is persisted: it feeds an emptiness
     probe, the merge's validation aggregate, and the merge join --
@@ -362,9 +366,20 @@ def apply_cdc_stream(
         order = [F.desc(seq_col)]
         if delete_col is not None:
             order.append(F.desc(delete_col))
-        order.append(F.desc(F.xxhash64(*batch.columns)))
+        # deterministic final tiebreak for equal-seq duplicates; maps
+        # are not hashable in Spark (HASH_MAP_TYPE), so the hash rides
+        # the atomic columns only -- still deterministic, and a feed
+        # whose atomic columns tie entirely is carrying actual
+        # duplicate changes
+        hashable = [
+            f.name
+            for f in batch.schema.fields
+            if isinstance(f.dataType, AtomicType)
+        ]
+        if hashable:
+            order.append(F.desc(F.xxhash64(*hashable)))
         latest = (
-            batch.where(F.col(key_col).isNotNull())
+            batch.where(F.col(key_col).isNotNull() & F.col(seq_col).isNotNull())
             .withColumn(
                 "__rn",
                 F.row_number().over(
@@ -378,7 +393,15 @@ def apply_cdc_stream(
         if bootstrapped:
             # cross-batch ordering guard: discard changes at or below
             # the seq the table already holds for that key
-            cur = snapshot_read(batch.sparkSession, table_dir).select(
+            cur_df = snapshot_read(batch.sparkSession, table_dir)
+            if seq_col not in cur_df.columns:
+                raise ValueError(
+                    f"table at {table_dir} has no '{seq_col}' column: it "
+                    "was not built by apply_cdc_stream (the persisted "
+                    "sequence is what enforces cross-batch ordering). "
+                    "Bootstrap a fresh table or backfill the column."
+                )
+            cur = cur_df.select(
                 key_col, F.col(seq_col).alias("__cur_seq")
             )
             latest = (

@@ -590,3 +590,28 @@ def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
     assert versions2 and min(versions2) > max(versions_late)
     got2 = {r["id"]: r["v"] for r in snapshot_read(spark, table_dir).collect()}
     assert got2 == got_late
+
+
+def test_cdc_rejects_tables_without_the_seq_column(spark, tmp_path):
+    """Pointing the CDC apply at a table that was not built by it (no
+    persisted seq) must fail with a clear error, not silently regress
+    ordering."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming.jobs import (
+        apply_cdc_stream,
+    )
+
+    table_dir = str(tmp_path / "tbl")
+    snapshot_append(_df(spark, [1]), table_dir)  # (id, v): no seq
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "x", 2)], "id long, v string, seq long"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("id long, v string, seq long")
+        .parquet(str(src) + "/*")
+    )
+    with pytest.raises(Exception, match="has no 'seq' column"):
+        apply_cdc_stream(
+            stream, table_dir, str(tmp_path / "ckpt"), "id", "seq"
+        )
