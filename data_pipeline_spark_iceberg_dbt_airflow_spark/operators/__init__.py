@@ -18,12 +18,24 @@ from .bloom import (  # noqa: F401
     with_bloom_flag,
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
-from .layout import compact_parquet, write_zordered, zorder_key  # noqa: F401
+from .layout import (  # noqa: F401
+    compact_parquet,
+    write_bucketed,
+    write_zordered,
+    zorder_key,
+)
 from .kmeans import (  # noqa: F401
     MAX_KMEANS_ITERATIONS,
     assign_clusters,
     kmeans_cost,
     kmeans_fit,
+)
+from .pq import (  # noqa: F401
+    ivfpq_topk,
+    pq_decode,
+    pq_encode,
+    pq_fit,
+    pq_topk,
 )
 from .pii import (  # noqa: F401
     PII_PATTERNS,
