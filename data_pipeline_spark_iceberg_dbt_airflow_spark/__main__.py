@@ -91,6 +91,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     rc = sub.add_parser("recall", help="ANN recall@k per branch vs exact")
     rc.add_argument("--sf", default=DEFAULT_SF)
+    rc.add_argument(
+        "--ivfpq",
+        action="store_true",
+        help="also train coarse cells and measure the composed IVF-PQ",
+    )
 
     lk = sub.add_parser("leakage", help="val/test docs near-duplicating train")
     lk.add_argument("--sf", default=DEFAULT_SF)
@@ -273,7 +278,8 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
     if args.cmd == "recall":
         from .queries.similarity import recall_report
 
-        for method, r in recall_report(spark, args.sf).items():
+        rep = recall_report(spark, args.sf, include_ivfpq=args.ivfpq)
+        for method, r in rep.items():
             print(f"{method}\t{r:.4f}")
         return 0
 

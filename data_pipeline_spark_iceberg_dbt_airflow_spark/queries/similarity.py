@@ -780,7 +780,9 @@ def sim_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
-def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+def recall_report(
+    spark: SparkSession, sf_dir: str, include_ivfpq: bool = False
+) -> dict[str, float]:
     """recall@TOP_K of each ANN branch against the exact brute-force
     top-k -- the accuracy half of the speed/recall trade each method
     makes (cells for IVF, sign buckets for LSH, int8 retrieve for q8).
@@ -817,6 +819,20 @@ def recall_report(spark: SparkSession, sf_dir: str) -> dict[str, float]:
             (r["id_a"], r["id_b"])
             for r in pq_topk(emb, books, QUERY_N, TOP_K).collect()
         }
+        if include_ivfpq:
+            # the composed index (cells prune, codes price): trains a
+            # coarse quantizer too, so it is opt-in -- the per-method
+            # rows above already attribute each approximation alone
+            from ..operators.kmeans import kmeans_fit
+            from ..operators.pq import ivfpq_topk
+
+            cents = kmeans_fit(emb, k=8)
+            got["ivfpq"] = {
+                (r["id_a"], r["id_b"])
+                for r in ivfpq_topk(
+                    emb, cents, books, QUERY_N, TOP_K
+                ).collect()
+            }
     except ValueError as e:
         # ONLY the documented too-small-corpus case is skippable; any
         # other ValueError (indivisible dim, internal bug) must surface
