@@ -26,6 +26,7 @@ from .layout import (  # noqa: F401
 )
 from .kmeans import (  # noqa: F401
     MAX_KMEANS_ITERATIONS,
+    CorpusTooSmallError,
     assign_clusters,
     kmeans_cost,
     kmeans_fit,

@@ -63,6 +63,14 @@ from pyspark.sql import functions as F
 #: returns the current model rather than raising.
 MAX_KMEANS_ITERATIONS = 10
 
+
+class CorpusTooSmallError(ValueError):
+    """Fewer valid vectors than the k the fit needs. A dedicated type
+    (not message matching) so callers like ``recall_report`` can
+    distinguish the skippable too-small-corpus case from genuine
+    ValueErrors (indivisible dim, internal bugs). Subclasses ValueError
+    for back-compat with callers that caught that."""
+
 #: Exact-sum type for centroid updates: float32 inputs (|x| < ~1e9)
 #: leave 26 integral digits of headroom at scale 12, enough for >1e16
 #: members per cluster before overflow -- and decimal overflow in Spark
@@ -139,7 +147,9 @@ def _seed_centroids(
         .collect()
     )
     if len(seeds) < k:
-        raise ValueError(f"need at least k={k} valid vectors, found {len(seeds)}")
+        raise CorpusTooSmallError(
+            f"need at least k={k} valid vectors, found {len(seeds)}"
+        )
     return {
         i: [float(x) for x in row["v"]] for i, row in enumerate(seeds)
     }

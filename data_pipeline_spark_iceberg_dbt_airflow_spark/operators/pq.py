@@ -65,7 +65,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .kmeans import MAX_KMEANS_ITERATIONS, _SUM_TYPE, _dist2
+from .kmeans import (
+    MAX_KMEANS_ITERATIONS,
+    _SUM_TYPE,
+    CorpusTooSmallError,
+    _dist2,
+)
 
 #: Default PQ geometry: M=8 subspaces x K=16 codes (4 bits each) over
 #: the testdata's 64-dim embeddings -- 8-byte codes, 32x compression.
@@ -160,7 +165,9 @@ def pq_fit(
         .collect()
     )
     if len(seeds) < k:
-        raise ValueError(f"need at least k={k} valid vectors, found {len(seeds)}")
+        raise CorpusTooSmallError(
+            f"need at least k={k} valid vectors, found {len(seeds)}"
+        )
     codebooks: Codebooks = {
         s: {
             c: [float(x) for x in row["__v"][s * dsub : (s + 1) * dsub]]

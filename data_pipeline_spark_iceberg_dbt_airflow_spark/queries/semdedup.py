@@ -156,11 +156,14 @@ def semdedup(
     # survivor per component: argmin (cos_centroid, vec_id), one
     # combinable min-over-struct groupBy over component MEMBERS only
     # (duplicate rows -- small). The join back rides a NULL-FREE key:
-    # unique vectors (component IS NULL) get a per-row sentinel key
-    # (-vec_id - 1, disjoint from the non-negative min-id component
-    # labels), so they spread uniformly instead of piling into one
-    # NULL-key partition -- a window partitioned by the raw component
-    # would send every unique vector to a single task at corpus scale.
+    # unique vectors (component IS NULL) get a per-row sentinel key, so
+    # they spread uniformly instead of piling into one NULL-key
+    # partition -- a window partitioned by the raw component would send
+    # every unique vector to a single task at corpus scale. The key is
+    # a (is_unique, label) STRUCT, collision-proof by construction:
+    # unique rows live in the is_unique=true namespace, components in
+    # is_unique=false, so no vec_id value (negative included) can ever
+    # alias a component label.
     reps = (
         labeled.where(F.col("component").isNotNull())
         .groupBy("component")
@@ -170,10 +173,20 @@ def semdedup(
             )
         )
     )
-    join_key = F.coalesce("component", -F.col("vec_id") - 1)
+    join_key = F.struct(
+        F.col("component").isNull().alias("u"),
+        F.coalesce("component", F.col("vec_id")).alias("k"),
+    )
+    reps_key = F.struct(
+        F.lit(False).alias("u"), F.col("component").alias("k")
+    )
     return (
         labeled.withColumn("__k", join_key)
-        .join(reps.withColumnRenamed("component", "__k"), "__k", "left")
+        .join(
+            reps.withColumn("__k", reps_key).drop("component"),
+            "__k",
+            "left",
+        )
         .select(
             F.col("vec_id").alias(id_col),
             "cluster",

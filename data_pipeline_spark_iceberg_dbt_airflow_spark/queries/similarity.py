@@ -811,6 +811,7 @@ def recall_report(
     # here rather than inside the deterministic sim_ann_family entry;
     # a corpus too small to train (< K vectors) simply omits the row.
     try:
+        from ..operators.kmeans import CorpusTooSmallError
         from ..operators.pq import pq_fit, pq_topk
 
         emb = read_table(spark, sf_dir, "embeddings")
@@ -833,12 +834,12 @@ def recall_report(
                     emb, cents, books, QUERY_N, TOP_K
                 ).collect()
             }
-    except ValueError as e:
-        # ONLY the documented too-small-corpus case is skippable; any
-        # other ValueError (indivisible dim, internal bug) must surface
-        # rather than silently dropping the pq row from the report.
-        if "at least k=" not in str(e):
-            raise
+    except CorpusTooSmallError:
+        # ONLY the too-small-corpus case is skippable (a dedicated type
+        # raised by the seed guards); any other ValueError (indivisible
+        # dim, internal bug) propagates rather than silently dropping
+        # the pq row from the report.
+        pass
     return {
         method: len(pairs & truth) / len(truth)
         for method, pairs in sorted(got.items())

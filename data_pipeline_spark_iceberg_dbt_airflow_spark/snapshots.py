@@ -98,21 +98,37 @@ def _publish(table_dir: str, version: int, manifest: dict) -> bool:
     atomic exclusive create, so readers can never observe an empty or
     truncated v<N>.json (open('x') + dump would expose one between the
     create and the write, and a writer dying mid-dump would brick every
-    subsequent load). Returns False if another writer won the version."""
-    tmp = os.path.join(
-        _manifest_dir(table_dir), f".tmp-{uuid.uuid4().hex}"
+    subsequent load). Returns False if another writer won the version.
+
+    A ``snapshot_vacuum`` racing outside its documented no-commit-in-
+    flight contract can sweep the temp file between the write and the
+    link; rather than crash the commit, the FileNotFoundError retries
+    the temp write under a fresh uuid (the sweep is also age-gated, so
+    a single retry suffices in practice -- the loop is belt-and-braces)."""
+    for _ in range(3):
+        tmp = os.path.join(
+            _manifest_dir(table_dir), f".tmp-{uuid.uuid4().hex}"
+        )
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, _manifest_path(table_dir, version))
+            return True
+        except FileExistsError:
+            return False
+        except FileNotFoundError:
+            continue  # a racing vacuum swept tmp: rewrite and relink
+        finally:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+    raise OSError(
+        f"could not publish manifest v{version}: temp manifests kept "
+        "disappearing (a vacuum is racing this commit)"
     )
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, _manifest_path(table_dir, version))
-        return True
-    except FileExistsError:
-        return False
-    finally:
-        os.remove(tmp)
 
 
 def _next_ts(manifests: list[dict]) -> int:
@@ -220,6 +236,7 @@ def snapshot_rollback(table_dir: str, version: int) -> int:
 def snapshot_vacuum(
     table_dir: str,
     keep_versions: int | None = None,
+    tmp_grace_s: float = 3600.0,
 ) -> list[str]:
     """Delete data directories no manifest references (orphans from
     lost commit races) and, when ``keep_versions`` is given, expire all
@@ -258,15 +275,24 @@ def snapshot_vacuum(
                 removed.append(path)
     # A writer killed between the temp write and os.link leaks a
     # .tmp-<uuid> manifest forever (its finally never ran); no live
-    # commit ever references a temp name, so sweeping them here is safe
-    # under the same no-commit-in-flight contract as the data sweep.
+    # commit ever references a temp name, so sweeping them is safe.
+    # The sweep is AGE-GATED (mtime older than tmp_grace_s): a vacuum
+    # run outside the documented no-commit-in-flight contract must not
+    # yank the temp file out from under an in-flight _publish (which
+    # would also retry, but the gate keeps the common case race-free --
+    # no live commit holds a temp file for an hour).
     mdir = _manifest_dir(table_dir)
     if os.path.isdir(mdir):
+        cutoff = time.time() - tmp_grace_s
         for name in sorted(os.listdir(mdir)):
             if name.startswith(".tmp-"):
                 path = os.path.join(mdir, name)
-                os.remove(path)
-                removed.append(path)
+                try:
+                    if os.path.getmtime(path) <= cutoff:
+                        os.remove(path)
+                        removed.append(path)
+                except FileNotFoundError:
+                    pass  # the owning writer's finally beat us to it
     return removed
 
 

@@ -384,7 +384,8 @@ def test_legacy_full_path_manifests_read_and_vacuum_safely(spark, table):
 
 def test_vacuum_sweeps_leaked_tmp_manifests(spark, table):
     """A writer killed between the temp write and the hard link leaks
-    .tmp-<uuid> in _snapshots/; vacuum reclaims it."""
+    .tmp-<uuid> in _snapshots/; vacuum reclaims it -- but only past the
+    age gate, so a FRESH temp file (an in-flight _publish) survives."""
     from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
         snapshot_vacuum,
     )
@@ -393,8 +394,33 @@ def test_vacuum_sweeps_leaked_tmp_manifests(spark, table):
     leak = os.path.join(table, "_snapshots", ".tmp-deadbeef")
     with open(leak, "w") as f:
         f.write('{"version": 99')  # truncated, as a crash would leave
-    removed = snapshot_vacuum(table)
+    assert snapshot_vacuum(table) == []  # fresh: inside the grace window
+    assert os.path.exists(leak)
+    removed = snapshot_vacuum(table, tmp_grace_s=0.0)
     assert leak in removed and not os.path.exists(leak)
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == [1]
+
+
+def test_publish_retries_when_vacuum_sweeps_tmp(spark, table, monkeypatch):
+    """A vacuum racing an in-flight _publish (outside the documented
+    contract) sweeps the temp manifest between write and link; the
+    commit must retry under a fresh uuid rather than crash."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+
+    real_link = os.link
+    swept = {"n": 0}
+
+    def racing_link(src, dst):
+        if swept["n"] == 0:
+            swept["n"] += 1
+            os.remove(src)  # the racing vacuum wins once
+        return real_link(src, dst)
+
+    monkeypatch.setattr(snap.os, "link", racing_link)
+    snapshot_append(_df(spark, [1]), table)
+    assert swept["n"] == 1
     assert sorted(
         r["id"] for r in snapshot_read(spark, table).collect()
     ) == [1]
