@@ -14,26 +14,48 @@ DISTINCT-WORD COUNT TABLE (token, n) -- corpus-sublinear, Zipf-bounded
 
 1. ``words``: one map-side explode + combinable groupBy(token) count
    (the only document-sized shuffle in training).
-2. Per merge: adjacent symbol pairs explode from each word's array
-   weighted by word count -> one combinable groupBy(pair) sum -> the
-   argmax pair comes to the driver as ONE row (count desc, pair asc --
-   the deterministic tie-break; a tie broken by partition order would
-   make the learned tokenizer drift run to run). The winning pair is
-   then merged into every word's symbol array MAP-SIDE by a left-fold
-   Catalyst expression (greedy non-overlapping left-to-right, exactly
-   the reference semantics: pair (a,a) on "aaaa" -> [aa, aa], on
-   "aaa" -> [aa, a]).
-3. Lineage is localCheckpoint-bounded every few merges (same posture
-   as operators/graph.connected_components); at cluster scale swap in
-   reliable checkpointing.
+2. The merge loop then runs on one of two engines -- the merge loop is
+   inherently sequential (merge k+1's counts depend on merge k's
+   rewrite), so the scalable design question is WHERE the per-merge
+   work happens, and the answer depends only on the WORD-TABLE size,
+   never the corpus size:
 
-Driver cost per merge: one filter-sized shuffle over the word table +
-one single-row collect -- the documented scalar-read exception. The
-loop is inherently sequential (merge k+1's counts depend on merge k's
-rewrite); what distributes is each iteration's counting and rewriting.
+   - **Driver engine (the default path)**: when the word table fits a
+     row bound (``driver_word_bound``, default 5M rows -- hundreds of
+     MB of (word, n) pairs, trivially driver-resident), collect it
+     ONCE and run the merge loop in-process: a lazy max-heap over pair
+     counts plus incremental count updates touching only the words
+     that contain the winning pair (the reference Sennrich
+     `learn_bpe` index structure). Per merge this is microseconds,
+     not a Spark job -- a 32k-merge production vocab is minutes, where
+     one-job-per-merge would be days of scheduler overhead on any
+     cluster. This is exactly why reference BPE trainers train
+     driver-side on the collected word-count table: the table is
+     Zipf-sublinear (millions of rows at 100 TB), the corpus is not.
+   - **Distributed engine (the over-bound fallback)**: per merge,
+     adjacent symbol pairs explode from each word's array weighted by
+     word count -> one combinable groupBy(pair) sum -> the argmax pair
+     comes to the driver as ONE row (count desc, pair asc -- the
+     deterministic tie-break; a tie broken by partition order would
+     make the learned tokenizer drift run to run). The winning pair is
+     then merged into every word's symbol array MAP-SIDE by a
+     left-fold Catalyst expression (greedy non-overlapping
+     left-to-right, exactly the reference semantics: pair (a,a) on
+     "aaaa" -> [aa, aa], on "aaa" -> [aa, a]). Lineage is
+     localCheckpoint-bounded every few merges (same posture as
+     operators/graph.connected_components); at cluster scale swap in
+     reliable checkpointing.
 
-Scale shape, with a supporting spot measurement (local[32], round 5,
-10 merges, warm, single run each -- the 0.5s delta is inside this
+   Both engines implement identical semantics (same argmax tie-break,
+   same greedy rewrite); a crossover test pins merge-list equality on
+   the same corpus. One documented caveat: ties between pair symbols
+   containing astral-plane characters could order differently (Spark
+   compares UTF-16 code units, Python code points); counts, not
+   spelling, decide real corpora.
+
+Scale shape of the shared first stage and the distributed engine, with
+a supporting spot measurement (local[32], round 5, 10 merges, warm,
+single run each -- the 0.5s delta is inside this
 VM's documented ambient noise band, so read the DIRECTION, not the
 decimals): a synthetic Zipf corpus at 5k docs (833 distinct words)
 trained in ~3.3s and at 50k docs (2,363 distinct words) in ~3.8s --
@@ -98,11 +120,96 @@ def _merge_expr(col: Column, a: str, b: str) -> Column:
     )
 
 
+#: Word tables at or under this many rows train driver-side (the fast
+#: engine); larger tables fall back to the distributed merge loop. 5M
+#: (word, n) rows is hundreds of MB -- far under driver memory, and far
+#: over any real corpus's Zipf-bounded distinct-word count.
+DRIVER_WORD_BOUND = 5_000_000
+
+
+def _train_bpe_driver(
+    word_rows: list[tuple[str, int]], n_merges: int, min_pair_count: int
+) -> list[tuple[str, str]]:
+    """The in-process merge engine: Sennrich's `learn_bpe` with an
+    inverted pair->words index, incremental pair-count updates, and a
+    lazy max-heap for the argmax. Per merge: O(touched words) updates +
+    amortized O(log pairs) selection -- no Spark job. Semantics are
+    bit-for-bit the distributed engine's: argmax tie-break (count desc,
+    pair asc) and greedy left-to-right non-overlapping rewrite."""
+    import heapq
+
+    words: list[list] = [
+        [list(w) + [EOW], int(n)] for w, n in word_rows
+    ]
+    pair_counts: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for idx, (syms, n) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            pair_counts[p] = pair_counts.get(p, 0) + n
+            pair_words.setdefault(p, set()).add(idx)
+    # lazy heap: entries are (-count, a, b) snapshots; an entry is live
+    # iff its count still equals the current count (counts move ->
+    # a fresh entry was pushed, so the true argmax is always present)
+    heap = [(-c, a, b) for (a, b), c in pair_counts.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        best = None
+        while heap:
+            negc, a, b = heap[0]
+            if pair_counts.get((a, b), 0) == -negc:
+                best = (a, b, -negc)
+                break
+            heapq.heappop(heap)  # stale snapshot
+        if best is None or best[2] < min_pair_count:
+            break
+        a, b, _cnt = best
+        merges.append((a, b))
+        merged = a + b
+        touched: set[tuple[str, str]] = set()
+        # the index is a SUPERSET (never pruned on rewrite), so a
+        # member word may no longer contain the pair -- the rewrite
+        # no-ops and we skip it. pop() is safe: the greedy fold leaves
+        # no (a, b) adjacency behind, and merged-symbol spellings can
+        # never re-create one (merged != a because b is non-empty).
+        for idx in sorted(pair_words.pop((a, b), ())):
+            syms, n = words[idx]
+            new: list[str] = []
+            for x in syms:
+                if new and new[-1] == a and x == b:
+                    new[-1] = merged
+                else:
+                    new.append(x)
+            if len(new) == len(syms):
+                continue  # stale index member: pair no longer present
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                c = pair_counts.get(p, 0) - n
+                if c > 0:
+                    pair_counts[p] = c
+                else:
+                    pair_counts.pop(p, None)
+                touched.add(p)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + n
+                pair_words.setdefault(p, set()).add(idx)
+                touched.add(p)
+            words[idx][0] = new
+        for p in touched:
+            c = pair_counts.get(p, 0)
+            if c > 0:
+                heapq.heappush(heap, (-c, p[0], p[1]))
+    return merges
+
+
 def train_bpe(
     docs: DataFrame,
     n_merges: int,
     min_pair_count: int = 2,
     text_col: str = "text",
+    driver_word_bound: int = DRIVER_WORD_BOUND,
 ) -> list[tuple[str, str]]:
     """Learn up to ``n_merges`` BPE merges from the corpus; returns the
     ordered merge list [(left, right), ...] -- the tokenizer model.
@@ -110,11 +217,26 @@ def train_bpe(
     Stops early when the best remaining pair occurs fewer than
     ``min_pair_count`` times (merging noise would memorize the corpus).
     Deterministic: same corpus -> same merges, any partitioning.
+
+    The corpus-sized work (word counting) is always distributed; the
+    merge loop runs driver-side when the distinct-word table has at
+    most ``driver_word_bound`` rows (see module docstring -- this is
+    what makes a 32k-merge vocab reachable), distributed otherwise.
+    Pass ``driver_word_bound=0`` to force the distributed engine.
     """
+    wc = _word_counts(docs, text_col)
+    if driver_word_bound > 0:
+        # bounded count: the limit short-circuits the size probe, so an
+        # over-bound table costs bound+1 rows of counting, not a full
+        # table count
+        n_words = wc.limit(driver_word_bound + 1).count()
+        if n_words <= driver_word_bound:
+            rows = [(r["word"], r["n"]) for r in wc.collect()]
+            return _train_bpe_driver(rows, n_merges, min_pair_count)
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
     )
-    words = _word_counts(docs, text_col).select(
+    words = wc.select(
         F.concat(chars, F.array(F.lit(EOW))).alias("syms"), "n"
     )
     words = words.localCheckpoint(eager=True)

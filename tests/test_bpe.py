@@ -73,10 +73,13 @@ def corpus_rows():
     ]
 
 
-def test_train_bpe_matches_reference(spark, corpus_rows):
+@pytest.mark.parametrize("bound", [0, 5_000_000])
+def test_train_bpe_matches_reference(spark, corpus_rows, bound):
+    """Both merge engines (bound=0 forces distributed; the default
+    trains driver-side) match the independent reference trainer."""
     docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     want = _ref_train([t for _, t in corpus_rows], 12)
-    got = train_bpe(docs, 12)
+    got = train_bpe(docs, 12, driver_word_bound=bound)
     assert got == want, (got, want)
     assert len(got) == 12  # this corpus supports 12 real merges
 
@@ -84,6 +87,39 @@ def test_train_bpe_matches_reference(spark, corpus_rows):
 def test_train_bpe_deterministic_under_partitioning(spark, corpus_rows):
     docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
     assert train_bpe(docs, 6) == train_bpe(docs.repartition(13), 6)
+
+
+def test_train_bpe_engines_agree_at_crossover(spark, sf_dir):
+    """Crossover pin: the driver and distributed engines learn the
+    IDENTICAL merge list on the real fixture corpus (ties included),
+    so the driver_word_bound threshold can never change the model."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fast = train_bpe(docs, 25)
+    slow = train_bpe(docs, 25, driver_word_bound=0)
+    assert fast == slow
+
+
+def test_train_bpe_bound_probe_short_circuits(spark, corpus_rows):
+    """A word table larger than the bound takes the distributed path
+    (here: bound=1 with a multi-word corpus) and still learns the same
+    merges -- the threshold changes the engine, never the answer."""
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    assert train_bpe(docs, 6, driver_word_bound=1) == train_bpe(docs, 6)
+
+
+def test_driver_engine_reaches_real_vocab_sizes(spark, corpus_rows):
+    """The round-5 `weak`: one-Spark-job-per-merge capped practical
+    vocab size. The driver engine must clear a 500-merge ask on a small
+    corpus in interactive time (it exhausts the corpus and stops early
+    exactly where the reference does, with min_pair_count=1 letting it
+    run to full exhaustion)."""
+    want = _ref_train([t for _, t in corpus_rows], 500, min_pair_count=1)
+    docs = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    got = train_bpe(docs, 500, min_pair_count=1)
+    assert got == want
+    assert len(got) < 500  # corpus exhausted -> early stop, like the ref
 
 
 def test_train_bpe_stops_below_min_pair_count(spark):
