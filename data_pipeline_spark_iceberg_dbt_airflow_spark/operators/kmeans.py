@@ -90,7 +90,11 @@ def _dist2(vec: Column, centroid: list[float] | Column) -> Column:
     if isinstance(centroid, Column):
         lit = centroid
     else:
-        lit = F.array(*[F.lit(float(c)) for c in centroid])
+        # one py4j round trip for the whole centroid (a per-element
+        # CreateArray costs D driver round trips per reference)
+        from ..functions.lits import array_lit
+
+        lit = array_lit(centroid)
     return F.aggregate(
         F.zip_with(
             lit, vec, lambda c, x: (x.cast("double") - c) * (x.cast("double") - c)

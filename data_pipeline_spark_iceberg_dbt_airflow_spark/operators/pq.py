@@ -84,15 +84,16 @@ def _codebook_lit(codebooks: Codebooks) -> Column:
     """The full model as ONE nested literal array CB[sub][code][dim]
     (1-based element_at indexing at use sites). K*D doubles total --
     model-sized, the same literal-inlining posture as the kmeans
-    assignment and the LSH plane matrix."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in codebooks[s][c]])
-                    for c in sorted(codebooks[s])
-                ]
-            )
+    assignment and the LSH plane matrix. Built through
+    ``functions.lits.array_lit`` -- one py4j round trip for the whole
+    model; the per-element spelling cost ~M*K*D driver round trips per
+    reference, which (measured, round 6) dominated sim_ann_family's
+    build phase."""
+    from ..functions.lits import array_lit
+
+    return array_lit(
+        [
+            [codebooks[s][c] for c in sorted(codebooks[s])]
             for s in sorted(codebooks)
         ]
     )
@@ -271,14 +272,15 @@ def pq_decode(
     )
 
 
-def _adc_rank(
+def adc_scored(
     codes: DataFrame,
     queries: DataFrame,
     codebooks: Codebooks,
-    top_k: int,
     join_cond,
 ) -> DataFrame:
-    """Shared ADC scoring + ranking for pq_topk / ivfpq_topk.
+    """The un-ranked ADC scoring stage shared by pq_topk / ivfpq_topk
+    (and by sim_ann_family's 'pq' branch, which feeds these rows into
+    its multiplexed family window instead of paying a private one).
 
     ``codes`` carries (id_b, codes [, cell]); ``queries`` carries
     (id_a, q_emb, q_nrm [, q_cell]); ``join_cond`` decides which pairs
@@ -287,10 +289,8 @@ def _adc_rank(
     folded from the same code lookups (disjoint coordinates => norms
     add across subspaces). The corpus side of the broadcast join
     carries codes -- never the vector: at 100 TB the scan streams
-    M-byte rows against the inlined model and the only shuffle is the
-    query-partitioned top-k window."""
-    from pyspark.sql import Window
-
+    M-byte rows against the inlined model; a zero-norm query or
+    reconstruction yields NULL cosine (callers exclude, not rank)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     cb = _codebook_lit(codebooks)
@@ -330,13 +330,27 @@ def _adc_rank(
             lambda a, s: a + sub_nrm2(s),
         )
     )
-    scored = codes.join(F.broadcast(queries), join_cond).select(
+    return codes.join(F.broadcast(queries), join_cond).select(
         "id_a",
         "id_b",
         F.when(
             (F.col("q_nrm") > 0) & (r_nrm > 0), dot / (F.col("q_nrm") * r_nrm)
         ).alias("cosine"),
     )
+
+
+def _adc_rank(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: Codebooks,
+    top_k: int,
+    join_cond,
+) -> DataFrame:
+    """ADC scoring + per-query top-k ranking: the only shuffle is the
+    query-partitioned window over narrow (id, id, double) rows."""
+    from pyspark.sql import Window
+
+    scored = adc_scored(codes, queries, codebooks, join_cond)
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         # a zero-norm query or reconstruction has no defined cosine;

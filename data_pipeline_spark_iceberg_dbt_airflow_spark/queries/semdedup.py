@@ -53,6 +53,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.lits import array_lit
 from ..operators.kmeans import assign_clusters, kmeans_fit
 from .similarity import blocked_cell_pairs, dot, norm
 
@@ -124,7 +125,7 @@ def semdedup(
     cos_cent = F.lit(None).cast("double")
     for cid, c in sorted(centroids.items()):
         cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
-        lit_c = F.array(*[F.lit(float(x)) for x in c])
+        lit_c = array_lit(c)  # one py4j round trip per centroid
         cos_cent = F.when(
             F.col("cluster") == cid,
             dot(F.col("embedding"), lit_c)

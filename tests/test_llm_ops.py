@@ -219,6 +219,37 @@ def test_quantized_rerank_recovers_exact_topk(spark, sf_dir):
     assert bf == q8, f"missed: {bf - q8}, extra: {q8 - bf}"
 
 
+def test_ann_pq_branch_matches_operator(spark, sf_dir):
+    """The family's method='pq' rows are exactly operators/pq.pq_topk
+    over the seed-only codebooks (max_iterations=0) -- the registry
+    branch is a rendering of the operator, not a second implementation."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.pq import (
+        pq_fit,
+        pq_topk,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        PQ_K,
+        PQ_M,
+        QUERY_N,
+        TOP_K,
+    )
+
+    fam = {
+        (r["id_a"], r["id_b"], r["cosine"], r["rank"])
+        for r in _run(spark, sf_dir, "sim_ann_family")
+        .where(F.col("method") == "pq")
+        .collect()
+    }
+    emb = read_table(spark, sf_dir, "embeddings")
+    books = pq_fit(emb, m=PQ_M, k=PQ_K, max_iterations=0)
+    want = {
+        (r["id_a"], r["id_b"], r["cosine"], r["rank"])
+        for r in pq_topk(emb, books, QUERY_N, TOP_K).collect()
+    }
+    assert fam == want and fam
+
+
 def test_quantized_codes_are_int8_range(spark, sf_dir):
     """Symmetric quantization must land every code in [-127, 127]."""
     from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
