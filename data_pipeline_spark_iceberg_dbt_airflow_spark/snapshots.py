@@ -34,10 +34,13 @@ format design (the mechanism Iceberg/Delta themselves use):
 
 Scale shape: manifests are driver-side metadata (KBs; one tiny JSON
 per commit -- the same driver-coordinated commit every table format
-performs); data moves only through executor parquet writes. Listing
-``_snapshots/`` is O(commits); a production deployment compacts old
-manifests exactly as Iceberg does -- out of scope here, noted for the
-record. Not provided (use the real Iceberg runtime in production):
+performs); data moves only through executor parquet writes. Every
+``CHECKPOINT_EVERY`` commits the log folds into a compacted
+checkpoint (Delta's ``_last_checkpoint`` idea), so loads parse ONE
+checkpoint + the manifest tail instead of O(commits) files -- the
+long-lived-CDC-table hot path; vacuum refolds after expiring history
+so a checkpoint can never resurrect an expired snapshot. Not provided
+(use the real Iceberg runtime in production):
 file-level delete vectors, hidden partition transforms, and
 multi-table transactions.
 """
@@ -53,6 +56,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+#: Fold the log into a compacted checkpoint file every this many
+#: commits (Delta's _last_checkpoint idea): loads then parse ONE
+#: checkpoint + the tail of newer manifests instead of every manifest
+#: ever committed -- a long-lived CDC table commits once per
+#: micro-batch, so an O(commits) load would grow linearly with table
+#: age on the hottest path.
+CHECKPOINT_EVERY = 20
+
+
 def _manifest_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_snapshots")
 
@@ -61,24 +73,95 @@ def _manifest_path(table_dir: str, version: int) -> str:
     return os.path.join(_manifest_dir(table_dir), f"v{version:08d}.json")
 
 
+def _checkpoint_path(table_dir: str, version: int) -> str:
+    return os.path.join(_manifest_dir(table_dir), f"c{version:08d}.json")
+
+
+def _norm_dirs(m: dict) -> dict:
+    # Legacy manifests (pre-basename format) stored full or relative
+    # dir PATHS; normalize to basenames on load so reads resolve
+    # correctly and vacuum's liveness set can never
+    # string-compare-miss a live dir and delete it.
+    m["dirs"] = [os.path.basename(d.rstrip("/")) for d in m["dirs"]]
+    return m
+
+
 def _load_manifests(table_dir: str) -> list[dict]:
+    """All manifests, version-ascending, parsing O(tail): the newest
+    readable checkpoint supplies every manifest at or below its
+    version in one JSON parse; only newer v<N>.json files are parsed
+    individually. A torn/corrupt checkpoint falls back to the next
+    older one, then to a full parse -- checkpoints are an index, never
+    the source of truth. (The directory listing itself stays
+    O(commits) names until a vacuum expires history; names are cheap,
+    parses were the cost.)"""
     mdir = _manifest_dir(table_dir)
     if not os.path.isdir(mdir):
         return []
-    out = []
-    for name in sorted(os.listdir(mdir)):
-        if name.startswith("v") and name.endswith(".json"):
-            with open(os.path.join(mdir, name)) as f:
-                m = json.load(f)
-            # Legacy manifests (pre-basename format) stored full or
-            # relative dir PATHS; normalize to basenames on load so
-            # reads resolve correctly and vacuum's liveness set can
-            # never string-compare-miss a live dir and delete it.
-            m["dirs"] = [
-                os.path.basename(d.rstrip("/")) for d in m["dirs"]
-            ]
-            out.append(m)
+    names = os.listdir(mdir)
+    base: list[dict] = []
+    base_version = -1
+    for cname in sorted(
+        (n for n in names if n.startswith("c") and n.endswith(".json")),
+        reverse=True,
+    ):
+        try:
+            with open(os.path.join(mdir, cname)) as f:
+                cp = json.load(f)
+            base = [_norm_dirs(dict(m)) for m in cp["manifests"]]
+            base_version = int(cp["version"])
+            break
+        except (OSError, ValueError, KeyError):
+            base, base_version = [], -1
+    out = list(base)
+    for name in sorted(names):
+        if not (name.startswith("v") and name.endswith(".json")):
+            continue
+        try:
+            file_version = int(name[1:-5])
+        except ValueError:
+            file_version = None  # unexpected spelling: parse and check
+        if file_version is not None and file_version <= base_version:
+            continue  # already folded into the checkpoint
+        with open(os.path.join(mdir, name)) as f:
+            m = json.load(f)
+        if m["version"] <= base_version:
+            continue
+        out.append(_norm_dirs(m))
     return out
+
+
+def _write_checkpoint(table_dir: str, version: int) -> None:
+    """Fold every manifest at or below ``version`` into c<version>.json
+    (atomic tmp + replace; the .tmp- prefix keeps crash leftovers
+    inside the vacuum sweep). Best-effort by contract: the commit that
+    triggered it is already durable, so a failed checkpoint write must
+    never fail the commit -- the next multiple just tries again. Keeps
+    the previous checkpoint as a fallback for a corrupt newest; older
+    ones are swept."""
+    manifests = [
+        m for m in _load_manifests(table_dir) if m["version"] <= version
+    ]
+    mdir = _manifest_dir(table_dir)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    try:
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "manifests": manifests}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, _checkpoint_path(table_dir, version))
+        cpoints = sorted(
+            n
+            for n in os.listdir(mdir)
+            if n.startswith("c") and n.endswith(".json")
+        )
+        for name in cpoints[:-2]:
+            os.remove(os.path.join(mdir, name))
+    except OSError:
+        try:
+            os.remove(tmp)
+        except FileNotFoundError:
+            pass
 
 
 def _live_paths(table_dir: str, manifest: dict) -> list[str]:
@@ -115,6 +198,10 @@ def _publish(table_dir: str, version: int, manifest: dict) -> bool:
             os.fsync(f.fileno())
         try:
             os.link(tmp, _manifest_path(table_dir, version))
+            if version > 0 and version % CHECKPOINT_EVERY == 0:
+                # only the unique winner of version N reaches this, so
+                # c<N>.json has exactly one writer
+                _write_checkpoint(table_dir, version)
             return True
         except FileExistsError:
             return False
@@ -260,8 +347,23 @@ def snapshot_vacuum(
     manifests = _load_manifests(table_dir)
     if keep_versions is not None and len(manifests) > keep_versions:
         for m in manifests[: len(manifests) - keep_versions]:
-            os.remove(_manifest_path(table_dir, m["version"]))
+            try:
+                os.remove(_manifest_path(table_dir, m["version"]))
+            except FileNotFoundError:
+                pass  # folded into a checkpoint; no standalone file
         manifests = manifests[len(manifests) - keep_versions :]
+        # checkpoints FOLD the expired manifests; left in place they
+        # would resurrect them on the next load (and their data dirs
+        # are about to be swept). Rebuild under the vacuum's exclusive
+        # no-commit-in-flight contract: drop every checkpoint, then
+        # re-fold the surviving history.
+        cdir = _manifest_dir(table_dir)
+        if os.path.isdir(cdir):
+            for name in sorted(os.listdir(cdir)):
+                if name.startswith("c") and name.endswith(".json"):
+                    os.remove(os.path.join(cdir, name))
+        _write_checkpoint(table_dir, manifests[-1]["version"])
+        manifests = _load_manifests(table_dir)
     # liveness compares BASENAMES (what manifests store), immune to
     # table_dir spelling differences
     live = {d for m in manifests for d in m["dirs"]}

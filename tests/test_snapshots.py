@@ -462,6 +462,103 @@ def test_real_concurrent_appends_all_land(spark, table):
     assert snapshot_vacuum(table) == []
 
 
+# --- checkpointed log (round 6) --------------------------------------------
+
+
+@pytest.fixture()
+def small_checkpoints(monkeypatch):
+    """Shrink the checkpoint cadence so a dozen commits exercise it."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+
+    monkeypatch.setattr(snap, "CHECKPOINT_EVERY", 5)
+    return 5
+
+
+def test_log_load_parses_o_tail(spark, table, small_checkpoints, monkeypatch):
+    """On a 13-commit table with checkpoints every 5, a load must parse
+    the newest checkpoint plus the tail -- 3 JSON parses, not 13."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+
+    for i in range(13):  # versions 0..12; checkpoints at v5 and v10
+        snapshot_append(_df(spark, [i]), table)
+    names = sorted(os.listdir(os.path.join(table, "_snapshots")))
+    assert [n for n in names if n.startswith("c")] == [
+        "c00000005.json",
+        "c00000010.json",
+    ]
+    real_load = json.load
+    calls = {"n": 0}
+
+    def counting_load(f):
+        calls["n"] += 1
+        return real_load(f)
+
+    monkeypatch.setattr(snap.json, "load", counting_load)
+    manifests = snap._load_manifests(table)
+    assert [m["version"] for m in manifests] == list(range(13))
+    assert calls["n"] == 3, calls  # c10 + v11 + v12
+    monkeypatch.undo()
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == list(
+        range(13)
+    )
+    # time travel through a checkpoint-folded version still works
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=4).collect()
+    ) == [0, 1, 2, 3, 4]
+
+
+def test_corrupt_checkpoint_falls_back(spark, table, small_checkpoints):
+    """A torn/garbage newest checkpoint must degrade to the older one
+    (or a full parse), never brick the table."""
+    for i in range(11):  # checkpoints at v5, v10
+        snapshot_append(_df(spark, [i]), table)
+    with open(os.path.join(table, "_snapshots", "c00000010.json"), "w") as f:
+        f.write('{"version": 10, "manif')  # torn mid-write (impossible
+        # via os.replace; simulates external corruption)
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == list(
+        range(11)
+    )
+    os.remove(os.path.join(table, "_snapshots", "c00000005.json"))
+    with open(os.path.join(table, "_snapshots", "c00000010.json"), "w") as f:
+        f.write("not json at all")
+    # both checkpoints unusable -> full parse of the v-files
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == list(
+        range(11)
+    )
+
+
+def test_vacuum_rebuilds_checkpoints_on_expiry(spark, table, small_checkpoints):
+    """Expiring history must not let a checkpoint resurrect expired
+    manifests: vacuum refolds the surviving history, expired versions
+    are gone from the metadata scan, survivors still time-travel, and
+    the rebuilt log stays O(tail)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    for i in range(9):  # versions 0..8, checkpoint at v5
+        snapshot_append(_df(spark, [i]), table)
+    snapshot_overwrite(_df(spark, list(range(10))), table)  # v9
+    for i in (10, 11):  # v10 (checkpoint), v11
+        snapshot_append(_df(spark, [i]), table)
+    removed = snapshot_vacuum(table, keep_versions=3)
+    assert removed  # the overwrite orphaned the expired appends' dirs
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+
+    manifests = snap._load_manifests(table)
+    assert [m["version"] for m in manifests] == [9, 10, 11]
+    names = sorted(os.listdir(os.path.join(table, "_snapshots")))
+    assert [n for n in names if n.startswith("c")] == ["c00000011.json"]
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=9).collect()
+    ) == list(range(10))
+    assert sorted(r["id"] for r in snapshot_read(spark, table).collect()) == list(
+        range(12)
+    )
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=4)
+
+
 # --- model-based property: op sequences vs a pure-Python model -------------
 
 from hypothesis import HealthCheck, given, settings
@@ -491,7 +588,13 @@ def test_snapshot_sequences_match_model(spark, tmp_path_factory, ops):
     trivial in-memory model predicts -- and every version that
     survives vacuum must time-travel to its modeled historical
     content. Rollback targets are taken modulo the existing history;
-    vacuum(keep) must never change the LATEST content."""
+    vacuum(keep) must never change the LATEST content.
+
+    Runs with CHECKPOINT_EVERY=2 so every example exercises the
+    checkpointed log (fold, tail reads, vacuum rebuild) under random
+    op interleavings; the uncheckpointed path is pinned by the unit
+    tests above."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
     from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
         snapshot_rollback,
         snapshot_vacuum,
@@ -499,6 +602,20 @@ def test_snapshot_sequences_match_model(spark, tmp_path_factory, ops):
     )
 
     table = str(tmp_path_factory.mktemp("prop") / "tbl")
+    old_every = snap.CHECKPOINT_EVERY
+    snap.CHECKPOINT_EVERY = 2
+    try:
+        _run_model_sequence(
+            spark, table, ops, snapshot_rollback, snapshot_vacuum,
+            snapshot_versions,
+        )
+    finally:
+        snap.CHECKPOINT_EVERY = old_every
+
+
+def _run_model_sequence(
+    spark, table, ops, snapshot_rollback, snapshot_vacuum, snapshot_versions
+):
     history: list[list[int]] = []  # version -> content (multiset as sorted list)
     live_versions: list[int] = []
     for op, arg in ops:
@@ -616,6 +733,108 @@ def test_cdc_stream_applies_upserts_and_deletes(spark, tmp_path):
     assert versions2 and min(versions2) > max(versions_late)
     got2 = {r["id"]: r["v"] for r in snapshot_read(spark, table_dir).collect()}
     assert got2 == got_late
+
+
+def test_cdc_tombstone_retention_blocks_stale_resurrection(spark, tmp_path):
+    """The documented hard-delete caveat, closed by retain_tombstones:
+    a delete persists as a flagged row carrying its seq, so an update
+    STALER than the delete that arrives in a later batch loses the
+    cross-batch guard and the key stays gone -- while in hard-delete
+    mode the same sequence resurrects it. read_cdc_table hides the
+    tombstones; a fresher-than-the-delete update still wins."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming.jobs import (
+        apply_cdc_stream,
+        read_cdc_table,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("seq", LongType()),
+            StructField("is_delete", BooleanType()),
+        ]
+    )
+
+    def chg(rows, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    def run(src, table_dir, ckpt, retain):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        return apply_cdc_stream(
+            stream,
+            table_dir,
+            ckpt,
+            "id",
+            "seq",
+            delete_col="is_delete",
+            retain_tombstones=retain,
+        )
+
+    for mode, want in (("hard", {1: "a1", 2: "stale"}), ("tomb", {1: "a1"})):
+        src = tmp_path / f"src_{mode}"
+        src.mkdir()
+        chg([(1, "a1", 1, False), (2, "b1", 2, False)], str(src / "b0"))
+        chg([(2, None, 5, True)], str(src / "b1"))  # delete at seq 5
+        chg([(2, "stale", 3, False)], str(src / "b2"))  # staler than it
+        table_dir = str(tmp_path / f"tbl_{mode}")
+        run(src, table_dir, str(tmp_path / f"ckpt_{mode}"), mode == "tomb")
+        if mode == "hard":
+            got = {
+                r["id"]: r["v"]
+                for r in snapshot_read(spark, table_dir).collect()
+            }
+        else:
+            got = {
+                r["id"]: r["v"]
+                for r in read_cdc_table(
+                    spark, table_dir, delete_col="is_delete"
+                ).collect()
+            }
+            # the tombstone row itself is persisted with its seq
+            raw = {
+                r["id"]: (r["seq"], r["is_delete"])
+                for r in snapshot_read(spark, table_dir).collect()
+            }
+            assert raw[2] == (5, True)
+        assert got == want, (mode, got)
+    # a FRESHER update does resurrect the key in tombstone mode
+    src = tmp_path / "src_tomb"
+    chg([(2, "fresh", 7, False)], str(src / "b3"))
+    run(src, str(tmp_path / "tbl_tomb"), str(tmp_path / "ckpt_tomb"), True)
+    got = {
+        r["id"]: r["v"]
+        for r in read_cdc_table(
+            spark, str(tmp_path / "tbl_tomb"), delete_col="is_delete"
+        ).collect()
+    }
+    assert got == {1: "a1", 2: "fresh"}
+    # misuse guards
+    with pytest.raises(ValueError, match="retain_tombstones requires"):
+        apply_cdc_stream(
+            spark.readStream.schema(schema).parquet(str(src) + "/*"),
+            str(tmp_path / "t2"),
+            str(tmp_path / "c2"),
+            "id",
+            "seq",
+            retain_tombstones=True,
+        )
+    with pytest.raises(ValueError, match="has no 'is_delete'"):
+        read_cdc_table(
+            spark, str(tmp_path / "tbl_hard"), delete_col="is_delete"
+        )
 
 
 def test_cdc_rejects_tables_without_the_seq_column(spark, tmp_path):
