@@ -19,6 +19,7 @@ from .bloom import (  # noqa: F401
 )
 from .graph import MAX_CC_ITERATIONS, connected_components  # noqa: F401
 from .layout import (  # noqa: F401
+    bucketed_sorted_reader,
     compact_parquet,
     write_bucketed,
     write_zordered,

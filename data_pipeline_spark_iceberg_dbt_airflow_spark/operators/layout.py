@@ -42,6 +42,8 @@ dimension at all).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -208,7 +210,15 @@ def write_bucketed(
     order: Spark 3+ dropped that by default because a bucket split
     across files has no global order -- this writer guarantees ONE
     file per bucket (see the repartition note below), which makes
-    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` sound.
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` sound
+    FOR ITS TABLES ONLY. The flag is session-global, and another
+    bucketed table (written elsewhere, multiple files per bucket)
+    read under it would feed SortMergeJoin unsorted input -- wrong
+    results, not a bad plan. Never set it globally: wrap reads of
+    this writer's tables in :func:`bucketed_sorted_reader`, which
+    sets the flag for the enclosed plan BUILDS and restores the prior
+    value on exit. (Exchange-free-only -- keeping the Sort, no flag
+    needed -- is the always-safe default if scoping is impractical.)
 
     Sizing note (100 TB): pick n_buckets so one bucket of the BIGGER
     table fits an executor's memory slice (buckets are the unit of
@@ -224,7 +234,10 @@ def write_bucketed(
         # bucket is a single file). repartition(n, key) uses the same
         # Murmur3-pmod hash as the bucket assignment, so each task
         # holds exactly one bucket's rows and writes exactly one file
-        # -- the join plan then needs neither Exchange NOR Sort.
+        # -- the join plan then needs neither Exchange NOR Sort. The
+        # trade: write parallelism is capped at n_buckets tasks (one
+        # per bucket) -- acceptable because n_buckets is sized to make
+        # buckets executor-memory-sized units of JOIN work anyway.
         df = df.repartition(n_buckets, F.col(key))
     if sort and mode == "append":
         # an append leaves >1 file per bucket: each is sorted, their
@@ -240,3 +253,30 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+
+
+@contextmanager
+def bucketed_sorted_reader(spark):
+    """Scope ``spark.sql.legacy.bucketedTableScan.outputOrdering`` to
+    reads of ``write_bucketed(sort=True)`` tables: sets the flag,
+    yields, and ALWAYS restores the previous value (set or unset), so
+    the session-global knob can never leak onto bucketed tables whose
+    multi-file buckets would be mis-read as sorted.
+
+    The flag matters at plan-BUILD time (the scan's outputOrdering is
+    decided when the DataFrame is analyzed), so build the join inside
+    the block; executing the returned frame later is fine. Like all
+    session confs this is session-scoped, not thread-safe: concurrent
+    plan builds on OTHER threads of the same session during the block
+    would see the flag -- scope it tightly.
+    """
+    key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -226,17 +226,12 @@ def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, tmp_path):
     must match the plain join exactly -- layout changes physics, never
     results."""
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucketed_sorted_reader,
         write_bucketed,
     )
 
+    flag = "spark.sql.legacy.bucketedTableScan.outputOrdering"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # Spark 3+ stopped trusting per-bucket sort order by default (a
-    # bucket split across files has none); with ONE file per bucket
-    # (write_bucketed repartitions to guarantee it) the legacy flag
-    # soundly restores the sort-elision.
-    spark.conf.set(
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
-    )
     try:
         orders = read_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"
@@ -251,8 +246,17 @@ def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, tmp_path):
             "o_orderkey",
             8,
         )
-        bj = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
-        plan = bj._jdf.queryExecution().executedPlan().toString()
+        # Sort-elision rides the SCOPED reader helper -- the session-
+        # global legacy flag must only be live while plans over this
+        # writer's one-file-per-bucket tables are being built.
+        assert spark.conf.get(flag, None) is None
+        with bucketed_sorted_reader(spark):
+            assert spark.conf.get(flag) == "true"
+            bj = spark.table("b_orders").join(
+                spark.table("b_lineitem"), "o_orderkey"
+            )
+            plan = bj._jdf.queryExecution().executedPlan().toString()
+        assert spark.conf.get(flag, None) is None  # restored (was unset)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, plan
         assert "Sort" not in plan.replace("SortMergeJoin", ""), plan
@@ -266,10 +270,19 @@ def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, tmp_path):
         a = sorted(map(tuple, bj.collect()))
         b = sorted(map(tuple, plain.collect()))
         assert a == b and len(a) > 0
+        # a prior explicit value is restored too (not blindly unset)
+        spark.conf.set(flag, "false")
+        with bucketed_sorted_reader(spark):
+            assert spark.conf.get(flag) == "true"
+        assert spark.conf.get(flag) == "false"
+        # and restoration survives an exception inside the block
+        with pytest.raises(RuntimeError):
+            with bucketed_sorted_reader(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.get(flag) == "false"
+        spark.conf.unset(flag)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.unset(
-            "spark.sql.legacy.bucketedTableScan.outputOrdering"
-        )
+        spark.conf.unset(flag)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
