@@ -130,6 +130,13 @@ def _build_parser() -> argparse.ArgumentParser:
     cd.add_argument("--key", required=True)
     cd.add_argument("--seq", required=True)
     cd.add_argument("--delete-col", default=None)
+    cd.add_argument(
+        "--retain-tombstones",
+        action="store_true",
+        help="persist deletes as flagged rows so stale late updates "
+        "cannot resurrect deleted keys (requires --delete-col; read "
+        "through streaming.jobs.read_cdc_table)",
+    )
     return p
 
 
@@ -361,6 +368,7 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
             args.key,
             args.seq,
             delete_col=args.delete_col,
+            retain_tombstones=args.retain_tombstones,
         )
         print(f"committed versions: {versions}")
         return 0

@@ -307,6 +307,7 @@ def apply_cdc_stream(
     key_col: str,
     seq_col: str,
     delete_col: str | None = None,
+    retain_tombstones: bool = False,
 ) -> list[int]:
     """Apply a CHANGE stream (upserts + deletes) to a snapshot table:
     each micro-batch collapses to its LATEST change per key, drops
@@ -325,10 +326,17 @@ def apply_cdc_stream(
     collapse orders by seq desc, then delete-flag desc (a same-seq
     insert+delete pair converges on "gone"), then a hash of the whole
     row as a deterministic final tiebreak -- replays pick the same
-    winner. Tombstone caveat (standard CDC mirror trade-off): a delete
-    removes the row AND its seq, so a staler-than-the-delete update
-    arriving later reinserts the key; keep tombstone rows (delete_col
-    persisted, filtered at read) where that matters.
+    winner. Tombstone trade-off (standard for CDC mirrors): with
+    ``retain_tombstones=False`` a delete removes the row AND its seq,
+    so a staler-than-the-delete update arriving later reinserts the
+    key. Where that matters, pass ``retain_tombstones=True`` (requires
+    ``delete_col``): deletes then PERSIST as flagged tombstone rows
+    carrying their seq, the cross-batch guard applies to them like any
+    row (the stale update loses against the tombstone's seq and the
+    key stays gone), and reads go through :func:`read_cdc_table`,
+    which filters tombstones out. The cost is the standard one:
+    deleted keys occupy a row until a compaction drops tombstones
+    older than the maximum expected change lateness.
 
     The first batch against an empty table bootstraps it -- detected
     by PUBLISHED MANIFESTS (snapshot_exists), not the _snapshots
@@ -358,11 +366,26 @@ def apply_cdc_stream(
         snapshot_read,
     )
 
+    if retain_tombstones and delete_col is None:
+        raise ValueError(
+            "retain_tombstones requires delete_col: a tombstone IS the "
+            "persisted delete flag"
+        )
+
     versions: list[int] = []
 
     def _sink(batch: DataFrame, _batch_id: int) -> None:
         if batch.isEmpty():
             return
+        if retain_tombstones:
+            # tombstone merges bypass snapshot_merge's delete_col
+            # validation (deletes are plain upserts there), so mirror
+            # its boolean check: a lossy cast would corrupt the flag
+            dtype = batch.schema[delete_col].dataType.simpleString()
+            if dtype != "boolean":
+                raise TypeError(
+                    f"delete_col {delete_col} must be boolean, got {dtype}"
+                )
         order = [F.desc(seq_col)]
         if delete_col is not None:
             order.append(F.desc(delete_col))
@@ -418,7 +441,7 @@ def apply_cdc_stream(
                 return
             if not bootstrapped:
                 first = latest
-                if delete_col is not None:
+                if delete_col is not None and not retain_tombstones:
                     first = latest.where(
                         ~F.coalesce(F.col(delete_col), F.lit(False))
                     ).drop(delete_col)
@@ -427,7 +450,13 @@ def apply_cdc_stream(
                 return
             versions.append(
                 snapshot_merge(
-                    latest, table_dir, key_col, delete_col=delete_col
+                    latest,
+                    table_dir,
+                    key_col,
+                    # tombstone mode: a delete is an ordinary upsert of
+                    # the flagged row -- it keeps its seq, so the
+                    # cross-batch guard covers deletes too
+                    delete_col=None if retain_tombstones else delete_col,
                 )
             )
         finally:
@@ -435,3 +464,26 @@ def apply_cdc_stream(
 
     _run_foreach_batch(stream_df, checkpoint_dir, _sink)
     return versions
+
+
+def read_cdc_table(
+    spark: SparkSession, table_dir: str, delete_col: str | None = None
+) -> DataFrame:
+    """Read a CDC-mirrored snapshot table. For a table maintained with
+    ``apply_cdc_stream(..., retain_tombstones=True)``, pass the same
+    ``delete_col``: tombstone rows (flag true) are filtered out, so the
+    read surface equals the hard-delete mode's while the persisted seq
+    keeps late stale updates from resurrecting deleted keys. Raises if
+    the column is absent -- silently skipping the filter would leak
+    tombstones into downstream counts."""
+    from ..snapshots import snapshot_read
+
+    df = snapshot_read(spark, table_dir)
+    if delete_col is not None:
+        if delete_col not in df.columns:
+            raise ValueError(
+                f"table at {table_dir} has no '{delete_col}' column: it "
+                "was not built with retain_tombstones=True"
+            )
+        df = df.where(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return df
