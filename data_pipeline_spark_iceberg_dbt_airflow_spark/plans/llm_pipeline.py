@@ -18,9 +18,13 @@ training-data build actually has:
                            boilerplate lines (strip_boilerplate)
                   └── span_deduped = cleaned minus repeated token spans,
                            first occurrence kept (mask_repeated_spans)
-                        ├── chunks = overlapping context windows
-                        └── packed = chunks binned into char budgets
-                                     per lang
+                        └── sem_deduped = span_deduped minus semantic
+                                 duplicates: model-free hash_embed
+                                 vectors through semdedup, one survivor
+                                 per semantic component
+                              ├── chunks = overlapping context windows
+                              └── packed = chunks binned into char
+                                           budgets per lang
 
 Every stage is the registry operator (or its formula) -- this module adds
 no new semantics, only the dbt-style composition: each model is a
@@ -90,8 +94,16 @@ def lm_tail_cutoffs(doc_lm: DataFrame) -> DataFrame:
 
 
 def build_llm_curation_pipeline(
-    spark: SparkSession, sf_dir: str, config: RunConfig | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    config: RunConfig | None = None,
+    sem_k: int | None = None,
+    sem_eps: float | None = None,
 ) -> PipelineRunner:
+    """``sem_k``/``sem_eps`` tune the semantic-dedup stage (defaults =
+    semdedup's test-scale defaults). Size sem_k ~ N/250: the in-cell
+    pair space is k * (N/k)^2, so too few cells at a large N is the
+    one way this DAG can go quadratic."""
     runner = PipelineRunner(config or RunConfig(retries=1, schedule=None))
 
     runner.add(
@@ -211,6 +223,59 @@ def build_llm_curation_pipeline(
 
     runner.add(Model("span_deduped", span_deduped, refs=("cleaned",)))
 
+    def sem_deduped(sd: DataFrame) -> DataFrame:
+        # The dedup ladder's last rung: exact (canonical clusters) ->
+        # line (boilerplate) -> span (keep-first mask) -> SEMANTIC.
+        # Model-free rendering: hash_embed lexical vectors feed
+        # semdedup (k-means cells x blocked in-cell pairs, one survivor
+        # per component). Docs the embedding cannot place -- empty
+        # after the upstream rewrites, or the rare sign-cancelled
+        # zero vector (a zero norm makes cosine 0/0 = NaN, and Spark's
+        # NaN >= t is TRUE: one such vector would weld to everything)
+        # -- pass through kept; chunking drops empties anyway. A corpus
+        # smaller than the k-means cell count has nothing to dedup at
+        # this granularity and passes through unchanged.
+        from ..operators.kmeans import CorpusTooSmallError
+        from ..queries.semdedup import DEFAULT_EPS, DEFAULT_K, semdedup
+        from ..queries.text import hash_embed
+
+        k = DEFAULT_K if sem_k is None else sem_k
+        eps = DEFAULT_EPS if sem_eps is None else sem_eps
+
+        nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
+        emb = (
+            hash_embed(
+                sd.where(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
+                    "doc_id", "text"
+                )
+            )
+            .where(nonzero)
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+        )
+        # TRUNCATE lineage at the stage boundary: semdedup's k-means
+        # fit runs ~2 actions per Lloyd round, and without the
+        # checkpoint every one of them would re-execute the whole
+        # upstream DAG (span dedup, boilerplate strip, quality, LM --
+        # measured: minutes per action at test scale). The checkpointed
+        # frame is (doc_id, 64 floats) -- tiny; this is exactly the
+        # materialize-at-the-model-boundary posture the module
+        # docstring prescribes for 100 TB, applied to the one stage
+        # whose operator is iterative.
+        emb = emb.localCheckpoint(eager=True)
+        try:
+            verdicts = semdedup(emb, k=k, eps=eps)
+        except CorpusTooSmallError:
+            return sd
+        # ONE pass over the input: anti-join against the dropped ids
+        # (embedded docs with keep=false); not-embedded docs are absent
+        # from the drop set and pass through kept by construction
+        drops = verdicts.where(~F.col("keep")).select(
+            F.col("vec_id").alias("doc_id")
+        )
+        return sd.join(drops, "doc_id", "left_anti")
+
+    runner.add(Model("sem_deduped", sem_deduped, refs=("span_deduped",)))
+
     def chunks(cur: DataFrame) -> DataFrame:
         n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
         return (
@@ -233,7 +298,7 @@ def build_llm_curation_pipeline(
             )
         )
 
-    runner.add(Model("chunks", chunks, refs=("span_deduped",)))
+    runner.add(Model("chunks", chunks, refs=("sem_deduped",)))
 
     def packed(ch: DataFrame) -> DataFrame:
         sized = ch.select(
@@ -258,7 +323,18 @@ def build_llm_curation_pipeline(
 
 
 def run_llm_curation(
-    spark: SparkSession, sf_dir: str, targets: list[str] | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    targets: list[str] | None = None,
+    materialize: bool = False,
+    sem_k: int | None = None,
+    sem_eps: float | None = None,
 ) -> dict[str, DataFrame]:
-    """Build and execute the curation DAG; returns every stage by name."""
-    return build_llm_curation_pipeline(spark, sf_dir).run(targets)
+    """Build and execute the curation DAG; returns every stage by name.
+    ``materialize=True`` checkpoints each stage (see PipelineRunner.run)
+    -- recommended when reading several stages' outputs, since stages
+    downstream of the iterative sem_deduped otherwise re-run it per
+    action."""
+    return build_llm_curation_pipeline(
+        spark, sf_dir, sem_k=sem_k, sem_eps=sem_eps
+    ).run(targets, materialize=materialize)

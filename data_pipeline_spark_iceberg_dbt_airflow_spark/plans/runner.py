@@ -97,13 +97,24 @@ class PipelineRunner:
         self,
         targets: list[str] | None = None,
         seeds: dict[str, DataFrame] | None = None,
+        materialize: bool = False,
     ) -> dict[str, DataFrame]:
         """Execute ``targets`` (default: all) and their upstream refs.
 
         ``seeds`` pre-populates source models (the ingestion output), the
         analog of the extract task feeding dbt (bitcoin_pipeline_dag.py:44).
         Returns every materialized model by name.
-        """
+
+        ``materialize=True`` is dbt's TABLE materialization analog:
+        each model's output is eagerly localCheckpoint-ed, so every
+        stage computes exactly once however many downstream models (or
+        caller actions) read it. Without it models hand lazy lineage
+        downstream (dbt's ephemeral/view analog) -- the right default
+        for single-consumer chains, but a DAG whose stages are read
+        repeatedly (or contain iterative operators) re-executes its
+        whole upstream per action. At cluster scale swap the
+        checkpoint for real table writes (``incremental_append``
+        targets) -- same boundary, durable storage."""
         results: dict[str, DataFrame] = dict(seeds or {})
         names = targets if targets is not None else list(self._models)
         todo = [t for t in names if t not in results]
@@ -111,7 +122,10 @@ class PipelineRunner:
             if n in results:
                 continue
             m = self._models[n]
-            results[n] = self._attempt(m, [results[r] for r in m.refs])
+            out = self._attempt(m, [results[r] for r in m.refs])
+            if materialize:
+                out = out.localCheckpoint(eager=True)
+            results[n] = out
         return results
 
     def manifest(

@@ -304,7 +304,7 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         PACK_BUDGET,
     )
 
-    out = run_llm_curation(spark, sf_dir)
+    out = run_llm_curation(spark, sf_dir, materialize=True)
     raw_n = out["raw_documents"].count()
     cur = out["curated"]
     cur_n = cur.count()
@@ -378,10 +378,43 @@ def test_llm_curation_pipeline_stage_invariants(spark, sf_dir):
         .count()
     )
     assert sd_grew == 0
-    # chunking: every span-deduped doc with text emits ceil-based count
+    # semantic dedup: a SUBSET of span_deduped (never grows, never
+    # invents docs), and its verdicts compose correctly -- every
+    # semantic component in the embedded corpus has exactly its one
+    # keeper in the output and its drops absent
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
+        semdedup,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    smd = out["sem_deduped"]
+    smd_n = smd.count()
+    assert 0 < smd_n <= cur_n
+    assert (
+        smd.join(sd.select("doc_id"), "doc_id", "left_anti").count() == 0
+    )
+    emb = (
+        hash_embed(
+            sd.where(F.col("n_chars") > 0).select("doc_id", "text")
+        )
+        .where(F.exists(F.col("embedding"), lambda x: x != 0))
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        # truncate lineage: the k-means fit inside semdedup would
+        # otherwise re-run the whole curation chain per Lloyd action
+        .localCheckpoint(eager=True)
+    )
+    verdicts = semdedup(emb).select(
+        F.col("vec_id").alias("doc_id"), "component", "keep"
+    )
+    kept_ids = {r["doc_id"] for r in smd.select("doc_id").collect()}
+    for r in verdicts.collect():
+        assert (r["doc_id"] in kept_ids) == bool(r["keep"]), r
+    # chunking: every sem-deduped doc with text emits ceil-based count
     chunks = out["chunks"]
     per_doc = chunks.groupBy("doc_id").count()
-    expect = sd.where(F.col("n_chars") > 0).select(
+    expect = smd.where(F.col("n_chars") > 0).select(
         "doc_id",
         (F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE) + 1).alias("want"),
     )
