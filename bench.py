@@ -118,6 +118,11 @@ def main() -> None:
             }
         )
     )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        release_normed_corpus,
+    )
+
+    release_normed_corpus(spark)
     spark.stop()
 
 

@@ -133,6 +133,19 @@ def session_token(spark: SparkSession) -> str:
 def _purge_scan_cache(tok: str) -> None:
     for k in [k for k in _SCAN_CACHE if k[0] == tok]:
         del _SCAN_CACHE[k]
+    for fn in _CACHE_PURGERS:
+        fn(tok)
+
+
+#: Modules with their own session-token-keyed caches (e.g. the
+#: similarity normed-corpus pin) register a ``callable(tok)`` here; it
+#: runs from the same finalizer as the scan-cache purge, so no module
+#: cache can outlive the session wrapper that keyed it.
+_CACHE_PURGERS: list = []
+
+
+def register_cache_purger(fn) -> None:
+    _CACHE_PURGERS.append(fn)
 
 
 #: (session token, path) -> scan DataFrame. The testdata tables are

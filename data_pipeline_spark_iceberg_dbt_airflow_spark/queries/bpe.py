@@ -226,12 +226,12 @@ def train_bpe(
     """
     wc = _word_counts(docs, text_col)
     if driver_word_bound > 0:
-        # bounded count: the limit short-circuits the size probe, so an
-        # over-bound table costs bound+1 rows of counting, not a full
-        # table count
-        n_words = wc.limit(driver_word_bound + 1).count()
-        if n_words <= driver_word_bound:
-            rows = [(r["word"], r["n"]) for r in wc.collect()]
+        # one action, not two: collecting bound+1 rows both answers the
+        # size probe and, when under-bound, IS the word table -- the
+        # old count()-then-collect() ran the word-count shuffle twice
+        probe = wc.limit(driver_word_bound + 1).collect()
+        if len(probe) <= driver_word_bound:
+            rows = [(r["word"], r["n"]) for r in probe]
             return _train_bpe_driver(rows, n_merges, min_pair_count)
     chars = F.expr(
         "transform(sequence(1, length(word)), i -> substring(word, i, 1))"

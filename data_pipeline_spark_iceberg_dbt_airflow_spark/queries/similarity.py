@@ -53,7 +53,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.lits import array_lit
-from ..io import read_table, session_token, widen_for_compute
+from ..io import (
+    read_table,
+    register_cache_purger,
+    session_token,
+    widen_for_compute,
+)
 from .registry import register
 
 #: Query batch: the first QUERY_N vectors by vec_id.
@@ -173,6 +178,24 @@ def release_normed_corpus(spark: SparkSession | None = None) -> None:
     for key in list(_NORMED_CACHE):
         if tok is None or key[0] == tok:
             _NORMED_CACHE.pop(key).unpersist()
+
+
+def _purge_normed(tok: str) -> None:
+    """Finalizer-driven eviction (registered with io's purger list):
+    when a session wrapper is garbage-collected its normed-corpus pins
+    are dropped, so a long-lived process cycling sessions cannot
+    accumulate dead-session DataFrames. unpersist is attempted (frees
+    executor storage if the JVM session is still live) but swallowed if
+    the context is already stopped -- the drop is the contract."""
+    for key in [k for k in _NORMED_CACHE if k[0] == tok]:
+        df = _NORMED_CACHE.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+
+
+register_cache_purger(_purge_normed)
 
 
 def _topk(scored: DataFrame) -> DataFrame:

@@ -157,7 +157,11 @@ def _write_checkpoint(table_dir: str, version: int) -> None:
         )
         for name in cpoints[:-2]:
             os.remove(os.path.join(mdir, name))
-    except OSError:
+    except (OSError, ValueError, KeyError):
+        # ValueError/KeyError: _load_manifests hit a corrupt or
+        # schema-less v-file while folding -- the triggering commit is
+        # already durably linked, so checkpointing must swallow it too
+        # (the checkpoint is an index, never the source of truth)
         try:
             os.remove(tmp)
         except FileNotFoundError:

@@ -17,6 +17,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     s = get_spark_session("engine-tests", driver_memory="8g")
     yield s
+    # unpin module-level persisted caches before the session goes away
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        release_normed_corpus,
+    )
+
+    release_normed_corpus(s)
 
 
 @pytest.fixture(scope="session")

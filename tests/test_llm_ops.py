@@ -1395,3 +1395,43 @@ def test_containment_on_fixture_corpus(spark, sf_dir):
         assert abs(r["containment"] - cont) < 1e-12
         assert r["containment"] >= 0.9
         assert r["contained_doc"] in (r["doc_a"], r["doc_b"])
+
+
+def test_normed_cache_evicts_on_wrapper_finalize(spark, sf_dir):
+    """The similarity normed-corpus pin must not outlive its session:
+    io's finalizer purges it when the wrapper keyed to a token is
+    garbage-collected, and release_normed_corpus clears live entries."""
+    import gc
+    import weakref
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark import io as io_mod
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        similarity as sim,
+    )
+
+    # live-session path: populate, then release explicitly
+    sim._normed(spark, sf_dir)
+    live_tok = io_mod.session_token(spark)
+    assert any(k[0] == live_tok for k in sim._NORMED_CACHE)
+    sim.release_normed_corpus(spark)
+    assert not any(k[0] == live_tok for k in sim._NORMED_CACHE)
+
+    # dead-wrapper path: a fake entry keyed by a synthetic token is
+    # dropped when the finalizer fires (exactly what session_token
+    # registers for real wrappers); unpersist failures are swallowed
+    class _Dead:
+        pass
+
+    class _Stub:  # stands in for a persisted DataFrame of a dead session
+        def unpersist(self):
+            raise RuntimeError("context stopped")
+
+    tok = "app-dead:0"
+    sim._NORMED_CACHE[(tok, "/nowhere")] = _Stub()
+    holder = _Dead()
+    weakref.finalize(holder, io_mod._purge_scan_cache, tok)
+    del holder
+    gc.collect()
+    assert (tok, "/nowhere") not in sim._NORMED_CACHE
+    # live session untouched by the dead token's purge
+    assert sim._normed(spark, sf_dir) is sim._normed(spark, sf_dir)
