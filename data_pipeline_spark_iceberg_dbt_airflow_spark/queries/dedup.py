@@ -613,6 +613,87 @@ def dedup_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: are shallow (diameter ~ 2-3), so hitting this would indicate a bug.
 MAX_CC_ITERATIONS = 20  # passed to operators/graph.connected_components
 
+#: Seed-only SemDeDup rendering for the driver oracle (method='semantic'
+#: below): k-means with max_iterations=0 makes the cells the k md5-ranked
+#: seed vectors -- deterministic SQL-expressible arithmetic end to end
+#: (assignment argmin, centroid cosine, blocked pairs, components, keeper
+#: argmin), the same trick that hash-oracled the kseed and PQ branches.
+#: eps=0.6 (pair threshold 0.4, the family's PAIR_THRESHOLD regime) is
+#: deliberately looser than the production default (semdedup.DEFAULT_EPS
+#: = 0.03): the synthetic embeddings carry no true paraphrase pairs at
+#: 0.97 cosine, and an edgeless oracle would pin nothing.
+SEM_ORACLE_K = 4
+SEM_ORACLE_EPS = 0.6
+
+
+def _oracle_semantic_ctes() -> str:
+    """DuckDB CTEs mirroring semdedup(k=SEM_ORACLE_K, eps=SEM_ORACLE_EPS,
+    max_iterations=0) over the embeddings table. Norm/dot parity with the
+    JVM fold and the driver-side Python seed norms is bitwise (verified:
+    list_sum is the same strict left-to-right float64 fold)."""
+    from .similarity import EMB_DIM, _o_dot, _o_norm, _o_sqdist
+
+    threshold = 1.0 - SEM_ORACLE_EPS  # same float both engines
+    return f"""
+        svalid AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                     AND len(embedding) = {EMB_DIM}
+                     AND len(list_filter(embedding,
+                             x -> isnan(CAST(x AS DOUBLE)))) = 0),
+        sseeds AS (SELECT cid, cent FROM (
+                     SELECT ROW_NUMBER() OVER (
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) - 1 AS cid,
+                            embedding AS cent
+                     FROM svalid)
+                   WHERE cid < {SEM_ORACLE_K}),
+        sassign AS (SELECT vec_id, cid, cos FROM (
+                      SELECT e.vec_id, s.cid,
+                             {_o_dot("e.embedding", "s.cent")}
+                               / ({_o_norm("e.embedding")}
+                                  * {_o_norm("s.cent")}) AS cos,
+                             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                 ORDER BY {_o_sqdist("e.embedding", "s.cent")},
+                                          s.cid) AS rn
+                      FROM svalid e CROSS JOIN sseeds s)
+                    WHERE rn = 1),
+        sedge AS (SELECT a.vec_id AS ea, b.vec_id AS eb
+                  FROM sassign a
+                  JOIN sassign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+                  JOIN svalid va ON va.vec_id = a.vec_id
+                  JOIN svalid vb ON vb.vec_id = b.vec_id
+                  WHERE {_o_dot("va.embedding", "vb.embedding")}
+                          / ({_o_norm("va.embedding")}
+                             * {_o_norm("vb.embedding")}) >= {threshold}),
+        sboth AS (SELECT ea AS a, eb AS b FROM sedge
+                  UNION ALL
+                  SELECT eb AS a, ea AS b FROM sedge),
+        sreach AS (
+            SELECT a AS vec_id, a AS r FROM sboth
+            UNION
+            SELECT sreach.vec_id, e.b AS r
+            FROM sreach JOIN sboth e ON sreach.r = e.a),
+        scomp AS (SELECT vec_id, MIN(r) AS component
+                  FROM sreach GROUP BY vec_id),
+        srep AS (SELECT component, vec_id AS rep FROM (
+                   SELECT c.component, c.vec_id,
+                          ROW_NUMBER() OVER (PARTITION BY c.component
+                              ORDER BY a.cos, c.vec_id) AS rn
+                   FROM scomp c JOIN sassign a USING (vec_id))
+                 WHERE rn = 1),
+        slab AS (SELECT e.vec_id AS doc_id,
+                        COALESCE(c.component, e.vec_id) AS cluster_id,
+                        a.cos AS score,
+                        CAST(CASE WHEN c.component IS NULL THEN 1
+                                  WHEN r.rep = e.vec_id THEN 1
+                                  ELSE 0 END AS INT) AS is_canonical
+                 FROM embeddings e
+                 LEFT JOIN sassign a ON a.vec_id = e.vec_id
+                 LEFT JOIN scomp c ON c.vec_id = e.vec_id
+                 LEFT JOIN srep r ON r.component = c.component),
+        ssz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+                FROM slab GROUP BY cluster_id)"""
+
 
 @register(
     "dedup_cluster_components",
@@ -634,30 +715,46 @@ MAX_CC_ITERATIONS = 20  # passed to operators/graph.connected_components
             SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
             FROM documents d LEFT JOIN comp c USING (doc_id)),
         sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
-               FROM lab GROUP BY cluster_id)
-        SELECT l.doc_id, l.cluster_id, s.cluster_size,
-               CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical
+               FROM lab GROUP BY cluster_id),
+        {_oracle_semantic_ctes()}
+        SELECT 'ngram' AS method, l.doc_id, l.cluster_id, s.cluster_size,
+               CAST(l.doc_id = l.cluster_id AS INT) AS is_canonical,
+               CAST(NULL AS DOUBLE) AS score
         FROM lab l JOIN sz s USING (cluster_id)
+        UNION ALL
+        SELECT 'semantic' AS method, l.doc_id, l.cluster_id, s.cluster_size,
+               l.is_canonical, l.score
+        FROM slab l JOIN ssz s USING (cluster_id)
+        WHERE (SELECT count(*) FROM sseeds) = {SEM_ORACLE_K}
     """,
     doc="Duplicate-cluster assignment: connected components over the "
-    "verified near-dup pair graph (edges = ngram-Jaccard pairs >= 0.5 "
-    "from the shared shingle index), so transitively-linked documents "
+    "verified near-dup pair graph, two edge sources under one schema. "
+    "method='ngram': edges = ngram-Jaccard pairs >= 0.5 from the shared "
+    "shingle index over documents, so transitively-linked documents "
     "collapse into one cluster keyed by the minimum doc_id -- the step "
     "after pair mining in a dedup pipeline (A~B and B~C must yield ONE "
-    "survivor even when A~C was never scored). Spark side is iterative "
-    "min-label propagation: per round, each node takes the min of its "
-    "label and its neighbors' labels (one equi-join + one combinable "
-    "groupBy per round), run to CONVERGENCE with a driver-side scalar "
-    "change-count per round (the legitimate collect: one number per "
-    "iteration, never rows). localCheckpoint truncates lineage each round "
-    "so the plan stays O(1) deep; rounds ~ graph diameter, and near-dup "
-    "components are shallow. The iteration set holds ONLY nodes incident "
-    "to an edge -- singleton docs (the overwhelming mass at 100 TB) never "
-    "enter the loop and are labeled by one final left join. Oracle is the "
-    "same fixpoint via DuckDB's recursive CTE (transitive closure, then "
-    "MIN over the reach set). Fully value-hashed -- the iterative path "
-    "does not get a weaker rows-only check.",
-    tags=("dedup", "llm-data", "iterative"),
+    "survivor even when A~C was never scored). method='semantic' (round "
+    "7): the full SemDeDup operator (queries/semdedup.py, Abbas et al. "
+    "2023) over the embeddings table under its seed-only rendering -- "
+    "k-means cells = the 4 md5-ranked seeds (max_iterations=0), blocked "
+    "within-cell pairs at cosine >= 0.4, components, and the keeper "
+    "argmin (LOWEST centroid cosine, ties to smallest id; score = that "
+    "centroid cosine, hash-pinning the literal-inlined CASE arithmetic). "
+    "Spark side is iterative min-label propagation shared by both "
+    "branches (operators/graph.py): per round, each node takes the min "
+    "of its label and its neighbors' labels (one equi-join + one "
+    "combinable groupBy per round), run to CONVERGENCE with a driver-side "
+    "scalar change-count per round (the legitimate collect: one number "
+    "per iteration, never rows). localCheckpoint truncates lineage each "
+    "round so the plan stays O(1) deep; rounds ~ graph diameter, and "
+    "near-dup components are shallow. The iteration set holds ONLY nodes "
+    "incident to an edge -- singleton docs (the overwhelming mass at "
+    "100 TB) never enter the loop and are labeled by one final left "
+    "join. Oracle is the same fixpoint via DuckDB's recursive CTE "
+    "(transitive closure, then MIN over the reach set), one recursive "
+    "closure per branch. Fully value-hashed -- neither iterative path "
+    "gets a weaker rows-only check.",
+    tags=("dedup", "llm-data", "iterative", "semantic"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The propagation loop lives in operators/graph.py (extracted round 4
@@ -666,6 +763,8 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # failure are unchanged. Measured at a 50k-doc/500k-edge dup-heavy
     # stress corpus: ~1s per round, 3 rounds to converge; edge
     # materialization dominates end-to-end cost.
+    from .semdedup import semdedup
+
     sh = shingled_docs(spark, sf_dir)
     labels = connected_components(
         _pair_jaccard(sh).select("doc_a", "doc_b"),
@@ -678,12 +777,51 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return lab.join(sizes, "cluster_id").select(
+    ngram_rows = lab.join(sizes, "cluster_id").select(
+        F.lit("ngram").alias("method"),
         "doc_id",
         "cluster_id",
         "cluster_size",
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+        (F.col("doc_id") == F.col("cluster_id"))
+        .cast("int")
+        .alias("is_canonical"),
+        F.lit(None).cast("double").alias("score"),
     )
+    # semantic branch: the REAL semdedup operator (centroid fit, blocked
+    # pair mining, components, keeper argmin) under its seed-only fit.
+    # A corpus with fewer than k valid vectors (or none at all) has no
+    # cells to block the pair search -- the branch contributes ZERO rows,
+    # the same seed-count gate the PQ rendering uses, mirrored in the
+    # oracle's `(SELECT count(*) FROM sseeds) = k` predicate.
+    # CorpusTooSmallError subclasses ValueError; the bare ValueError is
+    # kmeans_fit's empty-vector-column probe.
+    try:
+        sem = semdedup(
+            read_table(spark, sf_dir, "embeddings"),
+            k=SEM_ORACLE_K,
+            eps=SEM_ORACLE_EPS,
+            max_iterations=0,
+        )
+    except ValueError:
+        return ngram_rows
+    sem_lab = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.coalesce("component", "vec_id").alias("cluster_id"),
+        F.col("keep").cast("int").alias("is_canonical"),
+        F.col("cos_centroid").alias("score"),
+    )
+    sem_sizes = sem_lab.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    sem_rows = sem_lab.join(sem_sizes, "cluster_id").select(
+        F.lit("semantic").alias("method"),
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        "is_canonical",
+        "score",
+    )
+    return ngram_rows.unionByName(sem_rows)
 
 
 @register(

@@ -76,6 +76,7 @@ def semdedup(
     eps: float = DEFAULT_EPS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_iterations: int | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -86,6 +87,14 @@ def semdedup(
     member with the LOWEST cosine to its cluster centroid (ties break
     to the smallest id, making the survivor a deterministic function of
     the input set).
+
+    ``max_iterations`` forwards to ``kmeans_fit``; ``max_iterations=0``
+    is the seed-only fit (cells = the k md5-ranked seed vectors) --
+    every downstream step is then deterministic SQL-expressible
+    arithmetic, which is what lets the driver oracle hash-pin this
+    operator (same trick as the kseed and PQ renderings). Lloyd
+    refinement (the default) tightens the cells but is iterative, so
+    that path is pinned by pytest instead.
     """
     # NaN components are the third invalid class next to NULL and
     # wrong-dim: they would crash the decimal k-means sums and -- via
@@ -97,8 +106,11 @@ def semdedup(
     fit_input = emb.where(
         F.col(vec_col).isNotNull() & ~has_nan
     )
+    fit_kwargs = (
+        {} if max_iterations is None else {"max_iterations": max_iterations}
+    )
     centroids = kmeans_fit(
-        fit_input, k, id_col=id_col, vec_col=vec_col
+        fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
     )
     dim = len(next(iter(centroids.values())))
     v = F.col(vec_col)
