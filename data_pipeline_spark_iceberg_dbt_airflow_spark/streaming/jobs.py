@@ -336,7 +336,8 @@ def apply_cdc_stream(
     key stays gone), and reads go through :func:`read_cdc_table`,
     which filters tombstones out. The cost is the standard one:
     deleted keys occupy a row until a compaction drops tombstones
-    older than the maximum expected change lateness.
+    older than the maximum expected change lateness
+    (:func:`compact_tombstones`).
 
     The first batch against an empty table bootstraps it -- detected
     by PUBLISHED MANIFESTS (snapshot_exists), not the _snapshots
@@ -464,6 +465,62 @@ def apply_cdc_stream(
 
     _run_foreach_batch(stream_df, checkpoint_dir, _sink)
     return versions
+
+
+def compact_tombstones(
+    spark: SparkSession,
+    table_dir: str,
+    seq_col: str,
+    delete_col: str,
+    older_than_seq,
+) -> int | None:
+    """Drop aged tombstones from a ``retain_tombstones=True`` CDC
+    mirror: commits ONE new snapshot without the rows where
+    ``delete_col`` is true AND ``seq_col`` < ``older_than_seq``.
+    Returns the committed version, or None when no tombstone qualified
+    (no empty commit -- the table is untouched).
+
+    This is the compaction the tombstone trade documents: deleted keys
+    occupy a row until their tombstone outlives the maximum expected
+    change lateness. The CONTRACT BOUNDARY moves with it -- a stale
+    update for a compacted key arriving later has no persisted seq to
+    lose against, so it reinserts the key (exactly the hard-delete
+    mode's behavior). Size ``older_than_seq`` = current stream seq
+    minus the worst-case lateness you must absorb; tombstones at or
+    above the bound are KEPT and keep guarding.
+
+    History stays intact: compaction is an ordinary ``overwrite``
+    commit on the snapshot log, so pre-compaction versions remain
+    time-travelable until ``snapshot_vacuum`` expires them, and the
+    read surface (``read_cdc_table``, which filters tombstones anyway)
+    is bit-identical before and after. Single-writer assumption as in
+    ``apply_cdc_stream``: run compaction from the table's one writer
+    (between batches), not as a concurrent second committer."""
+    from ..snapshots import snapshot_overwrite, snapshot_read
+
+    cur = snapshot_read(spark, table_dir)
+    for col, why in ((seq_col, "sequence"), (delete_col, "tombstone flag")):
+        if col not in cur.columns:
+            raise ValueError(
+                f"table at {table_dir} has no '{col}' column ({why}): "
+                "compact_tombstones only applies to tables built with "
+                "apply_cdc_stream(..., retain_tombstones=True)"
+            )
+    dtype = cur.schema[delete_col].dataType.simpleString()
+    if dtype != "boolean":
+        raise TypeError(
+            f"delete_col {delete_col} must be boolean, got {dtype}"
+        )
+    aged = F.coalesce(F.col(delete_col), F.lit(False)) & (
+        F.col(seq_col) < F.lit(older_than_seq)
+    )
+    cur = cur.persist()
+    try:
+        if cur.where(aged).isEmpty():
+            return None
+        return snapshot_overwrite(cur.where(~aged), table_dir)
+    finally:
+        cur.unpersist()
 
 
 def read_cdc_table(

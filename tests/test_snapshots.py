@@ -860,3 +860,120 @@ def test_cdc_rejects_tables_without_the_seq_column(spark, tmp_path):
         apply_cdc_stream(
             stream, table_dir, str(tmp_path / "ckpt"), "id", "seq"
         )
+
+
+def test_compact_tombstones_drops_aged_keeps_guarding(spark, tmp_path):
+    """compact_tombstones: aged tombstones go, the read surface is
+    unchanged, history stays time-travelable, kept tombstones still
+    block stale updates -- and the documented boundary is pinned: a
+    stale update for a COMPACTED key resurrects it."""
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.streaming.jobs import (
+        apply_cdc_stream,
+        compact_tombstones,
+        read_cdc_table,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", StringType()),
+            StructField("seq", LongType()),
+            StructField("is_delete", BooleanType()),
+        ]
+    )
+
+    def chg(rows, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(path)
+
+    def run(src, table_dir, ckpt):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        return apply_cdc_stream(
+            stream,
+            table_dir,
+            ckpt,
+            "id",
+            "seq",
+            delete_col="is_delete",
+            retain_tombstones=True,
+        )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    chg(
+        [(1, "a1", 1, False), (2, "b1", 2, False), (3, "c1", 3, False)],
+        str(src / "b0"),
+    )
+    # two deletes: key 2 at seq 4 (will age out), key 3 at seq 9 (kept)
+    chg([(2, None, 4, True), (3, None, 9, True)], str(src / "b1"))
+    table_dir = str(tmp_path / "tbl")
+    run(src, table_dir, str(tmp_path / "ckpt"))
+
+    def surface():
+        return {
+            r["id"]: r["v"]
+            for r in read_cdc_table(
+                spark, table_dir, delete_col="is_delete"
+            ).collect()
+        }
+
+    before = surface()
+    assert before == {1: "a1"}
+
+    def versions():
+        return [
+            r["version"]
+            for r in snapshot_versions(spark, table_dir).collect()
+        ]
+
+    pre_versions = versions()
+
+    # no tombstone below the bound -> no commit, table untouched
+    assert (
+        compact_tombstones(spark, table_dir, "seq", "is_delete", 4) is None
+    )
+    assert versions() == pre_versions
+
+    # bound 8: drops key 2's tombstone (seq 4), keeps key 3's (seq 9)
+    v = compact_tombstones(spark, table_dir, "seq", "is_delete", 8)
+    assert v is not None and v > max(pre_versions)
+    assert surface() == before  # read surface identical
+    raw = {
+        r["id"]: (r["seq"], r["is_delete"])
+        for r in snapshot_read(spark, table_dir).collect()
+    }
+    assert 2 not in raw  # aged tombstone gone
+    assert raw[3] == (9, True)  # fresh tombstone kept
+    # history intact: the pre-compaction snapshot still reads in full
+    old = {
+        r["id"]: r["is_delete"]
+        for r in snapshot_read(
+            spark, table_dir, version=max(pre_versions)
+        ).collect()
+    }
+    assert old.get(2) is True and old.get(3) is True
+
+    # kept tombstone still guards: stale update for key 3 (seq 6 < 9)
+    # is discarded; compacted key 2 has nothing to lose against, so an
+    # even staler update (seq 3 < the dropped seq 4) RESURRECTS it --
+    # the documented contract boundary of compaction
+    chg([(3, "stale3", 6, False), (2, "stale2", 3, False)], str(src / "b2"))
+    run(src, table_dir, str(tmp_path / "ckpt"))
+    assert surface() == {1: "a1", 2: "stale2"}
+
+    # misuse guards
+    with pytest.raises(ValueError, match="has no 'nope'"):
+        compact_tombstones(spark, table_dir, "seq", "nope", 1)
+    with pytest.raises(ValueError, match="has no 'missing_seq'"):
+        compact_tombstones(spark, table_dir, "missing_seq", "is_delete", 1)
