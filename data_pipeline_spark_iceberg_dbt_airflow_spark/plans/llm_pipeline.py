@@ -51,7 +51,7 @@ from pyspark.sql.window import Window
 from ..io import read_table
 from ..queries.dedup import (
     contaminated_docs,
-    dedup_cluster_components,
+    lexical_components,
     shingled_docs,
 )
 from ..queries.text import (
@@ -109,8 +109,13 @@ def build_llm_curation_pipeline(
     runner.add(
         Model("raw_documents", lambda: read_table(spark, sf_dir, "documents"))
     )
+    # LEXICAL components only: the registry's dedup_cluster_components
+    # unions a method='semantic' branch keyed by embeddings.vec_id,
+    # whose id space overlaps doc_id -- the canonical keep filter below
+    # would resurrect ngram duplicates through colliding vec_ids. The
+    # DAG's own semantic rung is sem_deduped, downstream.
     runner.add(
-        Model("doc_clusters", lambda: dedup_cluster_components(spark, sf_dir))
+        Model("doc_clusters", lambda: lexical_components(spark, sf_dir))
     )
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
 

@@ -757,14 +757,32 @@ def _oracle_semantic_ctes() -> str:
     tags=("dedup", "llm-data", "iterative", "semantic"),
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The propagation loop lives in operators/graph.py (extracted round 4
-    # so embedding-cosine pairs can cluster through the same operator);
-    # convergence semantics, checkpointing, and the loud non-convergence
-    # failure are unchanged. Measured at a 50k-doc/500k-edge dup-heavy
-    # stress corpus: ~1s per round, 3 rounds to converge; edge
-    # materialization dominates end-to-end cost.
-    from .semdedup import semdedup
+    ngram_rows = lexical_components(spark, sf_dir)
+    sem_rows = semantic_components(spark, sf_dir)
+    if sem_rows is None:
+        return ngram_rows
+    return ngram_rows.unionByName(sem_rows)
 
+
+def lexical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The method='ngram' branch of :func:`dedup_cluster_components`,
+    exposed on its own because the two branches label DIFFERENT id
+    spaces: ngram clusters key documents.doc_id, semantic clusters key
+    embeddings.vec_id, and the fixtures' id ranges overlap. Consumers
+    that mean "the lexical duplicate clusters over documents" (the
+    curation DAG's canonical filter, the closure test) must call THIS,
+    not the multiplexed registry entry -- at HEAD~ the DAG consumed the
+    union and a non-canonical ngram duplicate whose id collided with a
+    canonical vec_id was resurrected through the left-semi keep filter
+    (431 polluted clusters at sf0.001, VERDICT r7).
+
+    The propagation loop lives in operators/graph.py (extracted round 4
+    so embedding-cosine pairs can cluster through the same operator);
+    convergence semantics, checkpointing, and the loud non-convergence
+    failure are unchanged. Measured at a 50k-doc/500k-edge dup-heavy
+    stress corpus: ~1s per round, 3 rounds to converge; edge
+    materialization dominates end-to-end cost.
+    """
     sh = shingled_docs(spark, sf_dir)
     labels = connected_components(
         _pair_jaccard(sh).select("doc_a", "doc_b"),
@@ -777,7 +795,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    ngram_rows = lab.join(sizes, "cluster_id").select(
+    return lab.join(sizes, "cluster_id").select(
         F.lit("ngram").alias("method"),
         "doc_id",
         "cluster_id",
@@ -787,23 +805,49 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_canonical"),
         F.lit(None).cast("double").alias("score"),
     )
-    # semantic branch: the REAL semdedup operator (centroid fit, blocked
-    # pair mining, components, keeper argmin) under its seed-only fit.
-    # A corpus with fewer than k valid vectors (or none at all) has no
-    # cells to block the pair search -- the branch contributes ZERO rows,
-    # the same seed-count gate the PQ rendering uses, mirrored in the
-    # oracle's `(SELECT count(*) FROM sseeds) = k` predicate.
-    # CorpusTooSmallError subclasses ValueError; the bare ValueError is
-    # kmeans_fit's empty-vector-column probe.
+
+
+def semantic_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame | None:
+    """The method='semantic' branch: the REAL semdedup operator
+    (centroid fit, blocked pair mining, components, keeper argmin)
+    under its seed-only fit, labeled by embeddings.vec_id.
+
+    Returns ``None`` -- the branch contributes ZERO rows -- when the
+    corpus has no embeddings table at all (probed explicitly: a corpus
+    directory without embeddings.parquet is a normal text-only corpus,
+    not an error; ``read_table``'s pyarrow footer probe raises
+    FileNotFoundError, which the old ``except ValueError`` guard let
+    crash the whole curation DAG) or has fewer than k valid vectors (no
+    cells to block the pair search -- CorpusTooSmallError subclasses
+    ValueError; the bare ValueError is kmeans_fit's empty-vector-column
+    probe). Both gates mirror the oracle's
+    ``(SELECT count(*) FROM sseeds) = k`` predicate, which yields zero
+    semantic rows for the same corpora.
+
+    ``dim=EMB_DIM`` pins fit validity to the oracle's svalid gate
+    (vec_id NOT NULL, exactly EMB_DIM-wide vectors), so a dirty fixture
+    cannot diverge on seed ranking or derived width.
+    """
+    import os
+
+    from ..io import table_path
+    from .semdedup import semdedup
+    from .similarity import EMB_DIM
+
+    if not os.path.exists(table_path(sf_dir, "embeddings")):
+        return None
     try:
         sem = semdedup(
             read_table(spark, sf_dir, "embeddings"),
             k=SEM_ORACLE_K,
             eps=SEM_ORACLE_EPS,
             max_iterations=0,
+            dim=EMB_DIM,
         )
     except ValueError:
-        return ngram_rows
+        return None
     sem_lab = sem.select(
         F.col("vec_id").alias("doc_id"),
         F.coalesce("component", "vec_id").alias("cluster_id"),
@@ -813,7 +857,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem_sizes = sem_lab.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    sem_rows = sem_lab.join(sem_sizes, "cluster_id").select(
+    return sem_lab.join(sem_sizes, "cluster_id").select(
         F.lit("semantic").alias("method"),
         "doc_id",
         "cluster_id",
@@ -821,7 +865,6 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_canonical",
         "score",
     )
-    return ngram_rows.unionByName(sem_rows)
 
 
 @register(

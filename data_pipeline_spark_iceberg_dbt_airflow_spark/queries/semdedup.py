@@ -77,6 +77,7 @@ def semdedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iterations: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -95,6 +96,15 @@ def semdedup(
     operator (same trick as the kseed and PQ renderings). Lloyd
     refinement (the default) tightens the cells but is iterative, so
     that path is pinned by pytest instead.
+
+    ``dim`` pins the expected vector width; when given, rows whose id is
+    NULL or whose vector is not exactly ``dim`` wide are excluded from
+    the FIT (seed ranking and Lloyd sums), not merely from comparison.
+    Without it the fit tolerates a mixed-width corpus and derives the
+    width from the seed set -- fine for exploration, but a corpus with a
+    NULL id would rank md5(NULL) first among seeds and a wrong-width
+    seed would poison the derived dimension, so callers with a declared
+    schema width (the driver oracle's svalid gate) should pass it.
     """
     # NaN components are the third invalid class next to NULL and
     # wrong-dim: they would crash the decimal k-means sums and -- via
@@ -103,16 +113,22 @@ def semdedup(
     # Exclude them from fitting and comparison; like NULL/wrong-dim
     # they pass through with cluster/component NULL and keep = true.
     has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x))
-    fit_input = emb.where(
-        F.col(vec_col).isNotNull() & ~has_nan
-    )
+    fit_filter = F.col(vec_col).isNotNull() & ~has_nan
+    if dim is not None:
+        fit_filter = (
+            fit_filter
+            & F.col(id_col).isNotNull()
+            & (F.size(F.col(vec_col)) == dim)
+        )
+    fit_input = emb.where(fit_filter)
     fit_kwargs = (
         {} if max_iterations is None else {"max_iterations": max_iterations}
     )
     centroids = kmeans_fit(
         fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
     )
-    dim = len(next(iter(centroids.values())))
+    if dim is None:
+        dim = len(next(iter(centroids.values())))
     v = F.col(vec_col)
     pre_valid = v.isNotNull() & (F.size(v) == dim) & ~has_nan
     assigned = assign_clusters(emb, centroids, vec_col=vec_col).select(

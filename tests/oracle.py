@@ -23,12 +23,19 @@ FLOAT_DECIMALS = 6
 
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    import os
+
     con = duckdb.connect()
     try:
+        # Views only for tables present on disk (the embeddings-less
+        # sweep removes one): an oracle referencing an absent table then
+        # fails loudly at query time instead of at harness setup.
         for t in TABLES:
-            con.sql(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
-            )
+            p = table_path(sf_dir, t)
+            if os.path.exists(p):
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+                )
         return con.sql(sql).df()
     finally:
         con.close()

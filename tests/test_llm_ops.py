@@ -133,8 +133,13 @@ def test_cluster_components_is_equivalence_closure(spark, sf_dir):
         .where(F.col("method") == "ngram")
         .select("doc_a", "doc_b")
     )
-    lab = _run(spark, sf_dir, "dedup_cluster_components").select(
-        "doc_id", "cluster_id"
+    # lexical branch only: the registry entry also unions semantic rows
+    # keyed by embeddings.vec_id, a DIFFERENT id space whose cluster ids
+    # interleave with the ngram ones (see lexical_components docstring)
+    lab = (
+        _run(spark, sf_dir, "dedup_cluster_components")
+        .where(F.col("method") == "ngram")
+        .select("doc_id", "cluster_id")
     )
     ca = lab.select(
         F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca")

@@ -50,6 +50,7 @@ def make_corpus(n: int):
 
     hot = " ".join(words(30))
     rows = []
+    last_plain: list | None = None
     for i in range(n):
         if i % 10 == 1 and rows:
             # near-copy of the previous doc with one token changed:
@@ -59,10 +60,29 @@ def make_corpus(n: int):
             text = " ".join(toks)
         elif i % 50 == 7 and len(rows) > 5:
             text = rows[-5][1]  # exact duplicate
+        elif i % 20 == 5 and last_plain:
+            # SEMANTIC-ONLY dup: bag-equal chunk permutation of the last
+            # plain body. Permuting 4-token chunks (aligned to the
+            # stopword period, so the [v v v stop] cadence -- and the
+            # bigram-LM score -- survives) kills ~half the ordered
+            # 3-gram shingles: Jaccard vs the base ~0.35 < 0.5, so the
+            # lexical near-dup rung CANNOT see the pair, while the
+            # order-insensitive hash_embed vector is IDENTICAL (cosine
+            # 1.0 > 1 - eps) -- only sem_deduped can drop it. This is
+            # the rung's earn-its-cost plant (VERDICT r7 task 6: the
+            # old generator's dups were all lexically visible upstream,
+            # so the semantic stage measurably dropped zero rows).
+            chunks = [
+                last_plain[j : j + 4] for j in range(0, len(last_plain), 4)
+            ]
+            rng.shuffle(chunks)
+            text = " ".join(t for c in chunks for t in c)
         else:
             body = words(60)
             if i % 10 == 3:
                 body[20:20] = hot.split()  # the corpus-hot passage
+            else:
+                last_plain = body
             text = " ".join(body)
         lang = "en" if i % 5 else "de"
         rows.append((i, text, lang, "synth", len(text)))
