@@ -131,17 +131,29 @@ def _load_manifests(table_dir: str) -> list[dict]:
     return out
 
 
-def _write_checkpoint(table_dir: str, version: int) -> None:
+def _write_checkpoint(
+    table_dir: str, version: int, manifests: list[dict] | None = None
+) -> None:
     """Fold every manifest at or below ``version`` into c<version>.json
     (atomic tmp + replace; the .tmp- prefix keeps crash leftovers
     inside the vacuum sweep). Best-effort by contract: the commit that
     triggered it is already durable, so a failed checkpoint write must
     never fail the commit -- the next multiple just tries again. Keeps
     the previous checkpoint as a fallback for a corrupt newest; older
-    ones are swept."""
-    manifests = [
-        m for m in _load_manifests(table_dir) if m["version"] <= version
-    ]
+    ones are swept.
+
+    ``manifests`` lets a caller that already HOLDS the authoritative
+    list (vacuum's expiry rebuild, which deletes every checkpoint
+    before refolding) bypass the on-disk reload: after a prune_folded
+    pass the v-files alone no longer spell the full history, so a
+    checkpoint-less reload there would silently forget pruned-but-live
+    versions."""
+    if manifests is None:
+        manifests = [
+            m for m in _load_manifests(table_dir) if m["version"] <= version
+        ]
+    else:
+        manifests = [m for m in manifests if m["version"] <= version]
     mdir = _manifest_dir(table_dir)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     try:
@@ -328,6 +340,7 @@ def snapshot_vacuum(
     table_dir: str,
     keep_versions: int | None = None,
     tmp_grace_s: float = 3600.0,
+    prune_folded: bool = False,
 ) -> list[str]:
     """Delete data directories no manifest references (orphans from
     lost commit races) and, when ``keep_versions`` is given, expire all
@@ -341,6 +354,21 @@ def snapshot_vacuum(
     IN FLIGHT -- run it from the single maintenance owner, exactly like
     Iceberg's expire_snapshots/remove_orphan_files pair. History that
     survives ``keep_versions`` remains fully time-travelable.
+
+    ``prune_folded=True`` additionally deletes v-manifest files already
+    folded into the SECOND-newest checkpoint: ``_load_manifests``
+    parses O(tail), but the directory LISTING stays O(commits) names
+    until the folded files go -- on a long-lived CDC table (one commit
+    per micro-batch) the listing itself becomes the hot-path cost.
+    The bound is the second-newest checkpoint, not the newest, so the
+    corrupt-newest fallback keeps working: a torn ``c<N>`` degrades to
+    the older checkpoint plus the still-present v-files above it, and
+    every folded version stays time-travelable through the checkpoint.
+    The trade, stated honestly: after a prune the checkpoints ARE the
+    durable spelling of folded history -- losing BOTH retained
+    checkpoints at once (the full-parse fallback) would forget the
+    pruned versions. Iceberg/Delta make the same call when expiring
+    metadata behind their checkpoint files.
     """
     import shutil
 
@@ -361,12 +389,25 @@ def snapshot_vacuum(
         # are about to be swept). Rebuild under the vacuum's exclusive
         # no-commit-in-flight contract: drop every checkpoint, then
         # re-fold the surviving history.
+        # Refold from the in-memory survivors, NOT a reload (after a
+        # prune_folded pass the v-files alone no longer spell versions
+        # the expiry kept), and write the NEW checkpoint BEFORE removing
+        # the stale ones -- no window with zero checkpoints on disk. If
+        # the best-effort write failed, the sweep below still removes
+        # the stale checkpoints (they fold expired manifests whose data
+        # dirs are about to be swept) and the log degrades to v-files.
+        keep_ver = int(manifests[-1]["version"])
+        _write_checkpoint(table_dir, keep_ver, manifests=manifests)
+        keep_name = f"c{keep_ver:08d}.json"
         cdir = _manifest_dir(table_dir)
         if os.path.isdir(cdir):
             for name in sorted(os.listdir(cdir)):
-                if name.startswith("c") and name.endswith(".json"):
+                if (
+                    name.startswith("c")
+                    and name.endswith(".json")
+                    and name != keep_name
+                ):
                     os.remove(os.path.join(cdir, name))
-        _write_checkpoint(table_dir, manifests[-1]["version"])
         manifests = _load_manifests(table_dir)
     # liveness compares BASENAMES (what manifests store), immune to
     # table_dir spelling differences
@@ -399,6 +440,31 @@ def snapshot_vacuum(
                         removed.append(path)
                 except FileNotFoundError:
                     pass  # the owning writer's finally beat us to it
+    if prune_folded and os.path.isdir(mdir):
+        # v-files at or below the SECOND-newest checkpoint are doubly
+        # folded (present in both retained checkpoints); deleting them
+        # bounds the listing at ~CHECKPOINT_EVERY + 2 names without
+        # weakening the corrupt-newest-checkpoint fallback. With fewer
+        # than two checkpoints there is no doubly-covered range: prune
+        # nothing (the full-parse fallback still needs every v-file).
+        cvers = sorted(
+            int(n[1:-5])
+            for n in os.listdir(mdir)
+            if n.startswith("c") and n.endswith(".json") and n[1:-5].isdigit()
+        )
+        if len(cvers) >= 2:
+            bound = cvers[-2]
+            for name in sorted(os.listdir(mdir)):
+                if not (name.startswith("v") and name.endswith(".json")):
+                    continue
+                try:
+                    ver = int(name[1:-5])
+                except ValueError:
+                    continue  # unexpected spelling: never prune it
+                if ver <= bound:
+                    path = os.path.join(mdir, name)
+                    os.remove(path)
+                    removed.append(path)
     return removed
 
 

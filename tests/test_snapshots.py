@@ -559,6 +559,62 @@ def test_vacuum_rebuilds_checkpoints_on_expiry(spark, table, small_checkpoints):
         snapshot_read(spark, table, version=4)
 
 
+def test_vacuum_prunes_folded_manifests(spark, table, small_checkpoints):
+    """prune_folded deletes v-files at or below the SECOND-newest
+    checkpoint (doubly-folded history), bounding the listing at
+    ~CHECKPOINT_EVERY names -- while every folded version stays
+    time-travelable and the corrupt-newest-checkpoint fallback still
+    reconstructs the full log from the older checkpoint + surviving
+    v-files."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    for i in range(13):  # versions 0..12; checkpoints at v5 and v10
+        snapshot_append(_df(spark, [i]), table)
+    mdir = os.path.join(table, "_snapshots")
+    removed = snapshot_vacuum(table, prune_folded=True)
+    vnames = sorted(
+        n for n in os.listdir(mdir) if n.startswith("v") and n.endswith(".json")
+    )
+    # bound = second-newest checkpoint (v5): v0..v5 pruned, v6.. kept
+    assert vnames == [f"v{i:08d}.json" for i in range(6, 13)]
+    assert len(removed) == 6
+    # nothing lost: full log, latest read, and travel INTO the pruned
+    # range all come off the checkpointed spelling
+    assert [m["version"] for m in snap._load_manifests(table)] == list(
+        range(13)
+    )
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == list(range(13))
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=3).collect()
+    ) == [0, 1, 2, 3]
+    # corrupt the NEWEST checkpoint: the fallback (older checkpoint +
+    # the v-files the prune deliberately kept above it) must still
+    # reconstruct every version
+    with open(os.path.join(mdir, "c00000010.json"), "w") as f:
+        f.write("not json at all")
+    assert [m["version"] for m in snap._load_manifests(table)] == list(
+        range(13)
+    )
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=4).collect()
+    ) == [0, 1, 2, 3, 4]
+    # a single-checkpoint table has no doubly-covered range: no prune
+    fresh = table + "_single"
+    for i in range(7):  # one checkpoint (v5)
+        snapshot_append(_df(spark, [i]), fresh)
+    assert snapshot_vacuum(fresh, prune_folded=True) == []
+    assert sorted(
+        n
+        for n in os.listdir(os.path.join(fresh, "_snapshots"))
+        if n.startswith("v")
+    ) == [f"v{i:08d}.json" for i in range(7)]
+
+
 # --- model-based property: op sequences vs a pure-Python model -------------
 
 from hypothesis import HealthCheck, given, settings
@@ -570,6 +626,7 @@ _ops = st.lists(
         st.tuples(st.just("overwrite"), st.lists(st.integers(0, 9), min_size=1, max_size=3)),
         st.tuples(st.just("rollback"), st.integers(0, 5)),
         st.tuples(st.just("vacuum_keep"), st.integers(1, 3)),
+        st.tuples(st.just("vacuum_prune"), st.just(0)),
     ),
     min_size=1,
     max_size=7,
@@ -635,12 +692,17 @@ def _run_model_sequence(
             snapshot_rollback(table, target)
             history.append(history[target])
             live_versions.append(len(history) - 1)
-        else:  # vacuum_keep
+        elif op == "vacuum_keep":
             if not history:
                 continue
             keep = min(arg, len(live_versions))
             snapshot_vacuum(table, keep_versions=keep)
             live_versions = live_versions[-keep:]
+        else:  # vacuum_prune: metadata-only, model state unchanged --
+            # every live version must remain travelable afterwards
+            if not history:
+                continue
+            snapshot_vacuum(table, prune_folded=True)
     if not history:
         return
     got = sorted(r["id"] for r in snapshot_read(spark, table).collect())
