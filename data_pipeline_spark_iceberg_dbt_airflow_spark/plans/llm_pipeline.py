@@ -99,12 +99,26 @@ def build_llm_curation_pipeline(
     config: RunConfig | None = None,
     sem_k: int | None = None,
     sem_eps: float | None = None,
+    quality_seed: DataFrame | None = None,
+    quality_threshold: float | None = None,
 ) -> PipelineRunner:
     """``sem_k``/``sem_eps`` tune the semantic-dedup stage (defaults =
     semdedup's test-scale defaults). Size sem_k ~ N/250: the in-cell
     pair space is k * (N/k)^2, so too few cells at a large N is the
-    one way this DAG can go quadratic."""
+    one way this DAG can go quadratic.
+
+    ``quality_seed`` ((doc_id, label) with 1 = keep-worthy) swaps the
+    heuristic quality gate for the CCNet-style LEARNED gate
+    (quality/learned.py): a logistic classifier over hash_embed
+    features, trained on the seed, scores every document; curated
+    keeps score >= ``quality_threshold`` (default 0.5). The heuristic
+    ``doc_quality`` stage still materializes either way -- it is the
+    profiling surface -- but stops gating. A seed that cannot train
+    (empty / single-class) raises SeedSetError at build-run time
+    rather than silently passing everything.
+    """
     runner = PipelineRunner(config or RunConfig(retries=1, schedule=None))
+    use_learned = quality_seed is not None
 
     runner.add(
         Model("raw_documents", lambda: read_table(spark, sf_dir, "documents"))
@@ -118,6 +132,20 @@ def build_llm_curation_pipeline(
         Model("doc_clusters", lambda: lexical_components(spark, sf_dir))
     )
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
+    if use_learned:
+        from ..quality.learned import learned_quality_scores
+
+        runner.add(
+            Model(
+                "doc_quality_learned",
+                lambda: learned_quality_scores(
+                    read_table(spark, sf_dir, "documents").select(
+                        "doc_id", "text"
+                    ),
+                    quality_seed,
+                ),
+            )
+        )
 
     def doc_lm() -> DataFrame:
         docs = read_table(spark, sf_dir, "documents").select(
@@ -142,9 +170,19 @@ def build_llm_curation_pipeline(
         contam: DataFrame,
     ) -> DataFrame:
         keep = clusters.where(F.col("is_canonical") == 1).select("doc_id")
-        good = quality.where(F.col("quality_score") >= MIN_QUALITY).select(
-            "doc_id"
-        )
+        if use_learned:
+            from ..quality.learned import DEFAULT_KEEP_THRESHOLD
+
+            cut = (
+                DEFAULT_KEEP_THRESHOLD
+                if quality_threshold is None
+                else quality_threshold
+            )
+            good = quality.where(F.col("score") >= cut).select("doc_id")
+        else:
+            good = quality.where(
+                F.col("quality_score") >= MIN_QUALITY
+            ).select("doc_id")
         # Perplexity gate: drop the top (1 - LM_TAIL_QUANTILE) of
         # cross-entropy WITHIN each language; unscorable docs (<2
         # tokens or NULL lang) pass -- length is the quality gate's
@@ -173,7 +211,7 @@ def build_llm_curation_pipeline(
             refs=(
                 "raw_documents",
                 "doc_clusters",
-                "doc_quality",
+                "doc_quality_learned" if use_learned else "doc_quality",
                 "doc_lm",
                 "contaminated",
             ),
@@ -334,6 +372,8 @@ def run_llm_curation(
     materialize: bool = False,
     sem_k: int | None = None,
     sem_eps: float | None = None,
+    quality_seed: DataFrame | None = None,
+    quality_threshold: float | None = None,
 ) -> dict[str, DataFrame]:
     """Build and execute the curation DAG; returns every stage by name.
     ``materialize=True`` checkpoints each stage (see PipelineRunner.run)
@@ -341,5 +381,10 @@ def run_llm_curation(
     downstream of the iterative sem_deduped otherwise re-run it per
     action."""
     return build_llm_curation_pipeline(
-        spark, sf_dir, sem_k=sem_k, sem_eps=sem_eps
+        spark,
+        sf_dir,
+        sem_k=sem_k,
+        sem_eps=sem_eps,
+        quality_seed=quality_seed,
+        quality_threshold=quality_threshold,
     ).run(targets, materialize=materialize)
