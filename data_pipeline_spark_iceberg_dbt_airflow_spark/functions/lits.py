@@ -37,6 +37,14 @@ def _sql(v) -> str:
     return repr(f) + "D"
 
 
+def array_sql(values) -> str:
+    """The SQL text of a (nested) DOUBLE array literal, for callers
+    that assemble whole expressions as strings (one parse, zero
+    per-element py4j): non-empty (nested) finite numbers, every leaf
+    coerced to double."""
+    return _sql(values)
+
+
 def array_lit(values) -> Column:
     """A (nested) DOUBLE array literal as one expression, one py4j
     round trip. ``values`` is a non-empty (nested) sequence of finite

@@ -14,7 +14,7 @@ hashing trick fastText uses for its n-gram buckets.
 Spark-first shape, mirroring ``operators/kmeans.py``:
 
 - **Scoring is pure codegen, zero shuffle.** The fitted weight vector
-  is inlined as ONE literal array (``functions/lits.array_lit``, one
+  is inlined as ONE literal array (``functions/lits``, one
   py4j round trip); ``sigmoid(dot(x, w) + b)`` is a single
   whole-stage-codegen expression per row. Gating 100 TB costs exactly
   one scan -- no join, no broadcast exchange, nothing stateful.
@@ -39,20 +39,18 @@ Spark-first shape, mirroring ``operators/kmeans.py``:
   (gradient-norm early stop), so total work is
   O(rounds x |seed| x dim) + one corpus scan to score.
 
-Rows whose label is NULL or whose vector is NULL / wrong-width / NaN
-are excluded from fitting; scoring NULL/wrong-width vectors yields a
-NULL score (callers decide pass/fail for unscorable docs, as the LM
-gate does).
+Rows whose label is NULL or whose vector is NULL / wrong-width / or
+contains NaN or NULL elements are excluded from fitting; scoring such
+vectors yields a NULL score (callers decide pass/fail for unscorable
+docs, as the LM gate does).
 """
 
 from __future__ import annotations
 
-import math
-
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.lits import array_lit
+from ..functions.lits import array_sql
 
 #: Iteration backstop. Full-batch GD on L2-normalized features with
 #: unit learning rate converges geometrically on separable seed sets;
@@ -74,24 +72,43 @@ class SeedSetError(ValueError):
     swallowing genuine ValueErrors."""
 
 
-def _margin(vec_col: Column, weights: list[float], bias: float) -> Column:
-    """w . x + b as one strict left-to-right codegen fold."""
-    return (
-        F.aggregate(
-            F.zip_with(
-                array_lit(weights),
-                vec_col,
-                lambda w, x: w * x.cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        + F.lit(float(bias))
+def _sigmoid_margin_sql(
+    vec_sql: str, weights: list[float], bias: float
+) -> str:
+    """sigmoid(w . x + b) as ONE SQL expression string whose GENERATED
+    CODE does not depend on the model values.
+
+    Two costs shaped this rendering (both measured dominant in early
+    fits, ~1-2s/round each at dim=64):
+
+    - **py4j chatter.** Building the expression through the Column API
+      costs a JVM round trip per operator call; a training loop that
+      reconstructs it every round pays hundreds of socket hops. A
+      string renders driver-side for free and crosses py4j once inside
+      the enclosing selectExpr (the array_lit lesson, taken one level
+      up).
+    - **Janino recompiles.** Weights and bias travel inside ONE array
+      literal: constant-folded array literals reach codegen as
+      reference objects, while a scalar bias literal would inline as a
+      double constant in the generated Java -- different source every
+      round, a fresh whole-stage-codegen compile every round. With the
+      model array the only thing that changes, all rounds hit the same
+      compiled class.
+
+    The model array is dim+1 wide vs the dim-wide vector; ``zip_with``
+    pads the vector side with one NULL, and coalescing that pad to 1.0
+    makes the last term bias*1.0 -- the bias joins the same fold, as
+    the LAST addend (bit-identical to a separate ``+ bias``). Callers
+    must exclude vectors with NULL elements (both entry points do);
+    otherwise a NULL element would silently read as 1.0.
+    """
+    model = array_sql(list(weights) + [float(bias)])
+    dot = (
+        f"aggregate(zip_with({model}, {vec_sql}, "
+        f"(w, xe) -> w * coalesce(cast(xe as double), 1.0D)), "
+        f"0.0D, (acc, v) -> acc + v)"
     )
-
-
-def _sigmoid(z: Column) -> Column:
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return f"(1.0D / (1.0D + exp(-({dot}))))"
 
 
 def logreg_fit(
@@ -117,8 +134,8 @@ def logreg_fit(
     """
     y = F.col(label_col).cast("double")
     v = F.col(vec_col)
-    has_nan = F.exists(v, lambda x: F.isnan(x))
-    valid = y.isNotNull() & v.isNotNull() & ~has_nan
+    has_bad = F.exists(v, lambda x: x.isNull() | F.isnan(x))
+    valid = y.isNotNull() & v.isNotNull() & ~has_bad
     if dim is None:
         probe = train.where(valid).select(F.size(v).alias("d")).first()
         if probe is None:
@@ -148,21 +165,22 @@ def logreg_fit(
 
     weights = [0.0] * dim
     bias = 0.0
+    # The per-feature sum expressions are round-invariant: build the
+    # strings once. The residual is PROJECTED once below the aggregate
+    # rather than repeated inside all dim+1 sums: CollapseProject
+    # leaves a non-cheap producer referenced 65x in place, so the
+    # sigmoid fold evaluates once per row and the aggregate's
+    # expression trees stay dim-independent-small (the 65x-embedded
+    # form made each round's analysis+codegen cost quadratic in dim).
+    grad_sums = [
+        f"sum(cast(element_at(x, {i + 1}) * r as {_SUM_TYPE})) as g{i}"
+        for i in range(dim)
+    ] + [f"sum(cast(r as {_SUM_TYPE})) as gb"]
     for _ in range(max_iterations):
-        resid = _sigmoid(_margin(F.col("x"), weights, bias)) - F.col("y")
+        resid = f"({_sigmoid_margin_sql('x', weights, bias)} - y) as r"
         # dim+1 exact decimal sums in ONE combinable aggregate; each
         # map task emits dim+2 partial cells however many rows it saw
-        sums = rows.select(
-            *[
-                F.sum(
-                    (F.element_at("x", i + 1).cast("double") * resid).cast(
-                        _SUM_TYPE
-                    )
-                ).alias(f"g{i}")
-                for i in range(dim)
-            ],
-            F.sum(resid.cast(_SUM_TYPE)).alias("gb"),
-        ).first()
+        sums = rows.selectExpr("x", resid).selectExpr(grad_sums).first()
         grad = [float(sums[i]) / n + l2 * weights[i] for i in range(dim)]
         grad_b = float(sums[dim]) / n
         weights = [
@@ -189,9 +207,12 @@ def logreg_score(
     scorable = (
         v.isNotNull()
         & (F.size(v) == len(weights))
-        & ~F.exists(v, lambda x: F.isnan(x))
+        & ~F.exists(v, lambda x: x.isNull() | F.isnan(x))
     )
     return df.withColumn(
         out_col,
-        F.when(scorable, _sigmoid(_margin(v, weights, bias))),
+        F.when(
+            scorable,
+            F.expr(_sigmoid_margin_sql(f"`{vec_col}`", weights, bias)),
+        ),
     )
