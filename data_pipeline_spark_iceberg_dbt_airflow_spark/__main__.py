@@ -118,6 +118,19 @@ def _build_parser() -> argparse.ArgumentParser:
     bp.add_argument("--sf", default=DEFAULT_SF)
     bp.add_argument("--merges", type=int, default=50)
 
+    gt = sub.add_parser(
+        "gate", help="learned quality gate: train on labels, score docs"
+    )
+    gt.add_argument("--sf", default=DEFAULT_SF)
+    gt.add_argument(
+        "--labels",
+        required=True,
+        help="parquet or headered CSV with (doc_id, label) rows; "
+        "label 1 = keep-worthy",
+    )
+    gt.add_argument("--threshold", type=float, default=None)
+    gt.add_argument("--limit", type=int, default=20)
+
     sn = sub.add_parser("snapshots", help="list a snapshot table's versions")
     sn.add_argument("table_dir")
 
@@ -350,6 +363,40 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         docs = read_table(spark, args.sf, "documents")
         for i, (a, b) in enumerate(train_bpe(docs, args.merges)):
             print(f"{i}\t{a}\t{b}")
+        return 0
+
+    if args.cmd == "gate":
+        from pyspark.sql import functions as F
+
+        from .io import read_table
+        from .quality.learned import (
+            DEFAULT_KEEP_THRESHOLD,
+            learned_quality_scores,
+        )
+
+        if args.labels.endswith(".csv"):
+            seed = spark.read.csv(
+                args.labels, header=True, inferSchema=True
+            )
+        else:
+            seed = spark.read.parquet(args.labels)
+        docs = read_table(spark, args.sf, "documents").select(
+            "doc_id", "text"
+        )
+        cut = (
+            DEFAULT_KEEP_THRESHOLD
+            if args.threshold is None
+            else args.threshold
+        )
+        scores = learned_quality_scores(docs, seed).localCheckpoint()
+        kept = scores.where(F.col("score") >= cut).count()
+        n = scores.count()
+        for r in scores.orderBy(F.col("score").desc()).take(args.limit):
+            print(f"{r['doc_id']}\t{r['score']:.4f}")
+        print(
+            f"# {kept}/{n} docs at or above threshold {cut}",
+            file=sys.stderr,
+        )
         return 0
 
     if args.cmd == "cdc":

@@ -46,6 +46,11 @@ from .pii import (  # noqa: F401
     synth_pii,
 )
 from .metrics import ExecutionMetrics, measure  # noqa: F401
+from .classifier import (  # noqa: F401
+    SeedSetError,
+    logreg_fit,
+    logreg_score,
+)
 from .salted import salted_group_agg  # noqa: F401
 from .sketches import (  # noqa: F401
     cms_build,

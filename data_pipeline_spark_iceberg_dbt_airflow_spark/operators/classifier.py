@@ -132,25 +132,32 @@ def logreg_fit(
     seed set -- a gate trained on one class would pass or fail
     EVERYTHING and silently neutralize curation.
     """
-    y = F.col(label_col).cast("double")
-    v = F.col(vec_col)
-    has_bad = F.exists(v, lambda x: x.isNull() | F.isnan(x))
-    valid = y.isNotNull() & v.isNotNull() & ~has_bad
+    # TRUNCATE lineage FIRST, filter the checkpointed frame after:
+    # every round is an action, and replaying the caller's upstream
+    # plan (feature join, text pipeline) per round would dominate the
+    # fit. Ordering matters beyond lineage replay: a validity filter
+    # placed BELOW the checkpoint gets predicate-pushed into the
+    # caller's plan, where substituting the vector-producing
+    # expression into `exists`/`size` re-derives the vector per
+    # predicate (measured 150s of a 170s fit on a hash_embed lineage).
+    # The checkpointed frame is (vector, label) x |seed| --
+    # seed-set-sized -- and the filter costs one cheap pass over it.
+    base = (
+        train.select(
+            F.col(vec_col).alias("x"),
+            F.col(label_col).cast("double").alias("y"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    x = F.col("x")
+    has_bad = F.exists(x, lambda e: e.isNull() | F.isnan(e))
+    valid = F.col("y").isNotNull() & x.isNotNull() & ~has_bad
     if dim is None:
-        probe = train.where(valid).select(F.size(v).alias("d")).first()
+        probe = base.where(valid).select(F.size(x).alias("d")).first()
         if probe is None:
             raise SeedSetError("seed set has no valid labeled rows")
         dim = int(probe["d"])
-    valid = valid & (F.size(v) == dim)
-    # TRUNCATE lineage before the round loop: every round is an action,
-    # and replaying the caller's upstream plan (feature join, text
-    # pipeline) per round would dominate the fit. The checkpointed
-    # frame is (dim floats, label) x |seed| -- seed-set-sized.
-    rows = (
-        train.where(valid)
-        .select(v.alias("x"), y.alias("y"))
-        .localCheckpoint(eager=True)
-    )
+    rows = base.where(valid & (F.size(x) == dim))
 
     # class balance probe (one tiny aggregate): both classes required
     n_pos, n_neg = rows.select(

@@ -517,11 +517,18 @@ def hash_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
     dense = F.expr(
         f"transform(sequence(0, {dim - 1}), i -> coalesce(m[i], 0.0D))"
     )
+    # The norm gets its OWN projection, referenced twice downstream
+    # (guard + divisor): written inline it would be substituted into
+    # the transform lambda and the O(dim) fold would re-run per
+    # ELEMENT -- O(dim^2) per row, measured 10x on the embed pass. Two
+    # references to a non-cheap producer also stop CollapseProject
+    # from re-inlining it.
     nrm = F.sqrt(
         F.aggregate(
             F.col("raw"), F.lit(0.0), lambda acc, x: acc + x * x
         )
     )
+    n = F.col("n")
     return (
         docs.select("doc_id")
         .join(assembled, "doc_id", "left")
@@ -531,11 +538,12 @@ def hash_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
                 dense, F.expr(f"array_repeat(0.0D, {dim})")
             ).alias("raw"),
         )
+        .select("doc_id", "raw", nrm.alias("n"))
         .select(
             "doc_id",
             F.when(
-                nrm > 0,
-                F.transform(F.col("raw"), lambda x: x / nrm),
+                n > 0,
+                F.transform(F.col("raw"), lambda x: x / n),
             )
             .otherwise(F.col("raw"))
             .alias("embedding"),

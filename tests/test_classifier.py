@@ -220,3 +220,55 @@ def test_curation_dag_with_learned_gate(spark, tmp_path):
         .collect()
     }
     assert any(i >= n for i in heuristic_pass)
+
+
+def test_cli_gate_scores_documents(spark, tmp_path, capsys):
+    """The gate subcommand trains on a labels file and prints ranked
+    scores: planted good-vocab docs must outrank bad-vocab ones."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.__main__ import main
+
+    rng = random.Random(99)
+    texts = [_doc(rng, GOOD_VOCAB) + f" u{i}" for i in range(40)] + [
+        _doc(rng, BAD_VOCAB) + f" u{40 + i}" for i in range(40)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(80), pa.int64()),
+                "text": pa.array(texts),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(10)) + list(range(40, 50)), pa.int64()
+                ),
+                "label": pa.array([1] * 10 + [0] * 10, pa.int64()),
+            }
+        ),
+        str(tmp_path / "labels.parquet"),
+    )
+    rc = main(
+        [
+            "gate",
+            "--sf",
+            str(tmp_path),
+            "--labels",
+            str(tmp_path / "labels.parquet"),
+            "--limit",
+            "40",
+        ],
+        spark=spark,
+    )
+    captured = capsys.readouterr()
+    assert rc == 0
+    top = [int(line.split("\t")[0]) for line in captured.out.splitlines()]
+    assert len(top) == 40
+    assert all(i < 40 for i in top)  # every good doc outranks every bad
+    assert "40/80 docs at or above threshold 0.5" in captured.err

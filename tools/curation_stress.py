@@ -9,7 +9,17 @@ by stage, materializing each output (the dbt table boundary) and
 printing per-stage wall-clock + row count. The numbers land in
 SCALING.md ("Measured: end-to-end curation at 50k docs").
 
-Usage: python tools/curation_stress.py [n_docs]
+Usage: python tools/curation_stress.py [n_docs] [--learned | --junk]
+
+``--learned`` plants a 10% junk class (vowel-free pseudo-words with
+the same stopword cadence and length, so the HEURISTIC gate scores
+them exactly like good docs and the per-language LM tail can absorb
+at most half of them) and swaps in the CCNet-style learned gate
+(``quality_seed``) trained on 400+400 labeled ids; the run reports
+how many junk docs survive into ``curated``. ``--junk`` plants the
+same junk class but keeps the heuristic gate -- the counterfactual
+that shows what the heuristic+LM rungs pass on their own. The numbers
+land in SCALING.md ("Measured: learned gate inside the curation DAG").
 """
 
 from __future__ import annotations
@@ -22,14 +32,19 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+_nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+N_DOCS = int(_nums[0]) if _nums else 50_000
+LEARNED = "--learned" in sys.argv
+#: plant the junk class WITHOUT the learned gate (the counterfactual:
+#: how much junk the heuristic+LM rungs pass on their own)
+JUNK = LEARNED or "--junk" in sys.argv
 SEM_K = max(8, N_DOCS // 250)
 
 
 STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def make_corpus(n: int):
+def make_corpus(n: int, with_junk: bool = False):
     # Text must CLEAR the curation quality gate (llm_pipeline.MIN_QUALITY
     # = 0.35 over stop_ratio*0.3 + alpha_ratio*0.4 + length_credit*0.3),
     # or the dedup rungs under stress would only ever see the survivors:
@@ -48,11 +63,33 @@ def make_corpus(n: int):
             for j in range(k)
         ]
 
+    # vowel-free pseudo-words: same all-alpha shape, same stopword
+    # cadence, same length as good docs, so the HEURISTIC quality
+    # score is indistinguishable -- only vocabulary separates the
+    # classes, which is exactly what the learned gate keys on. The
+    # CVCVCV good vocab can never be vowel-free, so junk survivors
+    # are countable post-hoc by a no-vowel-token probe.
+    junk_vocab = [
+        "".join(rng.choice("qxzwvkjhmn") for _ in range(6))
+        for _ in range(300)
+    ]
+
     hot = " ".join(words(30))
     rows = []
+    junk_ids = []
     last_plain: list | None = None
     for i in range(n):
-        if i % 10 == 1 and rows:
+        if with_junk and i % 10 == 9:
+            # 10% junk: above the 5% per-language LM tail, so the LM
+            # gate alone cannot absorb the class (ids never collide
+            # with the dup branches: 9 mod 10 is none of 1, 3, 5, 7)
+            junk_ids.append(i)
+            text = " ".join(
+                STOPS[j % len(STOPS)] if j % 4 == 3
+                else rng.choice(junk_vocab)
+                for j in range(60)
+            )
+        elif i % 10 == 1 and rows:
             # near-copy of the previous doc with one token changed:
             # shingle near-dup + semantic dup
             toks = rows[-1][1].split()
@@ -86,7 +123,7 @@ def make_corpus(n: int):
             text = " ".join(body)
         lang = "en" if i % 5 else "de"
         rows.append((i, text, lang, "synth", len(text)))
-    return rows
+    return rows, junk_ids
 
 
 def main() -> None:
@@ -107,12 +144,13 @@ def main() -> None:
 
     with tempfile.TemporaryDirectory() as sf_dir:
         t0 = time.time()
+        corpus, junk_ids = make_corpus(N_DOCS, with_junk=JUNK)
         # io.read_table probes the footer with pyarrow, so the table
         # must be ONE file named documents.parquet (as the driver
         # testdata ships): write a single part and rename it.
         stage = os.path.join(sf_dir, "_stage")
         spark.createDataFrame(
-            make_corpus(N_DOCS),
+            corpus,
             "doc_id long, text string, lang string, source string, n_chars long",
         ).coalesce(1).write.parquet(stage)
         part = next(
@@ -122,8 +160,22 @@ def main() -> None:
             os.path.join(stage, part),
             os.path.join(sf_dir, "documents.parquet"),
         )
-        print(f"# corpus: {N_DOCS} docs written in {time.time() - t0:.1f}s")
-        runner = build_llm_curation_pipeline(spark, sf_dir, sem_k=SEM_K)
+        print(
+            f"# corpus: {N_DOCS} docs ({len(junk_ids)} junk) "
+            f"written in {time.time() - t0:.1f}s"
+        )
+        quality_seed = None
+        if LEARNED:
+            junk_set = set(junk_ids)
+            good = [i for i in range(N_DOCS) if i not in junk_set][:400]
+            quality_seed = spark.createDataFrame(
+                [(i, 1) for i in good]
+                + [(i, 0) for i in junk_ids[:400]],
+                "doc_id long, label int",
+            )
+        runner = build_llm_curation_pipeline(
+            spark, sf_dir, sem_k=SEM_K, quality_seed=quality_seed
+        )
         results = {}
         total = 0.0
         for name in runner._toposort(list(runner._models), satisfied=set()):
@@ -137,6 +189,21 @@ def main() -> None:
             total += dt
             print(f"{name:16s} {dt:7.2f}s  rows={out.count()}")
         print(f"{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K})")
+        if JUNK:
+            from pyspark.sql import functions as F
+
+            # junk survivors: any token with letters but no vowel
+            # (impossible in the CVCVCV good vocabulary)
+            is_junk = F.exists(
+                F.split(F.col("text"), " "),
+                lambda t: t.rlike("^[qxzwvkjhmn]{6}$"),
+            )
+            survivors = results["curated"].where(is_junk).count()
+            print(
+                f"# learned gate: {survivors} junk docs survived into "
+                f"curated (of {len(junk_ids)} planted; the dup branches "
+                f"never copy a junk id, so planted = distinct junk docs)"
+            )
     spark.stop()
 
 
