@@ -10,17 +10,18 @@ north-star: "an IVF ... variant as the scale path").
 
 Scale shape (the whole point of this rendering):
 
-- **Assignment is pure codegen, zero shuffle.** The k centroids are
-  inlined as literal arrays into one `array_min(array(struct(dist,
-  cid)...))` expression (the same literal-inlining trick as the LSH
-  plane matrix, `queries/similarity.py`). Each Lloyd round is therefore
-  ONE map-side pass over the corpus -- no join against a centroid table,
-  no broadcast exchange, nothing for AQE to re-plan. Literal inlining
-  is right at coarse-quantizer scale (k up to a few hundred): the
-  bloom operator measured that codegen rebuilds LARGE array literals
-  per row (`operators/bloom.py`), so a many-thousand-cell quantizer
-  should switch assignment to the same single-row-broadcast pattern
-  (bound centroid matrix column + an `aggregate` argmin).
+- **Assignment is pure codegen, zero shuffle.** The k x dim centroid
+  matrix is inlined as ONE nested-array literal and the argmin is a
+  `transform(sequence(0, k-1), ...)` over it (the same
+  literal-inlining trick as the LSH plane matrix,
+  `queries/similarity.py`, in its k-invariant-tree form). Each Lloyd
+  round is therefore ONE map-side pass over the corpus -- no join
+  against a centroid table, no broadcast exchange, nothing for AQE to
+  re-plan -- and the expression TREE stays a handful of nodes no
+  matter the k (the matrix constant-folds to a single Literal), so
+  per-round analyzer/optimizer/Janino cost is flat. The earlier
+  unrolled per-centroid form paid ~13s/round of driver-side plan cost
+  at k=200 against 0.36s of execution (see assign_clusters).
 - **The update shuffle is k x dim rows, not N.** Per-dim sums go
   through posexplode -> groupBy(cluster, dim) -> SUM, which is map-side
   combinable: every map task emits at most k*dim partial rows no matter
@@ -53,6 +54,7 @@ fitting and assigned a NULL cluster.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,6 +72,14 @@ class CorpusTooSmallError(ValueError):
     distinguish the skippable too-small-corpus case from genuine
     ValueErrors (indivisible dim, internal bugs). Subclasses ValueError
     for back-compat with callers that caught that."""
+
+#: assign_clusters switches from the pure-Catalyst expression to the
+#: Arrow/numpy kernel above this many distance terms (k x dim): the
+#: HOF expression's interpreted eval is per-term, the kernel is
+#: vectorized, and the two are bit-equal (see _assign_vectorized).
+#: 4096 keeps every oracle-checked small-k rendering (k <= 8, dim 64)
+#: on the expression path.
+_VECTORIZED_CELLS = 4096
 
 #: Exact-sum type for centroid updates: float32 inputs (|x| < ~1e9)
 #: leave 26 integral digits of headroom at scale 12, enough for >1e16
@@ -112,18 +122,48 @@ def assign_clusters(
 ) -> DataFrame:
     """Add ``out_col`` = id of the nearest centroid (NULL for NULL or
     wrong-length vectors). One codegen expression, no join, no shuffle;
-    ties break to the smallest cluster id via struct ordering."""
+    ties break to the smallest cluster id via struct ordering.
+
+    The k centroids travel as ONE nested-array literal indexed by a
+    ``transform(sequence(0, k-1), ...)`` argmin, NOT as k separate
+    per-centroid distance subtrees: the expression tree is k-invariant
+    (the matrix constant-folds to a single Literal on the optimizer's
+    first pass), where the unrolled form was ~k*dim nodes that every
+    analyzer/optimizer rule re-walked and Janino recompiled PER ACTION
+    -- at k=200 x dim=64 that was ~13s of driver-side plan cost per
+    Lloyd round against 0.36s of execution (measured round 8, 50k
+    rows; the rewrite is arithmetic-identical, so models and
+    assignments stay bit-equal).
+
+    Above ``_VECTORIZED_CELLS`` distance terms (k x dim) the work is
+    delegated to the Arrow/numpy kernel (`_assign_vectorized`): the
+    higher-order-function expression is CodegenFallback and its
+    interpreted eval measured 8.2s for one 50k x k=200 pass where the
+    kernel takes ~1s. The kernel is bit-equal by construction (strict
+    left-fold distances, same tie rule -- see its docstring), so which
+    path runs is invisible in results; small-k callers (the
+    driver-oracle-checked IVF/semdedup renderings, k <= 8) stay on
+    the pure-Catalyst expression and keep Python out of their plans."""
     if not centroids:
         raise ValueError("assign_clusters needs at least one centroid")
-    dim = len(next(iter(centroids.values())))
+    from ..functions.lits import array_lit
+
+    items = sorted(centroids.items())
+    dim = len(items[0][1])
+    k = len(items)
+    if k * dim > _VECTORIZED_CELLS:
+        return _assign_vectorized(vectors, centroids, vec_col, out_col)
     v = F.col(vec_col)
-    choices = F.array(
-        *[
-            F.struct(
-                _dist2(v, c).alias("d"), F.lit(int(cid)).alias("cid")
-            )
-            for cid, c in sorted(centroids.items())
-        ]
+    mat = array_lit([c for _, c in items])
+    cids = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in items) + ")"
+    )
+    choices = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.struct(
+            _dist2(v, F.element_at(mat, i + 1)).alias("d"),
+            F.element_at(cids, i + 1).alias("cid"),
+        ),
     )
     argmin = F.array_min(choices)["cid"]
     return vectors.withColumn(
@@ -132,6 +172,64 @@ def assign_clusters(
             argmin
         ),
     )
+
+
+def _assign_vectorized(
+    vectors: DataFrame,
+    centroids: dict[int, list[float]],
+    vec_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Arrow-vectorized nearest-centroid assignment for the Lloyd hot
+    loop: one scalar pandas_udf whose batch body is numpy, ~10x the
+    throughput of the interpreted higher-order-function expression at
+    k in the hundreds (HOFs are CodegenFallback -- measured 9.5s vs
+    ~1s per round at 50k x k=200 x dim=64, round 8).
+
+    BIT-EQUAL to ``assign_clusters`` by construction, ties included:
+    the distance is accumulated dimension-by-dimension in a strict
+    left fold (``acc += (x_j - c_j)^2``), the exact add order of
+    `_dist2`'s ``aggregate``, in the same IEEE doubles -- NOT the
+    algebraically-equivalent ``|x|^2 - 2xC^T + |c|^2`` matmul, whose
+    different rounding breaks exact distance TIES differently and was
+    measured steering Lloyd to a different fixpoint on a tied fixture
+    (tests/test_semdedup.py). argmin takes the first minimum with
+    centroid rows in cluster-id order = array_min's (d, cid) struct
+    ordering. NULL/wrong-length vectors get NULL. (Known divergence:
+    NaN distances -- np.argmin picks the first NaN, Spark orders NaN
+    greatest; every fit caller excludes NaN vectors upstream.)
+
+    INTERNAL to ``kmeans_fit``: the public ``assign_clusters`` stays
+    the pure-Catalyst expression, so driver-oracle-checked query plans
+    keep zero Python in them."""
+    import numpy as np
+
+    items = sorted(centroids.items())
+    mat = np.asarray([c for _, c in items], dtype=np.float64)
+    ids = np.asarray([cid for cid, _ in items], dtype=np.int64)
+    dim = mat.shape[1]
+
+    @F.pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        out = np.full(len(col), -1, dtype=np.int64)
+        valid = [
+            i
+            for i, v in enumerate(col)
+            if v is not None and len(v) == dim
+        ]
+        if valid:
+            x = np.vstack(
+                [np.asarray(col.iloc[i], dtype=np.float64) for i in valid]
+            )
+            acc = np.zeros((x.shape[0], mat.shape[0]))
+            for j in range(dim):
+                t = x[:, j, None] - mat[None, :, j]
+                acc += t * t
+            out[valid] = ids[np.argmin(acc, axis=1)]
+        s = pd.Series(out, dtype="Int64")
+        return s.mask(s < 0).astype("Int32")
+
+    return vectors.withColumn(out_col, nearest(F.col(vec_col)))
 
 
 def _seed_centroids(
@@ -194,7 +292,12 @@ def kmeans_fit(
 
     centroids = _seed_centroids(clean, k, "__id", "__v")
     for _ in range(max_iterations):
-        assigned = assign_clusters(clean, centroids, vec_col="__v")
+        # hot loop: vectorized assignment (see _assign_vectorized); the
+        # update sums stay exact-decimal Spark aggregation, so the
+        # model remains bit-identical under any partitioning
+        assigned = _assign_vectorized(
+            clean, centroids, vec_col="__v", out_col="cluster"
+        )
         sums = (
             assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))
             .groupBy("cluster", "dim")
@@ -228,15 +331,19 @@ def kmeans_cost(
 ) -> float:
     """Sum of squared distances to the assigned centroid (the Lloyd
     objective; non-increasing across iterations). One scan + one scalar."""
+    from ..functions.lits import array_lit
+
     assigned = assign_clusters(vectors, centroids, vec_col=vec_col)
-    dim = len(next(iter(centroids.values())))
-    dist_cases = F.array(
-        *[
-            F.struct(F.lit(int(cid)).alias("cid"), _dist2(F.col(vec_col), c).alias("d"))
-            for cid, c in sorted(centroids.items())
-        ]
+    items = sorted(centroids.items())
+    # same k-invariant literal-matrix shape as assign_clusters
+    mat = array_lit([c for _, c in items])
+    cids = F.expr(
+        "array(" + ",".join(str(int(cid)) for cid, _ in items) + ")"
     )
-    picked = F.filter(dist_cases, lambda s: s["cid"] == F.col("cluster"))[0]["d"]
+    picked = _dist2(
+        F.col(vec_col),
+        F.element_at(mat, F.array_position(cids, F.col("cluster")).cast("int")),
+    )
     row = (
         assigned.where(F.col("cluster").isNotNull())
         .select(picked.alias("d"))

@@ -147,18 +147,34 @@ def semdedup(
         & ~F.exists(e, lambda x: F.isnan(x))
     )
     # cosine to the assigned centroid, literal-inlined like the
-    # assignment itself: one chained CASE over k branches, no join
+    # assignment itself: the k x dim centroid matrix (and the k
+    # precomputed centroid norms) travel as ONE nested-array literal
+    # indexed by the row's cluster, NOT as a chained CASE over k
+    # branches -- the chain cost k array_lit parses + k when() py4j
+    # hops to BUILD (9.4s of pure driver time at k=200, round 8) for
+    # the same arithmetic: dot and norm folds, centroid norms computed
+    # driver-side in python floats, identical per-branch expressions,
+    # so cos_centroid is bit-equal to the chained form.
     import math
 
-    cos_cent = F.lit(None).cast("double")
-    for cid, c in sorted(centroids.items()):
-        cnorm = math.sqrt(sum(x * x for x in c)) or 1.0
-        lit_c = array_lit(c)  # one py4j round trip per centroid
-        cos_cent = F.when(
-            F.col("cluster") == cid,
-            dot(F.col("embedding"), lit_c)
-            / (norm(F.col("embedding")) * F.lit(cnorm)),
-        ).otherwise(cos_cent)
+    items = sorted(centroids.items())
+    mat = array_lit([c for _, c in items])
+    cnorms = array_lit(
+        [math.sqrt(sum(x * x for x in c)) or 1.0 for _, c in items]
+    )
+    idx = (
+        F.array_position(
+            F.expr(
+                "array(" + ",".join(str(int(cid)) for cid, _ in items) + ")"
+            ),
+            F.col("cluster"),
+        )
+    ).cast("int")
+    cos_cent = F.when(
+        F.col("cluster").isNotNull(),
+        dot(F.col("embedding"), F.element_at(mat, idx))
+        / (norm(F.col("embedding")) * F.element_at(cnorms, idx)),
+    )
     scored = assigned.withColumn(
         "cos_centroid", F.when(valid, cos_cent)
     )
