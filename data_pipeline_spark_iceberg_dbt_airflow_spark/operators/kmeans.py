@@ -263,6 +263,7 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_iterations: int = MAX_KMEANS_ITERATIONS,
+    fit_sample: int | None = None,
 ) -> dict[int, list[float]]:
     """Fit k centroids with Lloyd's algorithm; return {cluster_id: centroid}.
 
@@ -271,6 +272,23 @@ def kmeans_fit(
     exactly like a broadcast variable but visible to Catalyst. Stops at
     the exact fixpoint (decimal means unchanged) or after
     ``max_iterations``.
+
+    ``fit_sample`` bounds the Lloyd loop's corpus term: when set, the
+    rounds run over the ``fit_sample`` vectors with the smallest
+    md5(id) rank (id tie-break) instead of the whole corpus -- the
+    SAME ranking the seeder uses, so the sample is a superset of the
+    seeds by construction and the seed model is unchanged. This is
+    the scale escape for quantizers sized proportionally to the
+    corpus (k ~ N makes the per-round assignment term N*k ~ N^2):
+    coarse cells only need to be REPRESENTATIVE, not converged on
+    every row, and an md5-ranked sample is an unbiased fixed-size
+    draw that is deterministic under any partitioning. Measured at
+    200k x 64-dim, k=800: full fit 98.2s -> fit_sample=40k 25.6s with
+    downstream semantic-dup drops within noise (SCALING.md). The
+    sample is localCheckpointed (sample-sized, bounded by the caller)
+    so rounds re-scan the sample, not the corpus lineage. A sample
+    smaller than k raises CorpusTooSmallError from the seeder.
+    ``None`` (default) fits on every valid vector, exactly as before.
     """
     # Reference dimension: the vector of the SMALLEST id -- deterministic
     # under any partitioning, unlike an unordered limit(1) (a
@@ -290,13 +308,36 @@ def kmeans_fit(
         F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
     ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
 
-    centroids = _seed_centroids(clean, k, "__id", "__v")
+    fit_rows = clean
+    if fit_sample is not None and max_iterations > 0:
+        # the md5-ranked head: one TakeOrdered-shaped job, then a
+        # truncated (checkpointed) sample-sized frame for the rounds
+        # A global sort-limit lands the sample in ONE partition (the
+        # limit's single-partition collect shape) -- left that way,
+        # every Lloyd round would run on one core (measured 2x SLOWER
+        # than the unsampled fit at 200k). Re-spread by id hash before
+        # checkpointing; the model is partitioning-independent by the
+        # decimal-sum design, so the spread is free of semantics.
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        fit_rows = (
+            clean.select(
+                F.md5(F.col("__id").cast("string")).alias("__h"),
+                "__id",
+                "__v",
+            )
+            .orderBy("__h", "__id")
+            .limit(int(fit_sample))
+            .drop("__h")
+            .repartition(par, "__id")
+            .localCheckpoint(eager=True)
+        )
+    centroids = _seed_centroids(fit_rows, k, "__id", "__v")
     for _ in range(max_iterations):
         # hot loop: vectorized assignment (see _assign_vectorized); the
         # update sums stay exact-decimal Spark aggregation, so the
         # model remains bit-identical under any partitioning
         assigned = _assign_vectorized(
-            clean, centroids, vec_col="__v", out_col="cluster"
+            fit_rows, centroids, vec_col="__v", out_col="cluster"
         )
         sums = (
             assigned.select("cluster", F.posexplode("__v").alias("dim", "val"))

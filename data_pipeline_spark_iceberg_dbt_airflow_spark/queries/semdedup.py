@@ -78,6 +78,7 @@ def semdedup(
     vec_col: str = "embedding",
     max_iterations: int | None = None,
     dim: int | None = None,
+    fit_sample: int | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -96,6 +97,14 @@ def semdedup(
     operator (same trick as the kseed and PQ renderings). Lloyd
     refinement (the default) tightens the cells but is iterative, so
     that path is pinned by pytest instead.
+
+    ``fit_sample`` forwards to ``kmeans_fit``: Lloyd rounds run over
+    the md5-ranked head of that size instead of the whole corpus --
+    cells only BLOCK the pair search here, so a representative fit is
+    enough and the assignment term stops scaling with N*k (the
+    sizing-rule asymptote; SCALING.md). Every vector is still
+    assigned, compared and deduplicated; only the centroid refinement
+    reads the sample.
 
     ``dim`` pins the expected vector width; when given, rows whose id is
     NULL or whose vector is not exactly ``dim`` wide are excluded from
@@ -121,9 +130,11 @@ def semdedup(
             & (F.size(F.col(vec_col)) == dim)
         )
     fit_input = emb.where(fit_filter)
-    fit_kwargs = (
+    fit_kwargs: dict = (
         {} if max_iterations is None else {"max_iterations": max_iterations}
     )
+    if fit_sample is not None:
+        fit_kwargs["fit_sample"] = fit_sample
     centroids = kmeans_fit(
         fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
     )

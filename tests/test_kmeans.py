@@ -129,3 +129,43 @@ def test_kmeans_clusters_hash_embedded_documents(spark, sf_dir):
         vecs.repartition(9), 3, id_col="doc_id", vec_col="embedding", max_iterations=4
     )
     assert refit == model
+
+
+def test_fit_sample_superset_equals_full_fit(emb, model):
+    """A sample at least as large as the corpus IS the corpus (the
+    md5-ranked head is the whole id set), so the model must be
+    bit-identical to the unsampled fit."""
+    n = emb.count()
+    sampled = kmeans_fit(emb, K, max_iterations=5, fit_sample=n + 10)
+    assert sampled == model
+
+
+def test_fit_sample_model_is_deterministic_and_usable(emb):
+    """The sampled fit is a pure function of the id set (md5-ranked
+    head), so repartitioning cannot move it; the model still assigns
+    every valid vector of the FULL corpus."""
+    a = kmeans_fit(emb, K, max_iterations=3, fit_sample=20)
+    b = kmeans_fit(
+        emb.repartition(7), K, max_iterations=3, fit_sample=20
+    )
+    assert a == b
+    assigned = assign_clusters(emb, a)
+    n = emb.where(F.col("embedding").isNotNull()).count()
+    assert (
+        assigned.where(F.col("cluster").isNotNull()).count() == n
+    )
+    got = {
+        r["cluster"]
+        for r in assigned.collect()
+        if r["cluster"] is not None
+    }
+    assert got <= set(range(K))  # every assigned id is a model cell
+
+
+def test_fit_sample_smaller_than_k_raises(emb):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        CorpusTooSmallError,
+    )
+
+    with pytest.raises(CorpusTooSmallError):
+        kmeans_fit(emb, K, max_iterations=2, fit_sample=K - 1)
