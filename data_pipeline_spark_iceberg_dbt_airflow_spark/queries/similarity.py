@@ -207,21 +207,28 @@ def _topk(scored: DataFrame) -> DataFrame:
     )
 
 
+#: Exact brute-force top-k oracle, shared by BOTH engine renderings of
+#: the same math: the JVM-fold sim_topk_bruteforce and the Arrow-kernel
+#: sim_topk_pandas (whose left-fold accumulation is bit-equal to the
+#: JVM fold -- see _cosine_pandas_kernel).
+_BRUTE_TOPK_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS id_a, embedding AS q_emb
+               FROM embeddings WHERE vec_id < {QUERY_N}),
+    s AS (SELECT q.id_a, e.vec_id AS id_b,
+                 {_o_cosine("q.q_emb", "e.embedding")} AS cosine
+          FROM q CROSS JOIN embeddings e
+          WHERE e.vec_id <> q.id_a)
+    SELECT id_a, id_b, cosine, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+          FROM s)
+    WHERE rank <= {TOP_K}
+"""
+
+
 @register(
     "sim_topk_bruteforce",
-    oracle=f"""
-        WITH q AS (SELECT vec_id AS id_a, embedding AS q_emb
-                   FROM embeddings WHERE vec_id < {QUERY_N}),
-        s AS (SELECT q.id_a, e.vec_id AS id_b,
-                     {_o_cosine("q.q_emb", "e.embedding")} AS cosine
-              FROM q CROSS JOIN embeddings e
-              WHERE e.vec_id <> q.id_a)
-        SELECT id_a, id_b, cosine, rank
-        FROM (SELECT *, ROW_NUMBER() OVER (
-                  PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
-              FROM s)
-        WHERE rank <= {TOP_K}
-    """,
+    oracle=_BRUTE_TOPK_ORACLE,
     doc="Exact cosine top-k, the ANN recall baseline: broadcast the "
     "(bounded) query batch against one streaming scan of the corpus, "
     "rank per query. The corpus side never shuffles for the join; the "
@@ -908,12 +915,17 @@ def _cosine_pandas_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     """Arrow-batched cosine kernel: NumPy over stacked vector batches.
 
     Each invocation receives a few thousand (query, candidate) vector
-    pairs as Arrow arrays; the arithmetic is one vectorized matmul-shaped
-    pass instead of per-row Python -- the 10-100x rule from the UDF
-    guidance. float64 accumulation (NumPy pairwise summation), so values
-    agree with the JVM fold to ~1e-12 but are not bit-identical --
-    hence rows-only registration, with equivalence to sim_topk_bruteforce
-    asserted in tests at 1e-9.
+    pairs as Arrow arrays; the arithmetic is one vectorized pass
+    instead of per-row Python -- the 10-100x rule from the UDF
+    guidance. The accumulation is a strict LEFT FOLD dimension by
+    dimension (``acc += a_j*b_j``), the exact add order and IEEE
+    doubles of the JVM ``dot``/``norm`` expressions -- NOT numpy's
+    pairwise ``sum``/``linalg.norm``, whose different rounding left the
+    values ~1e-12 off the JVM fold and forced this query's rows-only
+    registration for seven rounds. Bit-equal values mean the DuckDB
+    oracle that hash-pins sim_topk_bruteforce pins this path too (the
+    same kernel-equals-expression discipline as
+    ``operators/kmeans._assign_vectorized``).
     """
     import numpy as np
 
@@ -925,9 +937,16 @@ def _cosine_pandas_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
     if valid.any():
         av = np.stack(a[valid].to_numpy()).astype(np.float64)
         bv = np.stack(b[valid].to_numpy()).astype(np.float64)
-        num = (av * bv).sum(axis=1)
-        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-        for pos, val in zip(np.flatnonzero(valid.to_numpy()), num / den):
+        num = np.zeros(av.shape[0])
+        na = np.zeros(av.shape[0])
+        nb = np.zeros(av.shape[0])
+        for j in range(av.shape[1]):
+            x, y = av[:, j], bv[:, j]
+            num += x * y
+            na += x * x
+            nb += y * y
+        cos = num / (np.sqrt(na) * np.sqrt(nb))
+        for pos, val in zip(np.flatnonzero(valid.to_numpy()), cos):
             out[pos] = float(val)
     return pd.Series(out, dtype=object)
 
@@ -940,8 +959,9 @@ def _cosine_pandas():
 
 @register(
     "sim_topk_pandas",
-    oracle=None,  # float64 pairwise summation: ~1e-12 of the JVM fold,
-    # not bit-identical -- verified against sim_topk_bruteforce in pytest.
+    # the kernel's left-fold accumulation is bit-equal to the JVM fold
+    # (round 8), so the exact brute-force oracle hash-pins this path too
+    oracle=_BRUTE_TOPK_ORACLE,
     doc="Brute-force cosine top-k through the vectorized-UDF path (X2): "
     "same broadcast-query / streaming-candidate shape as "
     "sim_topk_bruteforce, but the kernel is an Arrow-batched pandas_udf "

@@ -87,15 +87,17 @@ def test_minhash_recall_vs_exhaustive(spark, sf_dir):
 
 
 def test_pandas_cosine_matches_jvm_fold(spark, sf_dir):
-    """The Arrow/NumPy kernel must agree with the JVM left-fold to 1e-9
-    and produce the same top-k membership per query."""
+    """The Arrow/NumPy kernel accumulates in the JVM fold's exact add
+    order (round 8), so values must be BIT-EQUAL, not merely close --
+    that equality is what lets the driver hash-pin sim_topk_pandas
+    against the same DuckDB oracle as the brute-force rendering."""
     jvm = _run(spark, sf_dir, "sim_topk_bruteforce").collect()
     pnd = _run(spark, sf_dir, "sim_topk_pandas").collect()
     jvm_map = {(r.id_a, r.id_b): r.cosine for r in jvm}
     pnd_map = {(r.id_a, r.id_b): r.cosine for r in pnd}
     assert jvm_map.keys() == pnd_map.keys()
     for k, v in jvm_map.items():
-        assert abs(v - pnd_map[k]) < 1e-9, (k, v, pnd_map[k])
+        assert v == pnd_map[k], (k, v, pnd_map[k])
 
 
 def test_simhash_fingerprints_cover_tokenful_docs(spark, sf_dir):
