@@ -109,6 +109,13 @@ def _build_parser() -> argparse.ArgumentParser:
     sd.add_argument(
         "--eps", type=float, default=0.03, help="1 - cosine duplicate gate"
     )
+    sd.add_argument(
+        "--fit-sample",
+        type=int,
+        default=None,
+        help="Lloyd rounds read only the n smallest-md5(id) vectors "
+        "(deterministic; kills the N*k fit term when k scales with N)",
+    )
 
     ct = sub.add_parser("contain", help="doc-in-doc containment pairs")
     ct.add_argument("--sf", default=DEFAULT_SF)
@@ -328,7 +335,10 @@ def _dispatch(args: argparse.Namespace, spark) -> int:
         from .queries.semdedup import semdedup
 
         out = semdedup(
-            read_table(spark, args.sf, "embeddings"), k=args.k, eps=args.eps
+            read_table(spark, args.sf, "embeddings"),
+            k=args.k,
+            eps=args.eps,
+            fit_sample=args.fit_sample,
         )
         agg = out.agg(
             F.count(F.lit(1)).alias("n"),
