@@ -169,3 +169,56 @@ def test_fit_sample_smaller_than_k_raises(emb):
 
     with pytest.raises(CorpusTooSmallError):
         kmeans_fit(emb, K, max_iterations=2, fit_sample=K - 1)
+
+
+def test_vectorized_kernel_bit_equal_to_expression(spark):
+    """The Arrow/numpy kernel must reproduce the pure-Catalyst
+    assignment BIT-FOR-BIT, ties included -- the property that lets
+    assign_clusters switch paths invisibly. The fixture engineers the
+    hard cases: exact distance ties (points equidistant to several
+    centroids, centroids duplicated verbatim), zero vectors, a point
+    equal to a centroid, and float32-ish values whose squared terms
+    round."""
+    import random
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        _assign_vectorized,
+    )
+
+    rng = random.Random(1234)
+    dim = 16
+    cents = {
+        0: [1.0] + [0.0] * (dim - 1),
+        1: [-1.0] + [0.0] * (dim - 1),
+        2: [-1.0] + [0.0] * (dim - 1),  # duplicate of 1: forced tie
+        3: [rng.uniform(-1, 1) for _ in range(dim)],
+    }
+    rows = [
+        (0, [0.0] * dim),                      # equidistant to 0/1/2
+        (1, [1.0] + [0.0] * (dim - 1)),        # exactly centroid 0
+        (2, None),                             # NULL vector
+        (3, [0.5] * 3),                        # wrong dim
+    ] + [
+        (10 + i, [rng.uniform(-2, 2) for _ in range(dim)])
+        for i in range(200)
+    ] + [
+        # near-tie band: tiny first-coordinate offsets around 0
+        (300 + i, [i * 1e-16] + [0.0] * (dim - 1))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(5)
+    expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_vectorized(
+            df, cents, "embedding", "cluster"
+        ).collect()
+    }
+    assert expr == vec
+    assert expr[2] is None and expr[3] is None
+    assert expr[0] == 0 and expr[1] == 0  # ties break to smallest cid
