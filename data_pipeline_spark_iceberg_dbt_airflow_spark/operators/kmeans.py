@@ -209,6 +209,12 @@ def _assign_vectorized(
     ids = np.asarray([cid for cid, _ in items], dtype=np.int64)
     dim = mat.shape[1]
 
+    # Bound the kernel's working set: the fold's (rows x k) temporaries
+    # are chunked so chunk*k stays ~8M doubles (~64MB/array) no matter
+    # the Arrow batch size or k -- at k=4000 an unchunked 10k-row batch
+    # would hold ~320MB temporaries PER concurrent task.
+    chunk_rows = max(1, 8_000_000 // max(1, mat.shape[0]))
+
     @F.pandas_udf("int")
     def nearest(col: pd.Series) -> pd.Series:
         out = np.full(len(col), -1, dtype=np.int64)
@@ -221,11 +227,15 @@ def _assign_vectorized(
             x = np.vstack(
                 [np.asarray(col.iloc[i], dtype=np.float64) for i in valid]
             )
-            acc = np.zeros((x.shape[0], mat.shape[0]))
-            for j in range(dim):
-                t = x[:, j, None] - mat[None, :, j]
-                acc += t * t
-            out[valid] = ids[np.argmin(acc, axis=1)]
+            picks = np.empty(x.shape[0], dtype=np.int64)
+            for lo in range(0, x.shape[0], chunk_rows):
+                xc = x[lo : lo + chunk_rows]
+                acc = np.zeros((xc.shape[0], mat.shape[0]))
+                for j in range(dim):
+                    t = xc[:, j, None] - mat[None, :, j]
+                    acc += t * t
+                picks[lo : lo + chunk_rows] = np.argmin(acc, axis=1)
+            out[valid] = ids[picks]
         s = pd.Series(out, dtype="Int64")
         return s.mask(s < 0).astype("Int32")
 
