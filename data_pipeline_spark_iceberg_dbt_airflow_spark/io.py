@@ -58,6 +58,26 @@ def _nanos_columns(path: str) -> list[str]:
     return _NANOS_COLS_CACHE[path]
 
 
+_ROW_GROUPS_CACHE: dict[str, int | None] = {}
+
+
+def _row_group_count(path: str) -> int | None:
+    """Row groups in a single parquet file (footer-only; None when the
+    path is not one readable file). Row groups, not file SPLITS, are
+    parquet's parallelism quantum: a split containing no row-group
+    midpoint yields an EMPTY Spark partition, so a big single file with
+    default 128MB row groups scans as ~size/128MB busy tasks no matter
+    how many splits the scheduler cuts."""
+    if path not in _ROW_GROUPS_CACHE:
+        try:
+            import pyarrow.parquet as pq
+
+            _ROW_GROUPS_CACHE[path] = pq.ParquetFile(path).metadata.num_row_groups
+        except Exception:
+            _ROW_GROUPS_CACHE[path] = None
+    return _ROW_GROUPS_CACHE[path]
+
+
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     # Normally set at session build (session.py); safety net for sessions
     # built elsewhere. Session-wide by design -- see get_spark_session doc.
@@ -168,7 +188,9 @@ def _raw_scan(spark: SparkSession, path: str) -> DataFrame:
     return cached
 
 
-def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def read_table(
+    spark: SparkSession, sf_dir: str, name: str, widen: bool = False
+) -> DataFrame:
     """Scan one testdata table (S7: table scan).
 
     Parquet TIMESTAMP(NANOS) columns (events.ts, lineitem.l_shipdate) are
@@ -179,17 +201,35 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIME column itself would land on a derived expression the reader can't
     prune -- for those use :func:`scan_time_range`, which pushes raw-INT64
     bounds into the scan before converting.
+
+    ``widen=True`` is `widen_for_compute` with the FOOTER as the
+    parallelism signal: the table's row-group count (not the split
+    count) bounds how many tasks a parquet scan can keep busy, and
+    Spark happily cuts 32 splits of a single 450MB file whose ~4
+    row groups leave 28 of them empty. The split-count guard in
+    widen_for_compute is blind to that (measured round 8: a 1M-doc
+    single-file corpus ran every CPU-heavy per-row stage on ~4 of 32
+    cores -- text_profile 450s where the same work from a well-spread
+    frame costs ~tens of seconds). At real scale inputs arrive as many
+    files and many row groups, so the widen stays a no-op there.
     """
     path = table_path(sf_dir, name)
     key = (session_token(spark), path)
-    cached = _SCAN_CACHE.get(key)
-    if cached is not None:
-        return cached
-    ns_cols = _nanos_columns(path)
-    if ns_cols:
-        _ensure_nanos_conf(spark)
-    df = _convert_ns(_raw_scan(spark, path), ns_cols)
-    _SCAN_CACHE[key] = df
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        ns_cols = _nanos_columns(path)
+        if ns_cols:
+            _ensure_nanos_conf(spark)
+        df = _convert_ns(_raw_scan(spark, path), ns_cols)
+        _SCAN_CACHE[key] = df
+    if widen:
+        par = spark.sparkContext.defaultParallelism
+        rg = _row_group_count(path)
+        eff = df.rdd.getNumPartitions()
+        if rg is not None:
+            eff = min(eff, rg)
+        if eff < par:
+            return df.repartition(par)
     return df
 
 

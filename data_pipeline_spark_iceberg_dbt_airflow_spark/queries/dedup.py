@@ -59,7 +59,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table, session_token, widen_for_compute
+from ..io import read_table, session_token
 from ..operators.graph import connected_components
 from .registry import register
 
@@ -148,7 +148,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _INDEX_CACHE[key]
     # Shingling is the CPU-bound stage of the whole dedup family; make sure
     # it runs on every core even when the scan is a single parquet split.
-    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     sh = (
         docs.select("doc_id", _tokens_col().alias("t"))
         .where(F.size("t") >= 3)
@@ -897,7 +897,7 @@ def semantic_components(
     tags=("dedup", "llm-data", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen_for_compute(read_table(spark, sf_dir, "documents"))
+    docs = read_table(spark, sf_dir, "documents", widen=True)
     tok = (
         docs.select("doc_id", F.explode(_tokens_col()).alias("tok"))
         .where(F.length("tok") > 0)
@@ -1322,8 +1322,8 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-position md5 is the dominant map cost and must spread over
     # every core, not ride one parquet split (at warehouse scale the
     # table arrives as thousands of splits and this is a guarded no-op).
-    docs = widen_for_compute(
-        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = read_table(spark, sf_dir, "documents", widen=True).select(
+        "doc_id", "text"
     )
     return (
         mask_repeated_spans(docs)

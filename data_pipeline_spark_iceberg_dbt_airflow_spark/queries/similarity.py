@@ -57,7 +57,6 @@ from ..io import (
     read_table,
     register_cache_purger,
     session_token,
-    widen_for_compute,
 )
 from .registry import register
 
@@ -164,7 +163,7 @@ def _normed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_token(spark), sf_dir)
     if key in _NORMED_CACHE:
         return _NORMED_CACHE[key]
-    emb = widen_for_compute(read_table(spark, sf_dir, "embeddings"))
+    emb = read_table(spark, sf_dir, "embeddings", widen=True)
     out = emb.select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
     ).persist()

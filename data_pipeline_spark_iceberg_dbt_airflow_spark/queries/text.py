@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table, widen_for_compute
+from ..io import read_table
 from ..operators.pii import (
     PII_PATTERNS,
     pii_count,
@@ -160,7 +160,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on one core. The widen is a guarded no-op on well-split inputs.
     # synth_pii plants deterministic PII spans (the corpus itself is
     # PII-free word salad) so the detect/redact columns are exercised.
-    docs = synth_pii(widen_for_compute(read_table(spark, sf_dir, "documents")))
+    docs = synth_pii(read_table(spark, sf_dir, "documents", widen=True))
     t = _toks()
     token_cnt = F.size(t)
     char_cnt = F.length("text")

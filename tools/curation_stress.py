@@ -134,7 +134,14 @@ def main() -> None:
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
         )
         .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "16g")
+        # Single-JVM local mode: every localCheckpointed model boundary
+        # lives in THIS heap. 16g fits the 50k-200k sweeps; the 1M run
+        # measurably tips into storage eviction + GC there (SCALING.md),
+        # so size it via the env for big sweeps.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
