@@ -72,10 +72,29 @@ def _row_group_count(path: str) -> int | None:
         try:
             import pyarrow.parquet as pq
 
-            _ROW_GROUPS_CACHE[path] = pq.ParquetFile(path).metadata.num_row_groups
+            meta = pq.ParquetFile(path).metadata
+            _ROW_GROUPS_CACHE[path] = meta.num_row_groups
+            _ROW_COUNT_CACHE[path] = meta.num_rows
         except Exception:
             _ROW_GROUPS_CACHE[path] = None
+            _ROW_COUNT_CACHE[path] = None
     return _ROW_GROUPS_CACHE[path]
+
+
+_ROW_COUNT_CACHE: dict[str, int | None] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Footer-only row count of a single-file testdata table (None when
+    the path is not one readable parquet file). The cheap corpus-size
+    probe for plan-shape decisions (e.g. the lexical near-dup candidate
+    generator switches to banded MinHash above a size bound): reads ~1KB
+    of footer, never a Spark job. On a real multi-file table the same
+    number comes from catalog statistics."""
+    path = table_path(sf_dir, name)
+    if path not in _ROW_COUNT_CACHE:
+        _row_group_count(path)
+    return _ROW_COUNT_CACHE[path]
 
 
 def _ensure_nanos_conf(spark: SparkSession) -> None:
@@ -223,13 +242,22 @@ def read_table(
         df = _convert_ns(_raw_scan(spark, path), ns_cols)
         _SCAN_CACHE[key] = df
     if widen:
-        par = spark.sparkContext.defaultParallelism
-        rg = _row_group_count(path)
-        eff = df.rdd.getNumPartitions()
-        if rg is not None:
-            eff = min(eff, rg)
-        if eff < par:
-            return df.repartition(par)
+        # Memoized per (session, path): the probe's df.rdd.getNumPartitions()
+        # is a plan->RDD py4j round trip, and the answer cannot change for an
+        # immutable testdata table within a session (round-8 ADVICE: five hot
+        # call sites were paying it per invocation). The widened DataFrame is
+        # an immutable plan, safe to share like the scan itself.
+        wkey = (key[0], path, "widen")
+        wdf = _SCAN_CACHE.get(wkey)
+        if wdf is None:
+            par = spark.sparkContext.defaultParallelism
+            rg = _row_group_count(path)
+            eff = df.rdd.getNumPartitions()
+            if rg is not None:
+                eff = min(eff, rg)
+            wdf = df.repartition(par) if eff < par else df
+            _SCAN_CACHE[wkey] = wdf
+        return wdf
     return df
 
 

@@ -1,0 +1,174 @@
+"""Equivalence pins for the round-9 lexical_components scale rewrite.
+
+VERDICT r8's one `weak` was the superlinear candidate band in
+``lexical_components`` (inverted-index self-join pair emission grows
+~df^2 on duplicate cliques; 11.4x wall for 5x docs at 1M). The fix is
+two-layered -- digest-collapse exact-duplicate cliques before the pair
+join (semantics-EXACT at any size, argued in ``_digest_rep_map``), and
+switch candidate generation to banded MinHash + explicit verification
+above ``LEXICAL_LSH_BOUND`` docs (the standard LSH recall trade). These
+tests pin both layers against the direct uncollapsed computation on a
+corpus engineered with every edge case the equivalence argument turns
+on: multi-size exact cliques, NORMALIZED-equal-but-raw-different dups,
+near-dup bridges BETWEEN cliques (component expansion), short docs with
+no shingles, and an oversized clique whose only shingles are df-capped
+away (must stay singletons -- the collapse is restricted to
+shingle-bearing docs precisely for this case).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
+    connected_components,
+)
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
+from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+    _pair_jaccard,
+    lexical_components,
+    release_shingle_index,
+    shingled_docs,
+)
+
+
+def _mk_corpus(spark, tmp_path_factory, n_filler: int):
+    """Clique-heavy corpus; returns its sf_dir."""
+    import random
+
+    rng = random.Random(9)
+    vocab = [f"w{chr(97 + i)}{chr(97 + j)}" for i in range(20) for j in range(20)]
+
+    def sent(k, seed):
+        r = random.Random(seed)
+        return " ".join(r.choice(vocab) for _ in range(k))
+
+    rows = []
+    nid = 0
+
+    def add(text):
+        nonlocal nid
+        rows.append((nid, text, "en", "synth", len(text)))
+        nid += 1
+
+    base_a = sent(40, 1)
+    ta = base_a.split()
+    # clique B base: ONE middle token changed => jaccard vs base_a
+    # ~35/41 = 0.85, an edge BETWEEN the cliques (and high enough that
+    # 4x2 minhash banding finds it essentially surely: miss = (1-j^2)^4
+    # ~ 0.5%)
+    tb = list(ta)
+    tb[20] = "zz"
+    base_b = " ".join(tb)
+    # clique A: 5 exact copies, two of them raw-different but
+    # NORMALIZED-equal (case + whitespace variants)
+    for _ in range(3):
+        add(base_a)
+    add(base_a.upper())
+    add("  " + base_a.replace(" ", "   ") + " ")
+    # clique B: 4 exact copies
+    for _ in range(4):
+        add(base_b)
+    # a lone near-dup hanging off clique B (tests rep-expansion of an
+    # edge whose other endpoint is a singleton)
+    tc = list(tb)
+    tc[10] = "qq"
+    add(" ".join(tc))
+    # short docs (no shingles): 1- and 2-token, incl. exact dups
+    add("hi")
+    add("hi")
+    add("two tokens")
+    # capped-away clique: DF_CAP+10 docs that are EXACTLY the same 3
+    # tokens -- their single shingle's df exceeds the cap, so they have
+    # no surviving shingles and must all stay singletons
+    for _ in range(dedup.DF_CAP + 10):
+        add("aaa bbb ccc")
+    # filler uniques
+    for i in range(n_filler):
+        add(sent(40, 100 + i))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("lexscale")
+    cols = list(zip(*rows))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    return str(sf)
+
+
+def _direct_reference(spark, sf_dir):
+    """The pre-round-9 uncollapsed computation: CC over the full
+    _pair_jaccard graph, singletons labeled by one left join."""
+    sh = shingled_docs(spark, sf_dir)
+    labels = connected_components(_pair_jaccard(sh).select("doc_a", "doc_b"))
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    sf = _mk_corpus(spark, tmp_path_factory, n_filler=60)
+    yield sf
+    release_shingle_index(spark)
+
+
+def _mapping(df):
+    return {r["doc_id"]: r["cluster_id"] for r in df.collect()}
+
+
+def test_collapsed_equals_direct(spark, corpus):
+    got = _mapping(
+        lexical_components(spark, corpus).select("doc_id", "cluster_id")
+    )
+    want = _mapping(_direct_reference(spark, corpus))
+    assert got == want
+    # sanity on the engineered structure, so a silently-degenerate
+    # corpus can't green this test: cliques A+B+the lone near-dup are
+    # ONE component labeled 0; capped-away clique is all singletons
+    assert {k for k, v in want.items() if v == 0} == set(range(10))
+    capped_ids = range(13, 13 + dedup.DF_CAP + 10)
+    assert all(want[k] == k for k in capped_ids)
+
+
+def test_lsh_path_equals_direct_on_planted_corpus(spark, corpus, monkeypatch):
+    # force the over-bound branch; every true pair in this corpus has
+    # jaccard ~0.75+ so 4x2 banding finds them all (deterministic
+    # coefficients -- this is a pin, not a probabilistic hope)
+    monkeypatch.setattr(dedup, "LEXICAL_LSH_BOUND", 1)
+    got = _mapping(
+        lexical_components(spark, corpus).select("doc_id", "cluster_id")
+    )
+    want = _mapping(_direct_reference(spark, corpus))
+    assert got == want
+
+
+def test_verify_candidates_matches_pair_jaccard(spark, corpus):
+    # _verify_candidates on the FULL candidate superset (all verified
+    # pairs) must reproduce _pair_jaccard exactly, values included
+    sh = shingled_docs(spark, corpus)
+    direct = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in _pair_jaccard(sh).collect()
+    }
+    cand = spark.createDataFrame(
+        [(a, b) for (a, b) in direct], "doc_a long, doc_b long"
+    )
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup._verify_candidates(sh, cand).collect()
+    }
+    assert verified == direct
