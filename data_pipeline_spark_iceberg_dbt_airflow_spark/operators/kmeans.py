@@ -195,9 +195,15 @@ def _assign_vectorized(
     measured steering Lloyd to a different fixpoint on a tied fixture
     (tests/test_semdedup.py). argmin takes the first minimum with
     centroid rows in cluster-id order = array_min's (d, cid) struct
-    ordering. NULL/wrong-length vectors get NULL. (Known divergence:
-    NaN distances -- np.argmin picks the first NaN, Spark orders NaN
-    greatest; every fit caller excludes NaN vectors upstream.)
+    ordering. NULL/wrong-length vectors get NULL. Rows with a NaN or
+    NULL element (np.asarray renders a None element as NaN -- the two
+    are indistinguishable post-Arrow) are masked to NULL cluster, not
+    folded: STRICTER than the expression path, which NaN-orders /
+    NULL-propagates them into an arbitrary pick -- but never different
+    on valid input, and every fit caller excludes NULL-element and NaN
+    vectors upstream (semdedup/classifier share the exists(isNull |
+    isnan) gate; round-8 ADVICE closed the isnan-only hole), so the
+    mask is defense against a caller that forgets, not a live path.
 
     INTERNAL to ``kmeans_fit``: the public ``assign_clusters`` stays
     the pure-Catalyst expression, so driver-oracle-checked query plans
@@ -218,15 +224,14 @@ def _assign_vectorized(
     @F.pandas_udf("int")
     def nearest(col: pd.Series) -> pd.Series:
         out = np.full(len(col), -1, dtype=np.int64)
-        valid = [
-            i
+        rows = {
+            i: np.asarray(col.iloc[i], dtype=np.float64)
             for i, v in enumerate(col)
             if v is not None and len(v) == dim
-        ]
+        }
+        valid = [i for i, r in rows.items() if not np.isnan(r).any()]
         if valid:
-            x = np.vstack(
-                [np.asarray(col.iloc[i], dtype=np.float64) for i in valid]
-            )
+            x = np.vstack([rows[i] for i in valid])
             picks = np.empty(x.shape[0], dtype=np.int64)
             for lo in range(0, x.shape[0], chunk_rows):
                 xc = x[lo : lo + chunk_rows]

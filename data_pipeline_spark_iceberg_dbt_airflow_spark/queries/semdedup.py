@@ -119,9 +119,16 @@ def semdedup(
     # wrong-dim: they would crash the decimal k-means sums and -- via
     # Spark's NaN comparison semantics (NaN >= t is TRUE) -- pass every
     # cosine gate and weld their whole cluster into one component.
-    # Exclude them from fitting and comparison; like NULL/wrong-dim
-    # they pass through with cluster/component NULL and keep = true.
-    has_nan = F.exists(F.col(vec_col), lambda x: F.isnan(x))
+    # NULL ELEMENTS inside a correct-width vector are the fourth:
+    # F.isnan(NULL) is NULL (falsy), so an isnan-only gate lets
+    # [null, 1.0, ...] into the fit, where the Arrow kernel's
+    # np.asarray turns the None into NaN and argmins over NaN
+    # distances while the Catalyst expression propagates NULL -- a
+    # silent bit-equality break (round-8 ADVICE). Same predicate
+    # classifier.py uses. Exclude all four from fitting and
+    # comparison; they pass through with cluster/component NULL and
+    # keep = true.
+    has_nan = F.exists(F.col(vec_col), lambda x: x.isNull() | F.isnan(x))
     fit_filter = F.col(vec_col).isNotNull() & ~has_nan
     if dim is not None:
         fit_filter = (
@@ -155,7 +162,7 @@ def semdedup(
     valid = (
         e.isNotNull()
         & (F.size(e) == dim)
-        & ~F.exists(e, lambda x: F.isnan(x))
+        & ~F.exists(e, lambda x: x.isNull() | F.isnan(x))
     )
     # cosine to the assigned centroid, literal-inlined like the
     # assignment itself: the k x dim centroid matrix (and the k

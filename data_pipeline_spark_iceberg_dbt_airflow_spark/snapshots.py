@@ -133,14 +133,18 @@ def _load_manifests(table_dir: str) -> list[dict]:
 
 def _write_checkpoint(
     table_dir: str, version: int, manifests: list[dict] | None = None
-) -> None:
+) -> bool:
     """Fold every manifest at or below ``version`` into c<version>.json
     (atomic tmp + replace; the .tmp- prefix keeps crash leftovers
     inside the vacuum sweep). Best-effort by contract: the commit that
     triggered it is already durable, so a failed checkpoint write must
     never fail the commit -- the next multiple just tries again. Keeps
     the previous checkpoint as a fallback for a corrupt newest; older
-    ones are swept.
+    ones are swept. Returns True iff the fold durably replaced
+    c<version>.json -- vacuum's expiry rebuild keys its stale-checkpoint
+    sweep exemption on this (a swallowed failure there must NOT leave a
+    same-named pre-existing checkpoint in place, since that stale file
+    folds just-expired manifests and would resurrect them on reload).
 
     ``manifests`` lets a caller that already HOLDS the authoritative
     list (vacuum's expiry rebuild, which deletes every checkpoint
@@ -169,6 +173,7 @@ def _write_checkpoint(
         )
         for name in cpoints[:-2]:
             os.remove(os.path.join(mdir, name))
+        return True
     except (OSError, ValueError, KeyError):
         # ValueError/KeyError: _load_manifests hit a corrupt or
         # schema-less v-file while folding -- the triggering commit is
@@ -178,6 +183,7 @@ def _write_checkpoint(
             os.remove(tmp)
         except FileNotFoundError:
             pass
+        return False
 
 
 def _live_paths(table_dir: str, manifest: dict) -> list[str]:
@@ -393,12 +399,19 @@ def snapshot_vacuum(
         # prune_folded pass the v-files alone no longer spell versions
         # the expiry kept), and write the NEW checkpoint BEFORE removing
         # the stale ones -- no window with zero checkpoints on disk. If
-        # the best-effort write failed, the sweep below still removes
-        # the stale checkpoints (they fold expired manifests whose data
-        # dirs are about to be swept) and the log degrades to v-files.
+        # the write failed, the sweep removes ALL checkpoints INCLUDING
+        # keep_name: a pre-existing c<keep_ver> from a regular
+        # CHECKPOINT_EVERY fold spells the same name but folds the
+        # just-expired manifests, so exempting it on the write's word
+        # alone would resurrect expired history on the next load. In
+        # that degraded path the liveness set below also keeps the
+        # in-memory survivors (a v-file-only reload can forget
+        # pruned-folded versions, and a forgotten version's data dirs
+        # would be swept as dead -- live-data loss, not just a stale
+        # index).
         keep_ver = int(manifests[-1]["version"])
-        _write_checkpoint(table_dir, keep_ver, manifests=manifests)
-        keep_name = f"c{keep_ver:08d}.json"
+        wrote = _write_checkpoint(table_dir, keep_ver, manifests=manifests)
+        keep_name = f"c{keep_ver:08d}.json" if wrote else None
         cdir = _manifest_dir(table_dir)
         if os.path.isdir(cdir):
             for name in sorted(os.listdir(cdir)):
@@ -408,7 +421,8 @@ def snapshot_vacuum(
                     and name != keep_name
                 ):
                     os.remove(os.path.join(cdir, name))
-        manifests = _load_manifests(table_dir)
+        if wrote:
+            manifests = _load_manifests(table_dir)
     # liveness compares BASENAMES (what manifests store), immune to
     # table_dir spelling differences
     live = {d for m in manifests for d in m["dirs"]}

@@ -222,3 +222,31 @@ def test_vectorized_kernel_bit_equal_to_expression(spark):
     assert expr == vec
     assert expr[2] is None and expr[3] is None
     assert expr[0] == 0 and expr[1] == 0  # ties break to smallest cid
+
+
+def test_vectorized_kernel_masks_null_and_nan_elements(spark):
+    """Round-8 ADVICE: np.asarray renders a NULL element as NaN, so a
+    correct-width [null, ...] vector used to take the argmin-over-NaN
+    path (first centroid, silently) where the Catalyst expression
+    NULL-propagates. The kernel now masks any row with a NaN or NULL
+    element to NULL cluster before the fold -- stricter than the
+    expression's arbitrary pick, never different on valid input."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        _assign_vectorized,
+    )
+
+    dim = 4
+    cents = {0: [1.0, 0.0, 0.0, 0.0], 1: [-1.0, 0.0, 0.0, 0.0]}
+    rows = [
+        (0, [0.9, 0.0, 0.0, 0.0]),        # valid -> 0
+        (1, [None, 1.0, 1.0, 1.0]),       # NULL element, correct width
+        (2, [float("nan"), 0.0, 0.0, 0.0]),  # NaN element
+        (3, None),                         # NULL vector
+        (4, [-0.9, 0.0, 0.0, 0.0]),       # valid -> 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_vectorized(df, cents, "embedding", "cluster").collect()
+    }
+    assert got == {0: 0, 1: None, 2: None, 3: None, 4: 1}

@@ -212,3 +212,26 @@ def test_semdedup_nan_embeddings_pass_through(spark):
     # the real dup pair still collapses; the non-dups stay apart
     assert out[0]["component"] == out[1]["component"] is not None
     assert out[2]["component"] is None and out[3]["component"] is None
+
+
+def test_semdedup_null_element_embeddings_pass_through(spark):
+    """NULL elements inside a correct-width vector are the fourth
+    invalid class (round-8 ADVICE): F.isnan(NULL) is NULL (falsy), so
+    an isnan-only gate let [null, ...] into the fit, where the Arrow
+    kernel saw NaN while the Catalyst expression saw NULL. They must be
+    excluded from fit and comparison like NaN, passing through
+    kept/unlabeled -- under BOTH assignment paths, so this pins the
+    exists(isNull | isnan) gate, not kernel behavior."""
+    rows = [
+        (0, _vec(0, 0.0)),
+        (1, _vec(0, 0.005)),  # genuine dup pair with 0
+        (2, _vec(1, 0.0)),
+        (9, [None] + [1.0] * (DIM - 1)),  # NULL element, correct width
+    ]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup(docs, k=2, eps=0.03).collect()}
+    assert out[9]["cluster"] is None
+    assert out[9]["component"] is None
+    assert out[9]["keep"] is True
+    assert out[0]["component"] == out[1]["component"] is not None
+    assert out[2]["component"] is None

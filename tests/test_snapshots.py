@@ -1039,3 +1039,48 @@ def test_compact_tombstones_drops_aged_keeps_guarding(spark, tmp_path):
         compact_tombstones(spark, table_dir, "seq", "nope", 1)
     with pytest.raises(ValueError, match="has no 'missing_seq'"):
         compact_tombstones(spark, table_dir, "missing_seq", "is_delete", 1)
+
+
+def test_vacuum_checkpoint_write_failure_cannot_resurrect_history(
+    spark, table, small_checkpoints, monkeypatch
+):
+    """Round-8 ADVICE: when the expiry rebuild's checkpoint write fails
+    AND keep_ver coincides with a regular CHECKPOINT_EVERY fold, the
+    PRE-EXISTING c<keep_ver>.json folds the just-expired manifests --
+    exempting it from the sweep on the failed write's behalf would
+    resurrect expired history on the next load. The sweep must remove
+    it (log degrades to v-files), and the liveness set must keep the
+    in-memory survivors so no live data dir is swept."""
+    import data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots as snap
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.snapshots import (
+        snapshot_vacuum,
+    )
+
+    for i in range(11):  # versions 0..10; checkpoints at v5 and v10
+        snapshot_append(_df(spark, [i]), table)
+    cdir = os.path.join(table, "_snapshots")
+    assert "c00000010.json" in os.listdir(cdir)  # keep_ver's name, stale
+
+    real_write = snap._write_checkpoint
+
+    def failing_write(table_dir, version, manifests=None):
+        return False  # swallowed OSError path: nothing written
+
+    monkeypatch.setattr(snap, "_write_checkpoint", failing_write)
+    snapshot_vacuum(table, keep_versions=2)  # survivors: v9, v10
+    monkeypatch.setattr(snap, "_write_checkpoint", real_write)
+
+    # no checkpoint survived -- especially not the stale keep_name one
+    assert not [n for n in os.listdir(cdir) if n.startswith("c")]
+    # degraded v-file log spells exactly the survivors; expired history
+    # is NOT resurrected
+    assert [m["version"] for m in snap._load_manifests(table)] == [9, 10]
+    with pytest.raises(ValueError):
+        snapshot_read(spark, table, version=4)
+    # survivors' data was not swept as dead
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table).collect()
+    ) == list(range(11))
+    assert sorted(
+        r["id"] for r in snapshot_read(spark, table, version=9).collect()
+    ) == list(range(10))

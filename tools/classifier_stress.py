@@ -26,8 +26,6 @@ sys.path.insert(0, ".")
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
 DIM = 64
 STOPS = ("the", "a", "of", "and", "to")
-GOOD = None  # filled in make_corpus
-BAD = None
 
 
 def make_corpus(n: int):
