@@ -98,6 +98,9 @@ class PipelineRunner:
         targets: list[str] | None = None,
         seeds: dict[str, DataFrame] | None = None,
         materialize: bool = False,
+        bucket_key: str | None = None,
+        bucket_count: int = 32,
+        table_prefix: str = "dag",
     ) -> dict[str, DataFrame]:
         """Execute ``targets`` (default: all) and their upstream refs.
 
@@ -114,18 +117,65 @@ class PipelineRunner:
         repeatedly (or contain iterative operators) re-executes its
         whole upstream per action. At cluster scale swap the
         checkpoint for real table writes (``incremental_append``
-        targets) -- same boundary, durable storage."""
+        targets) -- same boundary, durable storage.
+
+        ``bucket_key`` (implies materialization) is that cluster-scale
+        swap with the JOIN LAYOUT priced into the write: every model
+        whose output carries the key column is written ONCE as a
+        bucketed+sorted managed table ``<table_prefix>_<model>``
+        (operators/layout.write_bucketed, ``bucket_count`` buckets,
+        mode='overwrite'), and downstream models receive the bucketed
+        SCAN -- so every stage-to-stage equi-join on the key
+        (curation's recurring doc_id joins: curated's 4-way gate
+        intersection, cleaned's text re-join, ...) runs with ZERO
+        shuffle Exchange and, because the writer guarantees one file
+        per bucket, zero Sort under SortMergeJoin. At 100 TB the DAG's
+        dominant repeated cost is re-shuffling the corpus by doc_id at
+        every boundary; bucketing pays that hash-partition once per
+        boundary WRITE (which was happening anyway to materialize) and
+        every downstream join reads the layout for free. Models
+        without the key column (corpus-wide statistics, packers) fall
+        back to localCheckpoint. The whole run executes inside
+        ``bucketed_sorted_reader`` -- the session-scoped legacy
+        outputOrdering flag is live while downstream plans build, as
+        its contract requires (single-threaded runs only; see the
+        reader's doc)."""
         results: dict[str, DataFrame] = dict(seeds or {})
         names = targets if targets is not None else list(self._models)
         todo = [t for t in names if t not in results]
-        for n in self._toposort(todo, satisfied=set(results)):
-            if n in results:
-                continue
-            m = self._models[n]
-            out = self._attempt(m, [results[r] for r in m.refs])
-            if materialize:
-                out = out.localCheckpoint(eager=True)
-            results[n] = out
+        order = self._toposort(todo, satisfied=set(results))
+        if bucket_key is None:
+            for n in order:
+                if n in results:
+                    continue
+                m = self._models[n]
+                out = self._attempt(m, [results[r] for r in m.refs])
+                if materialize:
+                    out = out.localCheckpoint(eager=True)
+                results[n] = out
+            return results
+
+        from pyspark.sql import SparkSession
+
+        from ..operators.layout import bucketed_sorted_reader, write_bucketed
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError("bucket_key requires an active SparkSession")
+        with bucketed_sorted_reader(spark):
+            for n in order:
+                if n in results:
+                    continue
+                m = self._models[n]
+                out = self._attempt(m, [results[r] for r in m.refs])
+                if bucket_key in out.columns:
+                    tbl = f"{table_prefix}_{n}"
+                    write_bucketed(
+                        out, tbl, bucket_key, bucket_count, sort=True
+                    )
+                    results[n] = spark.table(tbl)
+                else:
+                    results[n] = out.localCheckpoint(eager=True)
         return results
 
     def manifest(
