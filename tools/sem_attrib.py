@@ -1,0 +1,150 @@
+"""Per-term attribution of the semantic-dedup stage at scale (SCALING.md).
+
+VERDICT r8 task: the 1M `sem_deduped` stage wall needs the same honest
+per-term split the lexical stage got -- embed / fit / bulk assignment /
+blocked in-cell pairs / connected components. This tool times each term
+through the SAME building blocks `queries/semdedup.semdedup` composes
+(hash_embed, kmeans_fit(fit_sample=...), assign_clusters,
+blocked_cell_pairs, connected_components), with a materialization
+barrier between terms so each wall is one term's cost, then runs the
+composed `semdedup` end-to-end for the total (the residual over the sum
+of terms is the cos_centroid scoring + survivor join the composition
+adds).
+
+Runs on the curation stress corpus (tools/curation_stress.make_corpus)
+with the DAG's sizing rules (k = N/250, fit_sample = 50*k) -- the raw
+corpus, not the post-gate ~80% subset the in-DAG stage sees, so terms
+here are ~1.25x the in-DAG stage at the same nominal N; the split, not
+the absolute, is the measurement.
+
+    python tools/sem_attrib.py <n_docs> [corpus_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    N_DOCS = int(sys.argv[1])
+    CORPUS_DIR = sys.argv[2] if len(sys.argv) > 2 else None
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tools.dfcap_sweep import ensure_corpus
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
+        DEFAULT_EPS,
+        semdedup,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        blocked_cell_pairs,
+        norm,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+    )
+
+    own_tmp = None
+    if CORPUS_DIR is None:
+        own_tmp = tempfile.TemporaryDirectory()
+        sf_dir = own_tmp.name
+    else:
+        sf_dir = CORPUS_DIR
+    ensure_corpus(spark, sf_dir, N_DOCS)
+
+    k = max(8, N_DOCS // 250)
+    fit_sample = 50 * k
+    out = {"n_docs": N_DOCS, "k": k, "fit_sample": fit_sample}
+
+    docs = read_table(spark, sf_dir, "documents", widen=True)
+    nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
+
+    t0 = time.time()
+    emb = (
+        hash_embed(docs.select("doc_id", "text"))
+        .where(nonzero)
+        .select(F.col("doc_id").alias("vec_id"), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    out["embed_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    centroids = kmeans_fit(
+        emb, k, id_col="vec_id", vec_col="embedding", fit_sample=fit_sample
+    )
+    out["fit_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    assigned = assign_clusters(emb, centroids).localCheckpoint(eager=True)
+    out["assign_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    proj = assigned.where(F.col("cluster").isNotNull()).select(
+        "vec_id",
+        F.col("cluster").alias("label"),
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    edges = (
+        blocked_cell_pairs(proj, threshold=1.0 - DEFAULT_EPS)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    out["pairs_s"] = round(time.time() - t0, 1)
+    out["n_edges"] = edges.count()
+
+    t0 = time.time()
+    comp = connected_components(edges)
+    out["components"] = comp.count()
+    out["cc_s"] = round(time.time() - t0, 1)
+
+    out["terms_total_s"] = round(
+        sum(out[x] for x in ("embed_s", "fit_s", "assign_s", "pairs_s", "cc_s")),
+        1,
+    )
+
+    # composed end-to-end on the same checkpointed embeddings: the
+    # delta over terms_total is cos_centroid scoring + the survivor
+    # groupBy/join (and re-running assignment inside)
+    t0 = time.time()
+    verdicts = semdedup(emb, k=k, eps=DEFAULT_EPS, fit_sample=fit_sample)
+    out["dropped"] = verdicts.where(~F.col("keep")).count()
+    out["semdedup_total_s"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+    spark.stop()
+    if own_tmp is not None:
+        own_tmp.cleanup()
+
+
+if __name__ == "__main__":
+    main()
