@@ -186,14 +186,22 @@ def _assign_vectorized(
     k in the hundreds (HOFs are CodegenFallback -- measured 9.5s vs
     ~1s per round at 50k x k=200 x dim=64, round 8).
 
-    BIT-EQUAL to ``assign_clusters`` by construction, ties included:
-    the distance is accumulated dimension-by-dimension in a strict
-    left fold (``acc += (x_j - c_j)^2``), the exact add order of
-    `_dist2`'s ``aggregate``, in the same IEEE doubles -- NOT the
-    algebraically-equivalent ``|x|^2 - 2xC^T + |c|^2`` matmul, whose
-    different rounding breaks exact distance TIES differently and was
-    measured steering Lloyd to a different fixpoint on a tied fixture
-    (tests/test_semdedup.py). argmin takes the first minimum with
+    BIT-EQUAL to ``assign_clusters`` by construction, ties included.
+    The reference arithmetic is the strict left fold
+    ``acc += (x_j - c_j)^2`` in dimension order -- the exact add order
+    of `_dist2`'s ``aggregate`` in the same IEEE doubles. A bare
+    ``|x|^2 - 2xC^T + |c|^2`` matmul rounds DIFFERENTLY, breaks exact
+    distance TIES differently, and was measured steering Lloyd to a
+    different fixpoint on a tied fixture (tests/test_semdedup.py) --
+    so the kernel uses the matmul only as a provably-banded SCREEN
+    (round 9): any centroid whose BLAS distance interval
+    [d - 3e-13*B, d + 3e-13*B] cannot reach the best's provably
+    cannot win or tie the fold argmin (B bounds both computations'
+    rounding; see the GAMMA derivation below), and the few candidates
+    that can are re-evaluated with the exact fold. The returned pick
+    is therefore the fold argmin bit-for-bit, at matmul speed (~23x
+    the all-fold kernel at k=4000 x dim=64, ~150x the interpreted
+    HOF expression). argmin takes the first minimum with
     centroid rows in cluster-id order = array_min's (d, cid) struct
     ordering. NULL/wrong-length vectors get NULL. Rows with a NaN or
     NULL element (np.asarray renders a None element as NaN -- the two
@@ -214,12 +222,37 @@ def _assign_vectorized(
     mat = np.asarray([c for _, c in items], dtype=np.float64)
     ids = np.asarray([cid for cid, _ in items], dtype=np.int64)
     dim = mat.shape[1]
+    cc = np.einsum("ij,ij->i", mat, mat)
 
-    # Bound the kernel's working set: the fold's (rows x k) temporaries
-    # are chunked so chunk*k stays ~8M doubles (~64MB/array) no matter
-    # the Arrow batch size or k -- at k=4000 an unchunked 10k-row batch
-    # would hold ~320MB temporaries PER concurrent task.
+    # Bound the kernel's working set: the (rows x k) distance/band
+    # temporaries are chunked so chunk*k stays ~8M doubles (~64MB/array)
+    # no matter the Arrow batch size or k -- at k=4000 an unchunked
+    # 10k-row batch would hold ~320MB temporaries PER concurrent task.
     chunk_rows = max(1, 8_000_000 // max(1, mat.shape[0]))
+
+    def _fold_rows(xr: "np.ndarray", mt: "np.ndarray") -> "np.ndarray":
+        # the reference fold: acc += (x_j - c_j)^2 dimension-by-
+        # dimension, the exact add order (and IEEE doubles) of
+        # _dist2's aggregate expression
+        acc = np.zeros((xr.shape[0], mt.shape[0]))
+        for j in range(mt.shape[1]):
+            t = xr[:, j, None] - mt[None, :, j]
+            acc += t * t
+        return acc
+
+    # The fold and the BLAS expansion |x|^2 - 2x.c + |c|^2 each deviate
+    # from the true distance by <= ~2.3e-14 * B where
+    # B = |x|^2 + 2|x.c| + |c|^2 (gamma_n summation bounds at dim=64;
+    # every fold term is nonnegative so its bound is relative to the
+    # distance itself, the expansion's must absorb cancellation via B).
+    # GAMMA = 3e-13 * B therefore brackets |d_blas - d_fold| with >10x
+    # margin: a centroid whose banded interval cannot reach the best's
+    # provably cannot win OR tie the fold argmin, and the few that can
+    # are re-folded exactly (in centroid-id order, first minimum --
+    # argmin's own tie rule). Measured 23x over the all-fold kernel at
+    # 2000 x k=4000 x dim=64 with bit-identical picks on exact-tie,
+    # large-norm-cancellation and quantized fixtures (round 9).
+    GAMMA = 3e-13
 
     @F.pandas_udf("int")
     def nearest(col: pd.Series) -> pd.Series:
@@ -235,11 +268,53 @@ def _assign_vectorized(
             picks = np.empty(x.shape[0], dtype=np.int64)
             for lo in range(0, x.shape[0], chunk_rows):
                 xc = x[lo : lo + chunk_rows]
-                acc = np.zeros((xc.shape[0], mat.shape[0]))
-                for j in range(dim):
-                    t = xc[:, j, None] - mat[None, :, j]
-                    acc += t * t
-                picks[lo : lo + chunk_rows] = np.argmin(acc, axis=1)
+                n = xc.shape[0]
+                inf_rows = ~np.isfinite(xc).all(axis=1)
+                if inf_rows.any():
+                    # +-inf elements turn the expansion into inf-inf
+                    # = NaN, whose comparisons silently skip the
+                    # refold; route such rows (never produced by any
+                    # real embedding) through the reference fold
+                    picks_inf = np.argmin(
+                        _fold_rows(xc[inf_rows], mat), axis=1
+                    )
+                xx = np.einsum("ij,ij->i", xc, xc)
+                dots = xc @ mat.T
+                d = dots * -2.0
+                d += xx[:, None]
+                d += cc[None, :]
+                best = np.argmin(d, axis=1)
+                rix = np.arange(n)
+                dmin = d[rix, best]
+                # reuse dots as the band matrix, then d as the lower
+                # bound d - band
+                np.abs(dots, out=dots)
+                dots *= 2.0
+                dots += xx[:, None]
+                dots += cc[None, :]
+                dots *= GAMMA
+                thresh = dmin + dots[rix, best]
+                d -= dots
+                amb = d <= thresh[:, None]
+                hard = np.nonzero(amb.sum(axis=1) > 1)[0]
+                if len(hard):
+                    # batch refolds by candidate set: duplicated
+                    # centroids (a real fit shape -- duplicate corpus
+                    # docs can both seed) make EVERY row of their
+                    # cells ambiguous with the SAME candidate pair,
+                    # so grouping turns a per-row python loop into
+                    # one fold per distinct set
+                    groups: dict[tuple, list] = {}
+                    for i in hard:
+                        key = tuple(np.nonzero(amb[i])[0])
+                        groups.setdefault(key, []).append(i)
+                    for cand_t, idxs in groups.items():
+                        cand = np.asarray(cand_t)
+                        accs = _fold_rows(xc[idxs], mat[cand])
+                        best[idxs] = cand[np.argmin(accs, axis=1)]
+                if inf_rows.any():
+                    best[inf_rows] = picks_inf
+                picks[lo : lo + chunk_rows] = best
             out[valid] = ids[picks]
         s = pd.Series(out, dtype="Int64")
         return s.mask(s < 0).astype("Int32")

@@ -180,14 +180,24 @@ def semdedup(
     cnorms = array_lit(
         [math.sqrt(sum(x * x for x in c)) or 1.0 for _, c in items]
     )
-    idx = (
-        F.array_position(
-            F.expr(
-                "array(" + ",".join(str(int(cid)) for cid, _ in items) + ")"
-            ),
-            F.col("cluster"),
-        )
-    ).cast("int")
+    if [cid for cid, _ in items] == list(range(len(items))):
+        # kmeans_fit always enumerates centroid ids 0..k-1, so the
+        # 1-based literal-array position is just cluster + 1 -- the
+        # array_position fallback below is an O(k) interpreted scan
+        # PER ROW (k=4000 => up to 4000 equality hops per document)
+        # for the same integer. Same index, same arithmetic: bit-equal.
+        idx = (F.col("cluster") + F.lit(1)).cast("int")
+    else:
+        idx = (
+            F.array_position(
+                F.expr(
+                    "array("
+                    + ",".join(str(int(cid)) for cid, _ in items)
+                    + ")"
+                ),
+                F.col("cluster"),
+            )
+        ).cast("int")
     cos_cent = F.when(
         F.col("cluster").isNotNull(),
         dot(F.col("embedding"), F.element_at(mat, idx))

@@ -250,3 +250,53 @@ def test_vectorized_kernel_masks_null_and_nan_elements(spark):
         for r in _assign_vectorized(df, cents, "embedding", "cluster").collect()
     }
     assert got == {0: 0, 1: None, 2: None, 3: None, 4: 1}
+
+
+def test_vectorized_kernel_screen_survives_cancellation(spark):
+    """Round 9: the kernel screens with the BLAS expansion
+    |x|^2 - 2x.c + |c|^2 inside a rigorous rounding band and re-folds
+    only the candidates the band cannot separate. The killer fixture
+    for a bare expansion is catastrophic cancellation: centroids a
+    large vector apart by 1 ulp-scale, rows sitting ON one of them --
+    the expansion's value is rounding noise (~|x|^2 * eps >> the true
+    distance), so ONLY the band-forced exact refold can reproduce the
+    expression path's pick. Also sweeps magnitudes 1e-3..1e3 to pin
+    the band's scale invariance."""
+    import random
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        _assign_vectorized,
+    )
+
+    rng = random.Random(99)
+    dim = 16
+    big = [1e6 * rng.uniform(0.5, 2.0) for _ in range(dim)]
+    cents = {
+        0: big,
+        1: [v * (1 + 1e-15) for v in big],   # 1 ulp-scale away from 0
+        2: [0.0] * dim,
+        3: [rng.uniform(-1, 1) for _ in range(dim)],
+    }
+    rows = [(0, big), (1, [v * (1 + 5e-16) for v in big])]
+    vid = 10
+    for mag in (1e-3, 1e-1, 1.0, 1e1, 1e3):
+        for _ in range(40):
+            rows.append(
+                (vid, [mag * rng.uniform(-2, 2) for _ in range(dim)])
+            )
+            vid += 1
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).repartition(4)
+    expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_vectorized(
+            df, cents, "embedding", "cluster"
+        ).collect()
+    }
+    assert expr == vec
+    assert expr[0] == 0  # exact-zero fold distance beats the 1-ulp twin

@@ -37,6 +37,10 @@ def main() -> None:
 
     N_DOCS = int(sys.argv[1])
     CORPUS_DIR = sys.argv[2] if len(sys.argv) > 2 else None
+    # optional k override (argv[3]) for the cell-sizing experiment:
+    # assignment work ~ N*k, in-cell pair work ~ N*(N/k) -- balanced
+    # at k ~ sqrt(N), vs the DAG's default k = N/250
+    K_OVERRIDE = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
     spark = (
         SparkSession.builder.master(
@@ -81,7 +85,7 @@ def main() -> None:
         sf_dir = CORPUS_DIR
     ensure_corpus(spark, sf_dir, N_DOCS)
 
-    k = max(8, N_DOCS // 250)
+    k = K_OVERRIDE if K_OVERRIDE is not None else max(8, N_DOCS // 250)
     fit_sample = 50 * k
     out = {"n_docs": N_DOCS, "k": k, "fit_sample": fit_sample}
 
