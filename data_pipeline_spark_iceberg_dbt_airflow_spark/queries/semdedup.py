@@ -54,8 +54,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.lits import array_lit
+from ..operators import kmeans as _kmeans
 from ..operators.kmeans import assign_clusters, kmeans_fit
 from .similarity import blocked_cell_pairs, dot, norm
+
+
+def _cos_centroid_vectorized(items, dim):
+    """Arrow kernel for the centroid-cosine scoring scan, used above
+    ``_kmeans._VECTORIZED_CELLS`` distance terms exactly like the
+    assignment kernel: the HOF dot/norm folds are CodegenFallback
+    (~128 interpreted lambda steps per row) and at k=4000 the literal
+    element_at rides a 2MB nested literal per partition evaluation.
+
+    BIT-EQUAL to the expression path by the fold rule: dot and norm
+    accumulate per-dimension in index order from 0.0 (the exact add
+    order of similarity.dot's aggregate), the denominator is one
+    multiply and the result one divide in the same IEEE doubles, and
+    the centroid norms are the SAME driver-side python floats the
+    literal path inlines (zero norms replaced by 1.0 identically).
+    Invalid rows (NULL/wrong-width/NaN-element vectors, NULL cluster)
+    return NULL through the nullable Float64 mask. A zero-norm valid
+    vector raises (ANSI DIVIDE_BY_ZERO parity -- as a PythonException
+    rather than SparkArithmeticException; callers prefilter zero
+    vectors)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    mat_np = np.asarray([c for _, c in items], dtype=np.float64)
+    ids_np = np.asarray([cid for cid, _ in items], dtype=np.int64)
+    cn_np = np.asarray(
+        [math.sqrt(sum(x * x for x in c)) or 1.0 for _, c in items]
+    )
+
+    @F.pandas_udf("double")
+    def coscent(emb, clu):
+        n = len(emb)
+        out = np.zeros(n)
+        ok = np.zeros(n, dtype=bool)
+        cl = clu.to_numpy(dtype="float64", na_value=np.nan)
+        xs, cids, pos = [], [], []
+        for i, v in enumerate(emb):
+            if v is None or len(v) != dim or np.isnan(cl[i]):
+                continue
+            r = np.asarray(v, dtype=np.float64)
+            if np.isnan(r).any():
+                continue
+            xs.append(r)
+            cids.append(int(cl[i]))
+            pos.append(i)
+        if xs:
+            x = np.vstack(xs)
+            ci = np.searchsorted(ids_np, np.asarray(cids, dtype=np.int64))
+            c = mat_np[ci]
+            accd = np.zeros(x.shape[0])
+            accn = np.zeros(x.shape[0])
+            for j in range(dim):
+                accd += x[:, j] * c[:, j]
+                accn += x[:, j] * x[:, j]
+            den = np.sqrt(accn) * cn_np[ci]
+            if (den == 0).any():
+                raise ArithmeticError(
+                    "DIVIDE_BY_ZERO: zero-norm vector in cos_centroid"
+                )
+            out[np.asarray(pos)] = accd / den
+            ok[np.asarray(pos)] = True
+        return pd.Series(out, dtype="Float64").mask(~ok)
+
+    return coscent
 
 #: Default epsilon: pairs with cosine >= 1 - EPS are semantic duplicates.
 #: The paper sweeps eps per-corpus; 0.03 is its "conservative dedup"
@@ -176,36 +243,48 @@ def semdedup(
     import math
 
     items = sorted(centroids.items())
-    mat = array_lit([c for _, c in items])
-    cnorms = array_lit(
-        [math.sqrt(sum(x * x for x in c)) or 1.0 for _, c in items]
-    )
-    if [cid for cid, _ in items] == list(range(len(items))):
-        # kmeans_fit always enumerates centroid ids 0..k-1, so the
-        # 1-based literal-array position is just cluster + 1 -- the
-        # array_position fallback below is an O(k) interpreted scan
-        # PER ROW (k=4000 => up to 4000 equality hops per document)
-        # for the same integer. Same index, same arithmetic: bit-equal.
-        idx = (F.col("cluster") + F.lit(1)).cast("int")
+    if len(items) * dim > _kmeans._VECTORIZED_CELLS:
+        # same switch rule as assign_clusters: above this many
+        # distance terms the interpreted HOF folds lose ~10x to the
+        # Arrow kernel; below it, oracle-checked small-k renderings
+        # keep zero Python in their plans
+        scored = assigned.withColumn(
+            "cos_centroid",
+            _cos_centroid_vectorized(items, dim)(
+                F.col("embedding"), F.col("cluster")
+            ),
+        )
     else:
-        idx = (
-            F.array_position(
-                F.expr(
-                    "array("
-                    + ",".join(str(int(cid)) for cid, _ in items)
-                    + ")"
-                ),
-                F.col("cluster"),
-            )
-        ).cast("int")
-    cos_cent = F.when(
-        F.col("cluster").isNotNull(),
-        dot(F.col("embedding"), F.element_at(mat, idx))
-        / (norm(F.col("embedding")) * F.element_at(cnorms, idx)),
-    )
-    scored = assigned.withColumn(
-        "cos_centroid", F.when(valid, cos_cent)
-    )
+        mat = array_lit([c for _, c in items])
+        cnorms = array_lit(
+            [math.sqrt(sum(x * x for x in c)) or 1.0 for _, c in items]
+        )
+        if [cid for cid, _ in items] == list(range(len(items))):
+            # kmeans_fit always enumerates centroid ids 0..k-1, so
+            # the 1-based literal-array position is just cluster + 1
+            # -- the array_position fallback below is an O(k)
+            # interpreted scan PER ROW for the same integer. Same
+            # index, same arithmetic: bit-equal.
+            idx = (F.col("cluster") + F.lit(1)).cast("int")
+        else:
+            idx = (
+                F.array_position(
+                    F.expr(
+                        "array("
+                        + ",".join(str(int(cid)) for cid, _ in items)
+                        + ")"
+                    ),
+                    F.col("cluster"),
+                )
+            ).cast("int")
+        cos_cent = F.when(
+            F.col("cluster").isNotNull(),
+            dot(F.col("embedding"), F.element_at(mat, idx))
+            / (norm(F.col("embedding")) * F.element_at(cnorms, idx)),
+        )
+        scored = assigned.withColumn(
+            "cos_centroid", F.when(valid, cos_cent)
+        )
     # near-dup pairs: blocked all-pairs inside each cluster at the
     # SemDeDup threshold (blocked_cell_pairs expects the _normed
     # projection: vec_id, label, embedding, nrm)

@@ -235,3 +235,37 @@ def test_semdedup_null_element_embeddings_pass_through(spark):
     assert out[9]["keep"] is True
     assert out[0]["component"] == out[1]["component"] is not None
     assert out[2]["component"] is None
+
+
+def test_scoring_kernel_bit_equal_to_expression_path(
+    planted, monkeypatch
+):
+    """Round 9: above _VECTORIZED_CELLS the centroid-cosine scoring
+    scan runs as an Arrow kernel (per-dim fold in the HOF's exact add
+    order) instead of the interpreted dot/norm expressions. Forcing
+    the threshold to 0 routes BOTH the assignment and the scoring
+    through their kernels; every output column -- cos_centroid doubles
+    bit-for-bit, components, survivors -- must match the pure-
+    expression run exactly, NULL pass-throughs included."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators import (
+        kmeans as _kmeans,
+    )
+
+    expr_rows = {
+        r["vec_id"]: r for r in semdedup(planted, k=3, eps=0.03).collect()
+    }
+    monkeypatch.setattr(_kmeans, "_VECTORIZED_CELLS", 0)
+    kern_rows = {
+        r["vec_id"]: r for r in semdedup(planted, k=3, eps=0.03).collect()
+    }
+    assert set(expr_rows) == set(kern_rows)
+    for vid, er in expr_rows.items():
+        kr = kern_rows[vid]
+        assert er["cluster"] == kr["cluster"], vid
+        assert er["component"] == kr["component"], vid
+        assert er["keep"] == kr["keep"], vid
+        if er["cos_centroid"] is None:
+            assert kr["cos_centroid"] is None, vid
+        else:
+            # bit-equality, not approx: the fold contract
+            assert er["cos_centroid"] == kr["cos_centroid"], vid
