@@ -395,7 +395,16 @@ def kmeans_fit(
         raise ValueError("kmeans_fit on an empty vector column")
     dim = first[0]["d"]
     clean = vectors.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) == dim)
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        # NaN/NULL-element vectors would be masked to NULL cluster by
+        # the assignment kernel and crash the centroid-update loop
+        # (KeyError None); they can't be fitted either way -- the same
+        # gate semdedup/classifier apply upstream, now enforced here
+        # so the public operator holds its own contract
+        & ~F.exists(
+            F.col(vec_col), lambda x: x.isNull() | F.isnan(x)
+        )
     ).select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
 
     fit_rows = clean

@@ -425,17 +425,38 @@ def _pair_jaccard(sh: DataFrame) -> DataFrame:
     1.3M-row co-occurrence count it was meant to avoid. The direct
     count is one shuffle + one combinable aggregate, ~0.6s warm.
     """
-    t = JACCARD_THRESHOLD
+    a, b = _posting_sides(sh)
+    return _jaccard_tail(
+        a.join(b, "sid").where(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+def _posting_sides(sh: DataFrame) -> tuple:
+    """The two aliased posting-list projections every pair join uses:
+    (doc_a, sid, na) and (doc_b, sid, nb), sizes baked in at build."""
     a = sh.select(
         F.col("doc_id").alias("doc_a"), "sid", F.col("n_sh").alias("na")
     )
     b = sh.select(
         F.col("doc_id").alias("doc_b"), "sid", F.col("n_sh").alias("nb")
     )
+    return a, b
+
+
+def _jaccard_tail(joined: DataFrame) -> DataFrame:
+    """Shared verification tail of both candidate paths: ``joined``
+    carries one row per (pair, shared shingle) with doc_a/doc_b/na/nb.
+    Applies the size-compatibility prefilter (jaccard >= t forces
+    min(na, nb) >= t * max(na, nb) -- provably lossless, so it runs
+    inside the join's codegen stage), the combinable pair-count
+    aggregate, and the exact Jaccard threshold. ONE definition so the
+    direct inverted-index path and the banded-MinHash verify path can
+    never diverge on threshold or prefilter semantics."""
+    t = JACCARD_THRESHOLD
     inter = (
-        a.join(b, "sid")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .where(F.greatest("na", "nb") * F.lit(t) <= F.least("na", "nb"))
+        joined.where(
+            F.greatest("na", "nb") * F.lit(t) <= F.least("na", "nb")
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("icnt"),
@@ -467,30 +488,8 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     bounded plan. The size-compatibility prefilter is the same
     provably-lossless gate _pair_jaccard applies.
     """
-    t = JACCARD_THRESHOLD
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), "sid", F.col("n_sh").alias("na")
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), "sid", F.col("n_sh").alias("nb")
-    )
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "sid"])
-        .where(F.greatest("na", "nb") * F.lit(t) <= F.least("na", "nb"))
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("icnt"),
-            F.min("na").alias("na"),
-            F.min("nb").alias("nb"),
-        )
-    )
-    jac = F.col("icnt").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("icnt")
-    )
-    return inter.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= JACCARD_THRESHOLD
-    )
+    a, b = _posting_sides(sh)
+    return _jaccard_tail(cand.join(a, "doc_a").join(b, ["doc_b", "sid"]))
 
 
 def _minhash_candidates(sh: DataFrame) -> DataFrame:

@@ -166,14 +166,6 @@ def _write_checkpoint(
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, _checkpoint_path(table_dir, version))
-        cpoints = sorted(
-            n
-            for n in os.listdir(mdir)
-            if n.startswith("c") and n.endswith(".json")
-        )
-        for name in cpoints[:-2]:
-            os.remove(os.path.join(mdir, name))
-        return True
     except (OSError, ValueError, KeyError):
         # ValueError/KeyError: _load_manifests hit a corrupt or
         # schema-less v-file while folding -- the triggering commit is
@@ -184,6 +176,22 @@ def _write_checkpoint(
         except FileNotFoundError:
             pass
         return False
+    # c<version>.json is durable from here: True no matter what the
+    # sweep of superseded checkpoints does below. Returning False for
+    # a failed sweep made vacuum's degraded path delete the GOOD
+    # checkpoint it had just written (and skip its reload), durably
+    # forgetting pruned-folded survivor versions.
+    try:
+        cpoints = sorted(
+            n
+            for n in os.listdir(mdir)
+            if n.startswith("c") and n.endswith(".json")
+        )
+        for name in cpoints[:-2]:
+            os.remove(os.path.join(mdir, name))
+    except OSError:
+        pass  # stale checkpoints are re-swept by the next fold
+    return True
 
 
 def _live_paths(table_dir: str, manifest: dict) -> list[str]:
@@ -399,19 +407,42 @@ def snapshot_vacuum(
         # prune_folded pass the v-files alone no longer spell versions
         # the expiry kept), and write the NEW checkpoint BEFORE removing
         # the stale ones -- no window with zero checkpoints on disk. If
-        # the write failed, the sweep removes ALL checkpoints INCLUDING
-        # keep_name: a pre-existing c<keep_ver> from a regular
-        # CHECKPOINT_EVERY fold spells the same name but folds the
-        # just-expired manifests, so exempting it on the write's word
-        # alone would resurrect expired history on the next load. In
-        # that degraded path the liveness set below also keeps the
-        # in-memory survivors (a v-file-only reload can forget
-        # pruned-folded versions, and a forgotten version's data dirs
-        # would be swept as dead -- live-data loss, not just a stale
-        # index).
+        # the write failed, a checkpoint-less log must still spell
+        # EVERY survivor: re-materialize the v-files prune_folded
+        # removed before sweeping any checkpoint, and if even that
+        # fails, abort the expiry with checkpoints intact -- the
+        # expired versions resurrect on the next load (a no-op expiry
+        # the caller can retry), which beats durably forgetting
+        # survivors whose data dirs the sweep below would then orphan
+        # and delete. Sweeping ALL checkpoints in the failure path
+        # (not exempting keep_name) stays required: a pre-existing
+        # c<keep_ver> from a regular CHECKPOINT_EVERY fold spells the
+        # same name but folds the just-expired manifests.
         keep_ver = int(manifests[-1]["version"])
         wrote = _write_checkpoint(table_dir, keep_ver, manifests=manifests)
         keep_name = f"c{keep_ver:08d}.json" if wrote else None
+        if not wrote:
+            try:
+                for m in manifests:
+                    vpath = _manifest_path(table_dir, m["version"])
+                    if os.path.exists(vpath):
+                        continue
+                    tmp = os.path.join(
+                        _manifest_dir(table_dir),
+                        f".tmp-{uuid.uuid4().hex}",
+                    )
+                    with open(tmp, "w") as f:
+                        json.dump(m, f)
+                        f.flush()
+                        os.fsync(f.fileno())
+                    os.replace(tmp, vpath)
+            except OSError as ex:
+                raise RuntimeError(
+                    "snapshot_vacuum could not rebuild the log after a "
+                    "failed checkpoint write; expiry aborted with "
+                    "checkpoints (and all history) intact -- re-run "
+                    "vacuum once the store accepts writes"
+                ) from ex
         cdir = _manifest_dir(table_dir)
         if os.path.isdir(cdir):
             for name in sorted(os.listdir(cdir)):

@@ -36,7 +36,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def ensure_corpus(spark, sf_dir: str, n_docs: int) -> None:
     from tools.curation_stress import make_corpus
 
-    if os.path.exists(os.path.join(sf_dir, "documents.parquet")):
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(path):
+        # a reused corpus dir must actually hold n_docs, or the JSON
+        # this tool emits silently mislabels the measurement
+        import pyarrow.parquet as pq
+
+        found = pq.ParquetFile(path).metadata.num_rows
+        if found != n_docs:
+            raise SystemExit(
+                f"corpus dir {sf_dir} holds {found} docs, not the "
+                f"requested {n_docs}: point each size at its own dir"
+            )
         return
     os.makedirs(sf_dir, exist_ok=True)
     corpus, _ = make_corpus(n_docs)
