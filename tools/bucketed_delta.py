@@ -1,0 +1,105 @@
+"""Measure the curation DAG's bucketed materialization mode (SCALING.md).
+
+VERDICT r8 task 4's measurement half: `plans/runner.run(bucket_key=
+'doc_id')` writes every doc_id-bearing model boundary as a
+bucketed+sorted table so stage-to-stage equi-joins carry zero shuffle
+Exchange (plan-asserted in tests/test_plans.py). This tool runs the
+SAME pipeline twice on the stress corpus -- plain localCheckpoint
+materialization vs bucketed -- and reports wall clock AND total
+shuffle write bytes per mode (from the UI REST API, summed over
+completed stages between markers), because the structural claim is
+about shuffle volume: the bucketed write pays one hash-partition per
+boundary (which materialization paid anyway) and every downstream
+doc_id join then reads the layout instead of re-shuffling the corpus.
+
+    python tools/bucketed_delta.py <n_docs> [corpus_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _shuffle_write_bytes(ui: str) -> int:
+    apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))
+    app = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete"
+        )
+    )
+    return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import SparkSession
+
+    n_docs = int(sys.argv[1])
+    corpus_dir = sys.argv[2] if len(sys.argv) > 2 else None
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+
+    from tools.dfcap_sweep import ensure_corpus
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        build_llm_curation_pipeline,
+    )
+
+    own_tmp = None
+    if corpus_dir is None:
+        own_tmp = tempfile.TemporaryDirectory()
+        sf_dir = own_tmp.name
+    else:
+        sf_dir = corpus_dir
+    ensure_corpus(spark, sf_dir, n_docs)
+
+    sem_k = max(8, n_docs // 250)
+    out = {"n_docs": n_docs, "sem_k": sem_k}
+
+    for mode in ("plain", "bucketed"):
+        runner = build_llm_curation_pipeline(spark, sf_dir, sem_k=sem_k)
+        sw0 = _shuffle_write_bytes(ui)
+        t0 = time.time()
+        if mode == "plain":
+            res = runner.run(materialize=True)
+        else:
+            res = runner.run(
+                bucket_key="doc_id",
+                bucket_count=32,
+                table_prefix=f"bdelta{n_docs}",
+            )
+        final = res["packed"].count()
+        out[f"{mode}_wall_s"] = round(time.time() - t0, 1)
+        out[f"{mode}_shuffle_mb"] = round(
+            (_shuffle_write_bytes(ui) - sw0) / 1e6, 1
+        )
+        out[f"{mode}_rows"] = final
+
+    print(json.dumps(out))
+    spark.stop()
+    if own_tmp is not None:
+        own_tmp.cleanup()
+
+
+if __name__ == "__main__":
+    main()
