@@ -294,9 +294,14 @@ def semdedup(
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
     )
-    edges = blocked_cell_pairs(proj, threshold=1.0 - eps).select(
-        "id_a", "id_b"
-    )
+    edges = blocked_cell_pairs(
+        proj,
+        threshold=1.0 - eps,
+        # same scale switch as assignment and scoring: at model sizes
+        # where the interpreted folds lose, render the pair search as
+        # the block-pair Arrow kernel (bit-equal output)
+        kernel=len(items) * dim > _kmeans._VECTORIZED_CELLS,
+    ).select("id_a", "id_b")
     from ..operators.graph import connected_components
 
     comp = connected_components(edges).withColumnRenamed(

@@ -826,10 +826,146 @@ def quantized_rerank_topk(
     )
 
 
+def _blocked_pairs_kernel(
+    blocked: DataFrame, blocks: int, threshold: float
+) -> DataFrame:
+    """Arrow kernel rendering of the blocked pair search: the SAME
+    block-pair task decomposition as the join path (each vector
+    replicated to its block-pair keys, one task per (label, i, j), so
+    the per-task candidate bound (cell/blocks)^2 is identical), but
+    each task computes its block x block cosine matrix in numpy
+    instead of emitting one row per candidate pair through the
+    interpreted HOF dot -- vectors cross the shuffle ~(blocks+1)
+    times, never per-pair, and the fold runs at vectorized speed.
+
+    BIT-EQUAL output by the fold rule: the dot accumulates
+    per-dimension in index order from 0.0 (similarity.dot's exact add
+    order), the denominator is the same fl(nrm_a * nrm_b) from the
+    PRE-COMPUTED nrm column, and one divide. Join-path oddities are
+    reproduced deliberately: pairs whose cosine is NaN survive the
+    threshold (Spark evaluates NaN >= t as TRUE -- callers exclude
+    NaN vectors upstream exactly because of that weld); pairs with
+    mismatched vector widths vanish (zip_with pads with NULL, the
+    fold nulls out, NULL >= t filters); NULL vectors or norms pair
+    with nothing.
+    """
+    # a NULL ELEMENT nulls the JVM fold (pair dropped) while a NaN
+    # element welds (NaN >= t is TRUE); post-Arrow both read as NaN,
+    # so the drop must happen here, ONCE per vector before replication
+    blocked = blocked.where(
+        F.col("embedding").isNotNull()
+        & F.col("nrm").isNotNull()
+        & ~F.exists(F.col("embedding"), lambda x: x.isNull())
+    )
+    rep_a = blocked.select(
+        F.col("vec_id").alias("vid"),
+        "label",
+        F.col("embedding").alias("emb"),
+        F.col("nrm").alias("nv"),
+        F.lit(0).alias("role"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(blk, {blocks - 1}),"
+                " j -> struct(blk AS i, j AS j))"
+            )
+        ).alias("bp"),
+    )
+    rep_b = blocked.select(
+        F.col("vec_id").alias("vid"),
+        "label",
+        F.col("embedding").alias("emb"),
+        F.col("nrm").alias("nv"),
+        F.lit(1).alias("role"),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, blk), i -> struct(i AS i, blk AS j))"
+            )
+        ).alias("bp"),
+    )
+    rep = (
+        rep_a.unionByName(rep_b)
+        .select(
+            "vid", "label", "emb", "nv", "role",
+            F.col("bp.i").alias("i"), F.col("bp.j").alias("j"),
+        )
+    )
+
+    def fn(pdf):
+        import numpy as np
+        import pandas as pd
+
+        i_key = int(pdf["i"].iloc[0])
+        j_key = int(pdf["j"].iloc[0])
+        diag = i_key == j_key
+        av = pdf[pdf["role"] == 0]
+        bv = pdf[pdf["role"] == 1]
+        out_a, out_b, out_c = [], [], []
+        if len(av) and len(bv):
+            # equal-width pairs only: a width mismatch nulls the JVM
+            # fold and the NULL cosine is filtered, so pair within
+            # each width class
+            aw = {}
+            for vid, emb, nrm in zip(av["vid"], av["emb"], av["nv"]):
+                aw.setdefault(len(emb), []).append((vid, emb, nrm))
+            bw = {}
+            for vid, emb, nrm in zip(bv["vid"], bv["emb"], bv["nv"]):
+                bw.setdefault(len(emb), []).append((vid, emb, nrm))
+            for width, arows in aw.items():
+                brows = bw.get(width)
+                if not brows:
+                    continue
+                ida = np.asarray([r[0] for r in arows], dtype=np.int64)
+                idb = np.asarray([r[0] for r in brows], dtype=np.int64)
+                xa = np.vstack(
+                    [np.asarray(r[1], dtype=np.float64) for r in arows]
+                )
+                xb = np.vstack(
+                    [np.asarray(r[1], dtype=np.float64) for r in brows]
+                )
+                na = np.asarray([r[2] for r in arows], dtype=np.float64)
+                nb = np.asarray([r[2] for r in brows], dtype=np.float64)
+                num = np.zeros((len(arows), len(brows)))
+                for d in range(width):
+                    num += xa[:, d, None] * xb[None, :, d]
+                cos = num / (na[:, None] * nb[None, :])
+                keep = (cos >= threshold) | np.isnan(cos)
+                if diag:
+                    keep &= ida[:, None] < idb[None, :]
+                ra, rb = np.nonzero(keep)
+                if len(ra):
+                    pa, pb = ida[ra], idb[rb]
+                    out_a.append(np.minimum(pa, pb))
+                    out_b.append(np.maximum(pa, pb))
+                    out_c.append(cos[ra, rb])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a),
+             "id_b": np.concatenate(out_b),
+             "cosine": np.concatenate(out_c)}
+        )
+
+    out = rep.groupBy("label", "i", "j").applyInPandas(
+        fn, "id_a long, id_b long, cosine double"
+    )
+    # Arrow renders a NaN in a pandas float64 column as NULL; the join
+    # path's weld pairs carry literal NaN. No legitimately-NULL cosine
+    # can exist here (the join path's WHERE filters NULL), so coalesce
+    # restores the NaN bit-for-bit and the two paths stay identical.
+    return out.withColumn(
+        "cosine", F.coalesce(F.col("cosine"), F.lit(float("nan")))
+    )
+
+
 def blocked_cell_pairs(
     emb_n: DataFrame,
     blocks: int = PAIR_BLOCKS,
     threshold: float = PAIR_THRESHOLD,
+    kernel: bool = False,
 ) -> DataFrame:
     """Within-cell threshold pair mining, BLOCKED against hot cells.
 
@@ -862,6 +998,14 @@ def blocked_cell_pairs(
     blocked = emb_n.withColumn(
         "blk", F.pmod(F.col("vec_id"), F.lit(blocks)).cast("int")
     )
+    if kernel:
+        # Arrow rendering of the same task decomposition (see
+        # _blocked_pairs_kernel): bit-equal output, vectors cross the
+        # shuffle per BLOCK-PAIR instead of one row per candidate
+        # pair through the interpreted HOF fold. The join path stays
+        # the default -- it is what the driver oracle can express and
+        # is fine below ~10^7 candidates.
+        return _blocked_pairs_kernel(blocked, blocks, threshold)
     a = blocked.select(
         F.col("vec_id").alias("id_a"),
         "label",

@@ -372,3 +372,82 @@ def test_pq_encode_is_codegen_only_and_adc_join_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in topk_plan, topk_plan
     # the window's own exchange is the only one on the scoring path
     assert topk_plan.count("Exchange") <= 2, topk_plan
+
+
+def test_blocked_pairs_kernel_bit_equal_to_join_path(spark):
+    """Round 9: blocked_cell_pairs(kernel=True) renders the SAME
+    block-pair task decomposition as an applyInPandas kernel (one
+    numpy block x block fold per task instead of one interpreted HOF
+    row per candidate pair). Output must match the join path EXACTLY:
+    pair set, orientation normalization, and bit-for-bit cosine
+    doubles -- including the join path's documented edge semantics
+    (NaN vectors weld through the threshold because Spark evaluates
+    NaN >= t as TRUE; NULL-element vectors null the fold and vanish;
+    width-mismatched pairs vanish; float32 inputs widen exactly)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        blocked_cell_pairs,
+        norm,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    rows = []
+    vid = 0
+    for label in (0, 1, 2):
+        base = rng.standard_normal(dim)
+        for _ in range(60):
+            # near-dup cloud around the cell base: plenty of pairs on
+            # both sides of the threshold
+            v = base + 0.3 * rng.standard_normal(dim)
+            rows.append((vid, label, v.astype("float32").tolist()))
+            vid += 1
+    # exact duplicates: cosine exactly 1.0 (threshold boundary >= 1.0
+    # after float ops is the tie case)
+    dup = rng.standard_normal(dim).astype("float32").tolist()
+    rows += [(900, 0, dup), (901, 0, dup)]
+    # NaN vector: welds to every pair in its cell on the join path
+    nanv = [float("nan")] + [0.0] * (dim - 1)
+    rows += [(910, 1, nanv)]
+    # width mismatch: pairs with it vanish on both paths
+    rows += [(920, 2, [1.0, 2.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, label int, embedding array<float>"
+    )
+    emb_n = df.select(
+        "vec_id", "label", "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+    )
+    # NULL-element vector: the fold nulls, the pair vanishes (vs the
+    # NaN weld above -- opposite directions, both must hold)
+    nullel = spark.createDataFrame(
+        [(930, 0, [None] + [1.0] * (dim - 1), 1.0)],
+        "vec_id bigint, label int, embedding array<float>, nrm double",
+    )
+    emb_n = emb_n.unionByName(nullel)
+
+    import struct
+
+    def canon(out):
+        # bitwise value identity, with NaN as a sentinel (any NaN bit
+        # pattern reads as the same weld marker -- tuple == on floats
+        # would call NaN != NaN)
+        return sorted(
+            (
+                r["id_a"],
+                r["id_b"],
+                b"NAN"
+                if np.isnan(r["cosine"])
+                else struct.pack("d", r["cosine"]),
+            )
+            for r in out.collect()
+        )
+
+    join_path = canon(blocked_cell_pairs(emb_n, threshold=0.6))
+    kern_path = canon(blocked_cell_pairs(emb_n, threshold=0.6, kernel=True))
+    assert len(join_path) > 100  # the fixture actually exercises pairs
+    assert any(c == b"NAN" for _, _, c in join_path)  # NaN weld present
+    assert all(a != 930 and b != 930 for a, b, _ in join_path)
+    assert join_path == kern_path  # bit-equal, ties and NaN included

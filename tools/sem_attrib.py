@@ -119,7 +119,12 @@ def main() -> None:
         norm(F.col("embedding")).alias("nrm"),
     )
     edges = (
-        blocked_cell_pairs(proj, threshold=1.0 - DEFAULT_EPS)
+        blocked_cell_pairs(
+            proj,
+            threshold=1.0 - DEFAULT_EPS,
+            # the same scale switch semdedup applies (round 9)
+            kernel=k * 64 > 4096,
+        )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )
