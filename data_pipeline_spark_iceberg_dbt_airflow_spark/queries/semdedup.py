@@ -146,6 +146,7 @@ def semdedup(
     max_iterations: int | None = None,
     dim: int | None = None,
     fit_sample: int | None = None,
+    pair_kernel: bool | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -294,13 +295,18 @@ def semdedup(
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
     )
+    if pair_kernel is None:
+        # Default gate = the assignment/scoring switch (k*dim). It is
+        # a PROXY here: pair-search cost scales as N*(cell size), i.e.
+        # N^2/k, which this plan-time gate cannot see -- it is correct
+        # whenever callers couple k to the corpus (the DAG's N/250,
+        # the paper's sqrt(N)), and keeps the small-k oracle
+        # renderings on the pure-join plan. A caller running SMALL k
+        # over a LARGE corpus (huge cells -- the worst case for the
+        # interpreted join) should pass pair_kernel=True explicitly.
+        pair_kernel = len(items) * dim > _kmeans._VECTORIZED_CELLS
     edges = blocked_cell_pairs(
-        proj,
-        threshold=1.0 - eps,
-        # same scale switch as assignment and scoring: at model sizes
-        # where the interpreted folds lose, render the pair search as
-        # the block-pair Arrow kernel (bit-equal output)
-        kernel=len(items) * dim > _kmeans._VECTORIZED_CELLS,
+        proj, threshold=1.0 - eps, kernel=pair_kernel
     ).select("id_a", "id_b")
     from ..operators.graph import connected_components
 

@@ -826,6 +826,17 @@ def quantized_rerank_topk(
     )
 
 
+#: The block-pair replication keys, shared verbatim by the join path
+#: and the Arrow kernel so the two task decompositions can never
+#: drift: a vector in block blk is the LEFT of keys (blk, j) for
+#: j >= blk and the RIGHT of keys (i, blk) for i <= blk -- every
+#: unordered pair meets on exactly one key.
+_BP_LEFT_KEYS = (
+    "transform(sequence(blk, {last}), j -> struct(blk AS i, j AS j))"
+)
+_BP_RIGHT_KEYS = "transform(sequence(0, blk), i -> struct(i AS i, blk AS j))"
+
+
 def _blocked_pairs_kernel(
     blocked: DataFrame, blocks: int, threshold: float
 ) -> DataFrame:
@@ -849,11 +860,15 @@ def _blocked_pairs_kernel(
     fold nulls out, NULL >= t filters); NULL vectors or norms pair
     with nothing.
     """
+    id_type = blocked.schema["vec_id"].dataType
     # a NULL ELEMENT nulls the JVM fold (pair dropped) while a NaN
     # element welds (NaN >= t is TRUE); post-Arrow both read as NaN,
-    # so the drop must happen here, ONCE per vector before replication
+    # so the drop must happen here, ONCE per vector before replication.
+    # NULL labels never equi-join on the join path, so they pair with
+    # nothing there -- drop them here too (groupBy would pool them).
     blocked = blocked.where(
-        F.col("embedding").isNotNull()
+        F.col("label").isNotNull()
+        & F.col("embedding").isNotNull()
         & F.col("nrm").isNotNull()
         & ~F.exists(F.col("embedding"), lambda x: x.isNull())
     )
@@ -863,12 +878,9 @@ def _blocked_pairs_kernel(
         F.col("embedding").alias("emb"),
         F.col("nrm").alias("nv"),
         F.lit(0).alias("role"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(blk, {blocks - 1}),"
-                " j -> struct(blk AS i, j AS j))"
-            )
-        ).alias("bp"),
+        F.explode(F.expr(_BP_LEFT_KEYS.format(last=blocks - 1))).alias(
+            "bp"
+        ),
     )
     rep_b = blocked.select(
         F.col("vec_id").alias("vid"),
@@ -876,11 +888,7 @@ def _blocked_pairs_kernel(
         F.col("embedding").alias("emb"),
         F.col("nrm").alias("nv"),
         F.lit(1).alias("role"),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, blk), i -> struct(i AS i, blk AS j))"
-            )
-        ).alias("bp"),
+        F.explode(F.expr(_BP_RIGHT_KEYS)).alias("bp"),
     )
     rep = (
         rep_a.unionByName(rep_b)
@@ -901,6 +909,27 @@ def _blocked_pairs_kernel(
         bv = pdf[pdf["role"] == 1]
         out_a, out_b, out_c = [], [], []
         if len(av) and len(bv):
+            # ANSI parity: the join path evaluates fl(nrm_a*nrm_b)
+            # for EVERY cross pair in the key (width mismatches
+            # included -- the divisor is checked before the NULL
+            # numerator) and raises DIVIDE_BY_ZERO on a zero; weld
+            # welding them instead (numpy 0/0 = NaN, kept by the NaN
+            # rule) would merge unrelated components. A zero-norm row
+            # participates in an evaluated pair whenever any partner
+            # exists (on the diagonal, any OTHER row).
+            nva = av["nv"].to_numpy(dtype="float64")
+            nvb = bv["nv"].to_numpy(dtype="float64")
+            n_rows = len(av) if diag else None
+            zero_hit = (
+                ((nva == 0).any() and n_rows > 1)
+                if diag
+                else ((nva == 0).any() or (nvb == 0).any())
+            )
+            if zero_hit:
+                raise ArithmeticError(
+                    "DIVIDE_BY_ZERO: zero-norm pair in "
+                    "blocked_cell_pairs (ANSI parity)"
+                )
             # equal-width pairs only: a width mismatch nulls the JVM
             # fold and the NULL cosine is filtered, so pair within
             # each width class
@@ -927,10 +956,22 @@ def _blocked_pairs_kernel(
                 num = np.zeros((len(arows), len(brows)))
                 for d in range(width):
                     num += xa[:, d, None] * xb[None, :, d]
-                cos = num / (na[:, None] * nb[None, :])
-                keep = (cos >= threshold) | np.isnan(cos)
-                if diag:
-                    keep &= ida[:, None] < idb[None, :]
+                den = na[:, None] * nb[None, :]
+                elig = (
+                    ida[:, None] < idb[None, :]
+                    if diag
+                    else np.ones_like(den, dtype=bool)
+                )
+                if ((den == 0) & elig).any():
+                    # underflow of two tiny nonzero norms on an
+                    # evaluated orientation: the join path's
+                    # fl(nrm_a*nrm_b) hits the same zero and raises
+                    raise ArithmeticError(
+                        "DIVIDE_BY_ZERO: zero-norm pair in "
+                        "blocked_cell_pairs (ANSI parity)"
+                    )
+                cos = num / den
+                keep = ((cos >= threshold) | np.isnan(cos)) & elig
                 ra, rb = np.nonzero(keep)
                 if len(ra):
                     pa, pb = ida[ra], idb[rb]
@@ -956,8 +997,12 @@ def _blocked_pairs_kernel(
     # path's weld pairs carry literal NaN. No legitimately-NULL cosine
     # can exist here (the join path's WHERE filters NULL), so coalesce
     # restores the NaN bit-for-bit and the two paths stay identical.
-    return out.withColumn(
-        "cosine", F.coalesce(F.col("cosine"), F.lit(float("nan")))
+    # Ids travel as int64 through numpy; cast back to the input id
+    # type so both paths return the same schema.
+    return out.select(
+        F.col("id_a").cast(id_type).alias("id_a"),
+        F.col("id_b").cast(id_type).alias("id_b"),
+        F.coalesce(F.col("cosine"), F.lit(float("nan"))).alias("cosine"),
     )
 
 
@@ -1011,23 +1056,16 @@ def blocked_cell_pairs(
         "label",
         F.col("embedding").alias("emb_a"),
         F.col("nrm").alias("nrm_a"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(blk, {blocks - 1}),"
-                " j -> struct(blk AS i, j AS j))"
-            )
-        ).alias("bp"),
+        F.explode(F.expr(_BP_LEFT_KEYS.format(last=blocks - 1))).alias(
+            "bp"
+        ),
     ).select("id_a", "label", "emb_a", "nrm_a", "bp.i", "bp.j")
     bb = blocked.select(
         F.col("vec_id").alias("id_b"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("emb_b"),
         F.col("nrm").alias("nrm_b"),
-        F.explode(
-            F.expr(
-                "transform(sequence(0, blk), i -> struct(i AS i, blk AS j))"
-            )
-        ).alias("bp"),
+        F.explode(F.expr(_BP_RIGHT_KEYS)).alias("bp"),
     ).select(
         "id_b",
         "label_b",

@@ -451,3 +451,52 @@ def test_blocked_pairs_kernel_bit_equal_to_join_path(spark):
     assert any(c == b"NAN" for _, _, c in join_path)  # NaN weld present
     assert all(a != 930 and b != 930 for a, b, _ in join_path)
     assert join_path == kern_path  # bit-equal, ties and NaN included
+
+
+def test_blocked_pairs_zero_norm_raises_and_null_label_pairs_nothing(spark):
+    """Round-9 review findings: (1) a zero-norm vector with any
+    partner must fail LOUDLY on both paths (ANSI DIVIDE_BY_ZERO on
+    the join path; the kernel raises its parity error instead of
+    numpy-0/0-NaN silently WELDING the zero vector to its whole
+    cell); (2) NULL-label rows equi-join to nothing on the join path,
+    so the kernel must drop them before its groupBy pools them."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        blocked_cell_pairs,
+        norm,
+    )
+
+    zero = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 2.0, 3.0]),
+            (2, 0, [1.0, 2.0, 3.1]),
+            (3, 0, [0.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, label int, embedding array<double>",
+    ).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        blocked_cell_pairs(zero, threshold=0.5).collect()
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        blocked_cell_pairs(zero, threshold=0.5, kernel=True).collect()
+
+    nulllab = spark.createDataFrame(
+        [
+            (1, None, [1.0, 2.0, 3.0]),
+            (2, None, [1.0, 2.0, 3.0]),
+            (3, 0, [1.0, 2.0, 3.0]),
+            (4, 0, [1.0, 2.0, 3.0]),
+        ],
+        "vec_id bigint, label int, embedding array<double>",
+    ).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    jp = {(r["id_a"], r["id_b"])
+          for r in blocked_cell_pairs(nulllab, threshold=0.5).collect()}
+    kp = {(r["id_a"], r["id_b"])
+          for r in blocked_cell_pairs(
+              nulllab, threshold=0.5, kernel=True).collect()}
+    assert jp == kp == {(3, 4)}

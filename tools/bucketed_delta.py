@@ -54,6 +54,11 @@ def main() -> None:
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # the byte accounting sums the UI's COMPLETED-stage history;
+        # the default retention (1000 stages) can evict early stages
+        # between markers and corrupt the delta, so retain far more
+        # than two full DAG runs ever produce
+        .config("spark.ui.retainedStages", "100000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

@@ -62,6 +62,7 @@ def main() -> None:
         connected_components,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        _VECTORIZED_CELLS,
         assign_clusters,
         kmeans_fit,
     )
@@ -70,6 +71,7 @@ def main() -> None:
         semdedup,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        EMB_DIM,
         blocked_cell_pairs,
         norm,
     )
@@ -122,8 +124,9 @@ def main() -> None:
         blocked_cell_pairs(
             proj,
             threshold=1.0 - DEFAULT_EPS,
-            # the same scale switch semdedup applies (round 9)
-            kernel=k * 64 > 4096,
+            # the same scale switch semdedup applies (round 9),
+            # spelled from the same constants so they cannot drift
+            kernel=k * EMB_DIM > _VECTORIZED_CELLS,
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
