@@ -147,16 +147,25 @@ def build_llm_curation_pipeline(
             Model(
                 "doc_quality_learned",
                 lambda: learned_quality_scores(
-                    read_table(spark, sf_dir, "documents").select(
-                        "doc_id", "text"
-                    ),
+                    # widen for the same reason as doc_lm below: the
+                    # featurize pass is per-row CPU work
+                    read_table(spark, sf_dir, "documents", widen=True)
+                    .select("doc_id", "text"),
                     quality_seed,
                 ),
             )
         )
 
     def doc_lm() -> DataFrame:
-        docs = read_table(spark, sf_dir, "documents").select(
+        # widen=True: the tokenize + bigram explode is exactly the
+        # CPU-heavy per-row shape the footer-based widen exists for --
+        # a single-file corpus scans as ~4 row-group partitions and
+        # this stage would run on 4 of 32 cores (the round-8 trap;
+        # text_profile got the fix in round 8, this stage shows the
+        # same signature at 1M). Counts and the decimal score sums are
+        # partitioning-independent by design, so the widen is free of
+        # semantics.
+        docs = read_table(spark, sf_dir, "documents", widen=True).select(
             "doc_id", "lang", "text"
         )
         uni, bi, totals = train_bigram_lm_grouped(docs)
