@@ -269,20 +269,26 @@ def _assign_vectorized(
             for lo in range(0, x.shape[0], chunk_rows):
                 xc = x[lo : lo + chunk_rows]
                 n = xc.shape[0]
-                inf_rows = ~np.isfinite(xc).all(axis=1)
-                if inf_rows.any():
-                    # +-inf elements turn the expansion into inf-inf
-                    # = NaN, whose comparisons silently skip the
-                    # refold; route such rows (never produced by any
-                    # real embedding) through the reference fold
-                    picks_inf = np.argmin(
-                        _fold_rows(xc[inf_rows], mat), axis=1
-                    )
                 xx = np.einsum("ij,ij->i", xc, xc)
                 dots = xc @ mat.T
                 d = dots * -2.0
                 d += xx[:, None]
                 d += cc[None, :]
+                # non-finite d rows make the band meaningless (NaN
+                # comparisons silently skip the refold, and a -inf
+                # entry would win an argmin the fold never saw).
+                # Checking d catches BOTH causes: literal +-inf
+                # elements (inf-inf = NaN in the expansion) AND
+                # finite elements ~1e155+ whose squares overflow
+                # xx/dots (round-9 ADVICE -- the old isfinite(xc)
+                # guard missed the overflow class). Route every such
+                # row (never produced by any real embedding) through
+                # the reference fold.
+                inf_rows = ~np.isfinite(d).all(axis=1)
+                if inf_rows.any():
+                    picks_inf = np.argmin(
+                        _fold_rows(xc[inf_rows], mat), axis=1
+                    )
                 best = np.argmin(d, axis=1)
                 rix = np.arange(n)
                 dmin = d[rix, best]

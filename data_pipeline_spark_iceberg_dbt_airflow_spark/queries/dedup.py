@@ -883,7 +883,16 @@ def lexical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     n_docs = table_row_count(sf_dir, "documents")
-    if n_docs is not None and n_docs > LEXICAL_LSH_BOUND:
+    if n_docs is None:
+        # The footer probe covers single files and directories of part
+        # files; anything it cannot read gets ONE count job rather than
+        # a silent default -- before round 10 an unprobeable corpus fell
+        # back to the direct self-join, i.e. the superlinear path, at
+        # exactly the multi-file scale the LSH gate exists for (round-9
+        # ADVICE). count(*) over parquet is a column-pruned metadata
+        # scan: trivial next to either candidate path.
+        n_docs = read_table(spark, sf_dir, "documents").count()
+    if n_docs > LEXICAL_LSH_BOUND:
         pairs = _verify_candidates(rep_sh, _minhash_candidates(rep_sh))
     else:
         pairs = _pair_jaccard(rep_sh)

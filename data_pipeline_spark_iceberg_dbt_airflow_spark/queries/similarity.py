@@ -909,30 +909,18 @@ def _blocked_pairs_kernel(
         bv = pdf[pdf["role"] == 1]
         out_a, out_b, out_c = [], [], []
         if len(av) and len(bv):
-            # ANSI parity: the join path evaluates fl(nrm_a*nrm_b)
-            # for EVERY cross pair in the key (width mismatches
-            # included -- the divisor is checked before the NULL
-            # numerator) and raises DIVIDE_BY_ZERO on a zero; weld
-            # welding them instead (numpy 0/0 = NaN, kept by the NaN
-            # rule) would merge unrelated components. A zero-norm row
-            # participates in an evaluated pair whenever any partner
-            # exists (on the diagonal, any OTHER row).
-            nva = av["nv"].to_numpy(dtype="float64")
-            nvb = bv["nv"].to_numpy(dtype="float64")
-            n_rows = len(av) if diag else None
-            zero_hit = (
-                ((nva == 0).any() and n_rows > 1)
-                if diag
-                else ((nva == 0).any() or (nvb == 0).any())
-            )
-            if zero_hit:
-                raise ArithmeticError(
-                    "DIVIDE_BY_ZERO: zero-norm pair in "
-                    "blocked_cell_pairs (ANSI parity)"
-                )
             # equal-width pairs only: a width mismatch nulls the JVM
             # fold and the NULL cosine is filtered, so pair within
-            # each width class
+            # each width class. Zero-norm parity lives INSIDE the
+            # width loop (the (den == 0) & elig check): Spark's
+            # DivModLike short-circuits a NULL numerator BEFORE the
+            # divide-by-zero throw, so a zero-norm row whose only
+            # partners are width-mismatched is silently dropped by
+            # the join path (NULL dot / 0.0 is NULL, verified on
+            # Spark 4.1 ANSI) -- raising on ANY shared-cell partner
+            # here would kill jobs the join path completes (round-9
+            # ADVICE). The raise fires exactly when the join path's:
+            # a same-width partner in an evaluated orientation.
             aw = {}
             for vid, emb, nrm in zip(av["vid"], av["emb"], av["nv"]):
                 aw.setdefault(len(emb), []).append((vid, emb, nrm))

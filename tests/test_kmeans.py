@@ -300,3 +300,38 @@ def test_vectorized_kernel_screen_survives_cancellation(spark):
     }
     assert expr == vec
     assert expr[0] == 0  # exact-zero fold distance beats the 1-ulp twin
+
+
+def test_vectorized_kernel_routes_finite_overflow_through_fold(spark):
+    """Round-9 ADVICE: a FINITE vector with elements ~1e155 overflows
+    xx/dots in the BLAS expansion, so its distance row goes inf/NaN,
+    the band is meaningless (NaN comparisons silently skip the refold)
+    and the raw argmin-over-NaN pick can differ from the fold argmin
+    the kernel guarantees bit-equality to. The fixture's expanded d row
+    is [NaN, NaN] (both centroids aligned with the huge vector) while
+    the fold says centroid 1 wins exactly -- the old isfinite(input)
+    guard saw only finite elements and returned np.argmin's first-NaN
+    pick (centroid 0). Non-finite d rows must route through the
+    reference fold; literal +-inf elements keep their old routing."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
+        _assign_vectorized,
+    )
+
+    cents = {0: [2e155, 0.0], 1: [1e155, 0.0]}
+    rows = [
+        (0, [1e155, 1.0]),          # overflow class: fold says 1
+        (1, [float("inf"), 0.0]),   # literal-inf class: fold ties -> 0
+        (2, [0.5, 0.5]),            # ordinary row
+        (3, [1e155, 0.0]),          # exactly centroid 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    expr = {
+        r["vec_id"]: r["cluster"]
+        for r in assign_clusters(df, cents).collect()
+    }
+    vec = {
+        r["vec_id"]: r["cluster"]
+        for r in _assign_vectorized(df, cents, "embedding", "cluster").collect()
+    }
+    assert expr == vec
+    assert expr[0] == 1 and expr[3] == 1

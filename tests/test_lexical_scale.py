@@ -156,6 +156,58 @@ def test_lsh_path_equals_direct_on_planted_corpus(spark, corpus, monkeypatch):
     assert got == want
 
 
+@pytest.fixture(scope="module")
+def multifile_corpus(spark, corpus, tmp_path_factory):
+    """The same corpus re-laid-out as a DIRECTORY of two part files --
+    the shape every real at-scale table arrives in, and exactly the
+    shape whose row count used to probe as None (round-9 ADVICE)."""
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("lexscale_multi")
+    tbl = pq.read_table(corpus + "/documents.parquet")
+    d = sf / "documents.parquet"
+    d.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(d / "part-00000.parquet"))
+    pq.write_table(tbl.slice(half), str(d / "part-00001.parquet"))
+    yield str(sf)
+    release_shingle_index(spark)
+
+
+def test_multifile_table_row_count_sums_footers(multifile_corpus, corpus):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        table_row_count,
+    )
+
+    n_single = table_row_count(corpus, "documents")
+    n_multi = table_row_count(multifile_corpus, "documents")
+    assert n_single is not None and n_multi == n_single
+
+
+def test_unprobeable_count_falls_back_to_count_job_not_direct_join(
+    spark, multifile_corpus, monkeypatch
+):
+    """When the footer probe cannot resolve a row count, the candidate
+    generator must pay ONE count job and still take the size-gated LSH
+    path -- not silently fall back to the superlinear self-join
+    (round-9 ADVICE). _pair_jaccard is boobytrapped: reaching it means
+    the direct path was chosen."""
+    monkeypatch.setattr(dedup, "LEXICAL_LSH_BOUND", 1)
+    monkeypatch.setattr(dedup, "table_row_count", lambda *a: None)
+
+    def boom(*a, **k):
+        raise AssertionError("direct self-join taken despite size > bound")
+
+    monkeypatch.setattr(dedup, "_pair_jaccard", boom)
+    got = _mapping(
+        lexical_components(spark, multifile_corpus).select(
+            "doc_id", "cluster_id"
+        )
+    )
+    want = _mapping(_direct_reference(spark, multifile_corpus))
+    assert got == want
+
+
 def test_verify_candidates_matches_pair_jaccard(spark, corpus):
     # _verify_candidates on the FULL candidate superset (all verified
     # pairs) must reproduce _pair_jaccard exactly, values included

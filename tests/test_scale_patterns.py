@@ -500,3 +500,34 @@ def test_blocked_pairs_zero_norm_raises_and_null_label_pairs_nothing(spark):
           for r in blocked_cell_pairs(
               nulllab, threshold=0.5, kernel=True).collect()}
     assert jp == kp == {(3, 4)}
+
+
+def test_blocked_pairs_zero_norm_mismatched_width_is_silent(spark):
+    """Round-9 ADVICE: Spark's DivModLike short-circuits a NULL
+    numerator BEFORE the divide-by-zero check, so a zero-norm vector
+    whose only same-cell partners have a DIFFERENT width is silently
+    dropped by the join path (zip_with pads, the fold nulls, and
+    NULL / 0.0 is NULL under ANSI); the kernel used to raise on ANY
+    shared-cell partner and kill the job. Both paths must return the
+    same empty pair set here -- and the existing zero-norm test pins
+    that a SAME-width partner still raises on both."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
+        blocked_cell_pairs,
+        norm,
+    )
+
+    mixed = spark.createDataFrame(
+        [
+            (1, 0, [0.0, 0.0, 0.0]),  # zero norm, width 3
+            (2, 0, [1.0, 2.0]),       # its only cellmate: width 2
+        ],
+        "vec_id bigint, label int, embedding array<double>",
+    ).select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    assert blocked_cell_pairs(mixed, threshold=0.5).collect() == []
+    assert (
+        blocked_cell_pairs(mixed, threshold=0.5, kernel=True).collect() == []
+    )
