@@ -48,7 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..io import read_table
+from ..io import read_table, table_row_count
 from ..queries.dedup import (
     contaminated_docs,
     lexical_components,
@@ -69,6 +69,44 @@ from .runner import Model, PipelineRunner, RunConfig
 
 #: Quality gate: drop the bottom of the quality-score distribution.
 MIN_QUALITY = 0.35
+
+#: Above this many documents the semantic stage's default cell count
+#: switches from the dup-maximizing N/250 rule to the paper's k ~ sqrt(N)
+#: (the LEXICAL_LSH_BOUND pattern: a footer row count, no Spark job).
+#: The N/250 rule couples k to N, and because the Lloyd fit's sample is
+#: itself sized proportional to k (SEM_FIT_PER_CELL * k), the fit term
+#: costs ~ sample*k ~ k^2 ~ N^2 -- the DAG's one remaining
+#: construction-level superlinearity (VERDICT r9). With the block-pair
+#: kernel the in-cell pair term is flat in k, so the measured optimum
+#: moved back to sqrt(N): composed semdedup at 1M was 84.5s at k=1000
+#: vs 241.8s at k=4000 with identical component structure within 1.4%
+#: of drops (SCALING.md k-sweep). Below the bound the N/250 rule keeps
+#: its slightly-higher drop count at negligible cost; the driver-oracle
+#: corpora sit far below the bound, and the oracle's seed-only
+#: rendering uses SEM_ORACLE_K regardless.
+SEM_K_BOUND = 250_000
+
+#: Above this many documents ``run_llm_curation`` materializes model
+#: boundaries as bucketed+sorted doc_id tables by default (bucket_key
+#: "auto"): the boundary write was being paid anyway to materialize,
+#: and bucketing it removes the corpus re-hash at every downstream
+#: doc_id join -- measured at 200k: -18% total shuffle bytes, -11%
+#: wall, identical survivors (SCALING.md, tools/bucketed_delta.py).
+#: Below the bound the table-write overhead outweighs the join savings
+#: (test-scale corpora), so plain localCheckpoint stays.
+BUCKETED_DAG_BOUND = 100_000
+
+
+def default_sem_k(n_docs: int) -> int:
+    """The semantic stage's default cell count for an ``n_docs`` corpus:
+    N/250 below SEM_K_BOUND (most drops, cheap at small N), sqrt(N)
+    above it (the only sizing whose fit term -- sample ~ k, cost ~
+    sample*k -- stays linear in N; see SEM_K_BOUND)."""
+    import math
+
+    if n_docs > SEM_K_BOUND:
+        return max(8, math.isqrt(n_docs))
+    return max(8, n_docs // 250)
 
 #: Lloyd-refinement sample size per semantic cell: the sem stage fits
 #: its coarse quantizer on an md5-ranked sample of this many vectors
@@ -110,10 +148,12 @@ def build_llm_curation_pipeline(
     quality_seed: DataFrame | None = None,
     quality_threshold: float | None = None,
 ) -> PipelineRunner:
-    """``sem_k``/``sem_eps`` tune the semantic-dedup stage (defaults =
-    semdedup's test-scale defaults). Size sem_k ~ N/250: the in-cell
-    pair space is k * (N/k)^2, so too few cells at a large N is the
-    one way this DAG can go quadratic.
+    """``sem_k``/``sem_eps`` tune the semantic-dedup stage. ``sem_k``
+    defaults to :func:`default_sem_k` over the corpus's footer row
+    count -- N/250 below ``SEM_K_BOUND``, sqrt(N) above it (the sizing
+    whose fit term stays linear in N; see the bound's doc). Too few
+    cells at a large N is the one way the PAIR term can go quadratic;
+    too MANY cells is how the FIT term does.
 
     ``quality_seed`` ((doc_id, label) with 1 = keep-worthy) swaps the
     heuristic quality gate for the CCNet-style LEARNED gate
@@ -296,10 +336,18 @@ def build_llm_curation_pipeline(
         # smaller than the k-means cell count has nothing to dedup at
         # this granularity and passes through unchanged.
         from ..operators.kmeans import CorpusTooSmallError
-        from ..queries.semdedup import DEFAULT_EPS, DEFAULT_K, semdedup
+        from ..queries.semdedup import DEFAULT_EPS, semdedup
         from ..queries.text import hash_embed
 
-        k = DEFAULT_K if sem_k is None else sem_k
+        # the corpus-size probe feeds BOTH sizing decisions: the default
+        # cell count (N/250 vs sqrt(N), see default_sem_k) and the
+        # blocked-pair path switch (expected candidates ~ N^2/2k --
+        # semdedup's no-hint fallback keys on k*dim, which is
+        # anti-correlated with pair cost; round-9 ADVICE)
+        n_docs = table_row_count(sf_dir, "documents")
+        if n_docs is None:
+            n_docs = read_table(spark, sf_dir, "documents").count()
+        k = default_sem_k(n_docs) if sem_k is None else sem_k
         eps = DEFAULT_EPS if sem_eps is None else sem_eps
 
         nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
@@ -332,7 +380,11 @@ def build_llm_curation_pipeline(
             # Measured at 200k, k=800: fit 98.2s -> 25.6s, end drops
             # within noise (SCALING.md).
             verdicts = semdedup(
-                emb, k=k, eps=eps, fit_sample=SEM_FIT_PER_CELL * k
+                emb,
+                k=k,
+                eps=eps,
+                fit_sample=SEM_FIT_PER_CELL * k,
+                corpus_rows=n_docs,
             )
         except CorpusTooSmallError:
             return sd
@@ -401,17 +453,41 @@ def run_llm_curation(
     sem_eps: float | None = None,
     quality_seed: DataFrame | None = None,
     quality_threshold: float | None = None,
+    bucket_key: str | None = "auto",
+    bucket_count: int = 32,
 ) -> dict[str, DataFrame]:
     """Build and execute the curation DAG; returns every stage by name.
     ``materialize=True`` checkpoints each stage (see PipelineRunner.run)
     -- recommended when reading several stages' outputs, since stages
     downstream of the iterative sem_deduped otherwise re-run it per
-    action."""
-    return build_llm_curation_pipeline(
+    action.
+
+    ``bucket_key`` defaults to ``"auto"``: above ``BUCKETED_DAG_BOUND``
+    documents (footer row count -- no Spark job) every doc_id-bearing
+    model boundary materializes as a bucketed+sorted table, so the
+    DAG's recurring doc_id joins stop re-shuffling the corpus (measured
+    -18% shuffle bytes / -11% wall at 200k with identical survivors;
+    see the bound's doc). Pass ``None`` to force plain checkpoints, or
+    a column name to force bucketing at any size. When the probe cannot
+    resolve a count, auto stays plain -- bucketing is a constant-factor
+    layout choice, never a semantics or asymptote question."""
+    if bucket_key == "auto":
+        n_docs = table_row_count(sf_dir, "documents")
+        bucket_key = (
+            "doc_id"
+            if n_docs is not None and n_docs > BUCKETED_DAG_BOUND
+            else None
+        )
+    runner = build_llm_curation_pipeline(
         spark,
         sf_dir,
         sem_k=sem_k,
         sem_eps=sem_eps,
         quality_seed=quality_seed,
         quality_threshold=quality_threshold,
-    ).run(targets, materialize=materialize)
+    )
+    if bucket_key is not None:
+        return runner.run(
+            targets, bucket_key=bucket_key, bucket_count=bucket_count
+        )
+    return runner.run(targets, materialize=materialize)

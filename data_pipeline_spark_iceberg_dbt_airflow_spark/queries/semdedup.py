@@ -135,6 +135,27 @@ DEFAULT_EPS = 0.03
 #: (cluster/PAIR_BLOCKS)^2 pair budget.
 DEFAULT_K = 8
 
+#: Expected within-cell candidate cosines above which the blocked pair
+#: search defaults to the Arrow kernel. Total candidates across cells
+#: ~ k * (N/k)^2 / 2 = N^2/(2k) -- the TRUE pair-cost driver, which is
+#: ANTI-correlated with k (more cells = smaller cells = fewer pairs).
+#: 5e6 interpreted HOF cosines (~3e8 lambda steps at dim=64) is the
+#: measured seconds-scale crossover; everything the round-9 k-sweep
+#: ran (N=1M, k=500..4000: 1.2e8..1e9 candidates) sits far above it.
+PAIR_KERNEL_CANDIDATES = 5_000_000
+
+
+def pair_kernel_default(n_rows: int, k: int) -> bool:
+    """Whether :func:`semdedup` should take the Arrow block-pair kernel,
+    decided on the measured cost proxy: expected candidate pairs
+    N^2/(2k) (see PAIR_KERNEL_CANDIDATES). The older k*dim gate rode
+    the assignment kernel's switch, whose direction is BACKWARDS for
+    pair cost -- a small-k fit over a large corpus (huge cells, the
+    interpreted join path's worst case) read as 'small model, stay on
+    the join path' (round-9 ADVICE). Exposed so measurement tools
+    (tools/sem_attrib.py) spell the same rule as the operator."""
+    return n_rows * n_rows / (2 * max(k, 1)) > PAIR_KERNEL_CANDIDATES
+
 
 def semdedup(
     emb: DataFrame,
@@ -147,6 +168,7 @@ def semdedup(
     dim: int | None = None,
     fit_sample: int | None = None,
     pair_kernel: bool | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -182,6 +204,11 @@ def semdedup(
     NULL id would rank md5(NULL) first among seeds and a wrong-width
     seed would poison the derived dimension, so callers with a declared
     schema width (the driver oracle's svalid gate) should pass it.
+
+    ``corpus_rows`` is a plan-shape hint (approximate is fine): with it,
+    the blocked pair search picks its rendering on the true cost proxy
+    N^2/(2k) (:func:`pair_kernel_default`); without it the k*dim
+    fallback applies. ``pair_kernel`` overrides both.
     """
     # NaN components are the third invalid class next to NULL and
     # wrong-dim: they would crash the decimal k-means sums and -- via
@@ -296,15 +323,21 @@ def semdedup(
         norm(F.col("embedding")).alias("nrm"),
     )
     if pair_kernel is None:
-        # Default gate = the assignment/scoring switch (k*dim). It is
-        # a PROXY here: pair-search cost scales as N*(cell size), i.e.
-        # N^2/k, which this plan-time gate cannot see -- it is correct
-        # whenever callers couple k to the corpus (the DAG's N/250,
-        # the paper's sqrt(N)), and keeps the small-k oracle
-        # renderings on the pure-join plan. A caller running SMALL k
-        # over a LARGE corpus (huge cells -- the worst case for the
-        # interpreted join) should pass pair_kernel=True explicitly.
-        pair_kernel = len(items) * dim > _kmeans._VECTORIZED_CELLS
+        if corpus_rows is not None:
+            # the real cost proxy: expected candidate pairs N^2/(2k),
+            # computable at plan time from the caller's footer row
+            # count (the same probe the lexical LSH gate uses) -- this
+            # is the round-9 ADVICE fix for the k*dim gate's
+            # anti-correlation trap (small k over a large corpus =
+            # huge cells = the interpreted join's worst case, which
+            # k*dim read as 'stay on the join path')
+            pair_kernel = pair_kernel_default(corpus_rows, len(items))
+        else:
+            # no size hint: fall back to the assignment/scoring switch
+            # (k*dim), which keeps the small-k driver-oracle renderings
+            # on the pure-join plan and is correct whenever callers
+            # couple k to the corpus
+            pair_kernel = len(items) * dim > _kmeans._VECTORIZED_CELLS
     edges = blocked_cell_pairs(
         proj, threshold=1.0 - eps, kernel=pair_kernel
     ).select("id_a", "id_b")

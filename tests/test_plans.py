@@ -790,3 +790,58 @@ def test_bucketed_boundaries_make_cross_stage_joins_shuffle_free(
         for t in spark.catalog.listTables():
             if t.name.startswith("t_bb_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+def test_default_sem_k_sizing_rule():
+    """Round-10: N/250 below SEM_K_BOUND (dup-maximizing, cheap at
+    small N), sqrt(N) above it (the only default whose fit term --
+    sample ~ k, cost ~ sample*k -- stays linear in N)."""
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        SEM_K_BOUND,
+        default_sem_k,
+    )
+
+    assert default_sem_k(500) == 8            # floor
+    assert default_sem_k(50_000) == 200       # N/250 regime
+    assert default_sem_k(200_000) == 800      # still below the bound
+    assert default_sem_k(SEM_K_BOUND) == SEM_K_BOUND // 250
+    assert default_sem_k(1_000_000) == 1000   # sqrt regime
+    assert default_sem_k(100_000_000) == 10_000
+    # continuity direction: the sqrt rule takes over with FEWER cells
+    # than N/250 would ask for, never more
+    just_above = SEM_K_BOUND + 1
+    assert default_sem_k(just_above) == math.isqrt(just_above)
+    assert default_sem_k(just_above) < just_above // 250
+
+
+def test_auto_bucketed_curation_matches_plain(spark, sf_dir, monkeypatch):
+    """Round-10: run_llm_curation defaults bucket_key='auto' -- above
+    BUCKETED_DAG_BOUND docs the doc_id boundaries materialize bucketed.
+    With the bound forced to 0 the default path must engage bucketing
+    (catalog tables appear) and produce the identical survivor set as
+    the plain materialized run."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans import (
+        llm_pipeline,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        run_llm_curation,
+    )
+
+    try:
+        plain = run_llm_curation(
+            spark, sf_dir, targets=["assigned"], materialize=True,
+            bucket_key=None,
+        )
+        monkeypatch.setattr(llm_pipeline, "BUCKETED_DAG_BOUND", 0)
+        auto = run_llm_curation(spark, sf_dir, targets=["assigned"])
+        tables = {t.name for t in spark.catalog.listTables()}
+        assert "dag_curated" in tables and "dag_assigned" in tables
+        a = sorted(r["doc_id"] for r in auto["assigned"].collect())
+        b = sorted(r["doc_id"] for r in plain["assigned"].collect())
+        assert a == b and len(a) > 0
+    finally:
+        for t in spark.catalog.listTables():
+            if t.name.startswith("dag_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")

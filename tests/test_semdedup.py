@@ -269,3 +269,44 @@ def test_scoring_kernel_bit_equal_to_expression_path(
         else:
             # bit-equality, not approx: the fold contract
             assert er["cos_centroid"] == kr["cos_centroid"], vid
+
+
+def test_corpus_rows_hint_switches_kernel_and_preserves_output(planted):
+    """Round-10: the pair-path switch keys on the expected candidate
+    count N^2/(2k) when the caller passes a corpus-size hint -- a huge
+    hint must route the blocked pair search through the Arrow kernel
+    (the old k*dim gate read small-k/large-N as 'join path', the
+    anti-correlation trap) with output identical to the join path."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
+        pair_kernel_default,
+    )
+
+    # the proxy itself: the trap case (small k, large N) picks the
+    # kernel; small corpora stay on the oracle-expressible join path;
+    # every round-9 k-sweep point picks the kernel
+    assert pair_kernel_default(1_000_000, 8) is True
+    assert pair_kernel_default(5_000, 20) is False
+    assert all(
+        pair_kernel_default(1_000_000, k) for k in (500, 1000, 2000, 4000)
+    )
+
+    base = {
+        r["vec_id"]: r
+        for r in semdedup(planted, k=3, eps=0.03, pair_kernel=False).collect()
+    }
+    hinted = {
+        r["vec_id"]: r
+        for r in semdedup(
+            planted, k=3, eps=0.03, corpus_rows=10_000_000
+        ).collect()
+    }
+    assert set(base) == set(hinted)
+    for vid, er in base.items():
+        kr = hinted[vid]
+        assert (er["component"], er["keep"]) == (
+            kr["component"],
+            kr["keep"],
+        ), vid
+        assert er["cos_centroid"] == kr["cos_centroid"] or (
+            er["cos_centroid"] is None and kr["cos_centroid"] is None
+        ), vid

@@ -78,7 +78,11 @@ def main() -> None:
         sf_dir = corpus_dir
     ensure_corpus(spark, sf_dir, n_docs)
 
-    sem_k = max(8, n_docs // 250)
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        default_sem_k,
+    )
+
+    sem_k = default_sem_k(n_docs)
     out = {"n_docs": n_docs, "sem_k": sem_k}
 
     for mode in ("plain", "bucketed"):

@@ -38,7 +38,13 @@ LEARNED = "--learned" in sys.argv
 #: plant the junk class WITHOUT the learned gate (the counterfactual:
 #: how much junk the heuristic+LM rungs pass on their own)
 JUNK = LEARNED or "--junk" in sys.argv
-SEM_K = max(8, N_DOCS // 250)
+# the DAG's own default sizing (N/250 below SEM_K_BOUND, sqrt(N) above);
+# resolved at import so the header can print it before Spark starts
+from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (  # noqa: E402
+    default_sem_k,
+)
+
+SEM_K = default_sem_k(N_DOCS)
 
 
 STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -62,16 +62,15 @@ def main() -> None:
         connected_components,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.kmeans import (
-        _VECTORIZED_CELLS,
         assign_clusters,
         kmeans_fit,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.semdedup import (
         DEFAULT_EPS,
+        pair_kernel_default,
         semdedup,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.similarity import (
-        EMB_DIM,
         blocked_cell_pairs,
         norm,
     )
@@ -87,7 +86,11 @@ def main() -> None:
         sf_dir = CORPUS_DIR
     ensure_corpus(spark, sf_dir, N_DOCS)
 
-    k = K_OVERRIDE if K_OVERRIDE is not None else max(8, N_DOCS // 250)
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        default_sem_k,
+    )
+
+    k = K_OVERRIDE if K_OVERRIDE is not None else default_sem_k(N_DOCS)
     fit_sample = 50 * k
     out = {"n_docs": N_DOCS, "k": k, "fit_sample": fit_sample}
 
@@ -124,9 +127,10 @@ def main() -> None:
         blocked_cell_pairs(
             proj,
             threshold=1.0 - DEFAULT_EPS,
-            # the same scale switch semdedup applies (round 9),
-            # spelled from the same constants so they cannot drift
-            kernel=k * EMB_DIM > _VECTORIZED_CELLS,
+            # the same scale switch semdedup applies (round 10: the
+            # candidate-count proxy, not k*dim), spelled from the same
+            # helper so they cannot drift
+            kernel=pair_kernel_default(N_DOCS, k),
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
@@ -148,7 +152,9 @@ def main() -> None:
     # delta over terms_total is cos_centroid scoring + the survivor
     # groupBy/join (and re-running assignment inside)
     t0 = time.time()
-    verdicts = semdedup(emb, k=k, eps=DEFAULT_EPS, fit_sample=fit_sample)
+    verdicts = semdedup(
+        emb, k=k, eps=DEFAULT_EPS, fit_sample=fit_sample, corpus_rows=N_DOCS
+    )
     out["dropped"] = verdicts.where(~F.col("keep")).count()
     out["semdedup_total_s"] = round(time.time() - t0, 1)
 
