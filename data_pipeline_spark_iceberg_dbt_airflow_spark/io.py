@@ -141,6 +141,15 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     return _ROW_COUNT_CACHE[path]
 
 
+def record_row_count(sf_dir: str, name: str, n: int) -> None:
+    """Pin a row count learned by other means (a caller's count job on
+    a table whose footers could not be probed), so every later
+    plan-shape probe of the same table is a dict hit instead of another
+    Spark job. Testdata tables are immutable within a session, so the
+    pin cannot go stale."""
+    _ROW_COUNT_CACHE[table_path(sf_dir, name)] = int(n)
+
+
 def _ensure_nanos_conf(spark: SparkSession) -> None:
     # Normally set at session build (session.py); safety net for sessions
     # built elsewhere. Session-wide by design -- see get_spark_session doc.

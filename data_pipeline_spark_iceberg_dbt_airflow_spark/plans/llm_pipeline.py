@@ -44,6 +44,8 @@ only surviving documents -- filter early, explode late.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -346,7 +348,10 @@ def build_llm_curation_pipeline(
         # anti-correlated with pair cost; round-9 ADVICE)
         n_docs = table_row_count(sf_dir, "documents")
         if n_docs is None:
+            from ..io import record_row_count
+
             n_docs = read_table(spark, sf_dir, "documents").count()
+            record_row_count(sf_dir, "documents", n_docs)
         k = default_sem_k(n_docs) if sem_k is None else sem_k
         eps = DEFAULT_EPS if sem_eps is None else sem_eps
 
@@ -470,7 +475,16 @@ def run_llm_curation(
     see the bound's doc). Pass ``None`` to force plain checkpoints, or
     a column name to force bucketing at any size. When the probe cannot
     resolve a count, auto stays plain -- bucketing is a constant-factor
-    layout choice, never a semantics or asymptote question."""
+    layout choice, never a semantics or asymptote question.
+
+    Bucketed boundaries are catalog tables named per CORPUS
+    (``dag_<md5(sf_dir) prefix>_<model>``), so two curation runs over
+    different corpora in one session can never overwrite each other's
+    returned results -- a second run over the SAME corpus dir does
+    replace the first's tables (same inputs, same rows, unless the dir
+    itself was mutated, which the immutable-testdata contract forbids).
+    A bucketed run implies materialization; ``materialize`` adds
+    nothing on that path."""
     if bucket_key == "auto":
         n_docs = table_row_count(sf_dir, "documents")
         bucket_key = (
@@ -487,7 +501,15 @@ def run_llm_curation(
         quality_threshold=quality_threshold,
     )
     if bucket_key is not None:
+        import hashlib
+
+        tag = hashlib.md5(
+            os.path.abspath(sf_dir).encode("utf-8")
+        ).hexdigest()[:8]
         return runner.run(
-            targets, bucket_key=bucket_key, bucket_count=bucket_count
+            targets,
+            bucket_key=bucket_key,
+            bucket_count=bucket_count,
+            table_prefix=f"dag_{tag}",
         )
     return runner.run(targets, materialize=materialize)

@@ -375,9 +375,15 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: MinHash geometry: NUM_PERM permutations split into BANDS bands of
-#: ROWS_PER_BAND rows. P(candidate) = 1 - (1 - j^r)^b -- steep around
-#: j ~ 0.5 with (8, 4, 2).
-NUM_PERM = 8
+#: ROWS_PER_BAND rows. P(candidate) = 1 - (1 - j^r)^b. Round-10 sweep
+#: (tools/lsh_sweep.py, 1M planted corpus, exact path as reference):
+#: 8 perms / 4x2 missed 515 of 101,143 true pairs (recall 0.9949,
+#: candidates+verify 8.6s); 16 perms / 8x2 missed 108 (recall 0.9989)
+#: for 10.8s -- ~79% of the drift bought back for ~2s at 1M, so 16/8x2
+#: is the default. Worst-case P(miss) exactly AT the 0.5 threshold:
+#: (1-0.25)^8 = 0.100 (was 0.32); at the j~0.9 of real near-copies:
+#: 1.7e-6 (was 1.3e-5).
+NUM_PERM = 16
 ROWS_PER_BAND = 2
 
 #: Carter-Wegman permutation family: perm_s(h) = (a_s*h + b_s) mod MH_P
@@ -613,9 +619,10 @@ _ORACLE_MINHASH_BRANCH = f"""
     "each rebuilt it -- the top-2 r2 bench cost): method='ngram' pairs "
     "share at least one word-3-gram (inverted-index equi-join, NOT "
     "all-pairs; df-cap kills hot-shingle pair blowup), method='minhash' "
-    "pairs share an LSH band (8 md5-keyed permutations banded 4x2 -- "
-    "band keys are 1 row per (doc, band), so the candidate join input is "
-    "4 rows/doc regardless of document length: the 100 TB path). Both "
+    "pairs share an LSH band (16 md5-keyed permutations banded 8x2, the "
+    "round-10 sweep-validated geometry -- band keys are 1 row per "
+    "(doc, band), so the candidate join input is "
+    "8 rows/doc regardless of document length: the 100 TB path). Both "
     "candidate sets are VERIFIED against true shingle Jaccard >= 0.5, so "
     "both branches emit exact values. The minhash-VERIFIED set is a "
     "subset of the ngram-verified set: a raw LSH candidate without a "
@@ -812,9 +819,10 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: above it the self-join's pair emission is the measured superlinear
 #: band (243s at 1M). The LSH path can in principle miss a
 #: borderline-Jaccard pair that shares no full band (P(miss) =
-#: (1-j^2)^4; ~1.3e-5 at the j~0.9 of real near-copies, worst-case
-#: 0.32 exactly AT the 0.5 threshold), which is the standard
-#: MinHash-LSH recall trade every production near-dup pipeline makes;
+#: (1-j^2)^8 at the round-10 16/8x2 geometry; ~1.7e-6 at the j~0.9 of
+#: real near-copies, worst-case 0.100 exactly AT the 0.5 threshold --
+#: measured at 1M: 108 of 101,143 true pairs, recall 0.9989), which is
+#: the standard MinHash-LSH recall trade every near-dup pipeline makes;
 #: the driver's sf0.01 oracle corpus stays far below the bound, so the
 #: oracle hash pins the exact path.
 LEXICAL_LSH_BOUND = 250_000
@@ -890,8 +898,12 @@ def lexical_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         # back to the direct self-join, i.e. the superlinear path, at
         # exactly the multi-file scale the LSH gate exists for (round-9
         # ADVICE). count(*) over parquet is a column-pruned metadata
-        # scan: trivial next to either candidate path.
+        # scan: trivial next to either candidate path -- and the result
+        # is pinned so later probes of the same table are free.
+        from ..io import record_row_count
+
         n_docs = read_table(spark, sf_dir, "documents").count()
+        record_row_count(sf_dir, "documents", n_docs)
     if n_docs > LEXICAL_LSH_BOUND:
         pairs = _verify_candidates(rep_sh, _minhash_candidates(rep_sh))
     else:

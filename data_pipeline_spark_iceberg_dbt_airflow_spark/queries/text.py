@@ -615,6 +615,20 @@ def lm_score_docs_grouped(
     group key riding every model join and the smoothing denominator
     coming from the group's totals row. Documents with a NULL group or
     fewer than two tokens score NULL.
+
+    Plan shape (round 10): the log-prob is a pure function of the MODEL
+    row, so it is precomputed once per distinct (g, w1, w2) / (g, w2) /
+    group on the corpus-SUBLINEAR model tables, and the linear bigram
+    stream does two broadcast lookups plus a groups-sized one and a
+    three-way coalesce -- no per-row log(), no divisions, one fewer
+    string-key probe than the join-counts-then-compute form (measured
+    at 1M docs / ~59M bigrams: the scoring stage carried 60M log+div
+    evaluations and a third 60M-row broadcast probe for arithmetic the
+    model side runs ~200k times). BIT-EQUAL by construction: each tier
+    evaluates the exact expression tree the per-row form evaluated for
+    that tier's case (seen pair / unseen pair with seen w2 / unseen
+    w2), over the same doubles -- pinned by the grouped-vs-ungrouped
+    differential test, since ``lm_score_docs`` keeps the per-row form.
     """
     g = F.col(group_col).alias("g")
     stream = (
@@ -623,26 +637,60 @@ def lm_score_docs_grouped(
         .select("doc_id", "g", F.explode(F.expr(_BIGRAMS)).alias("b"))
         .select("doc_id", "g", "b.w1", "b.w2")
     )
+    hint = F.broadcast if broadcast_model else (lambda df: df)
+    lam_l = F.lit(float(lam))
+    om_l = F.lit(1.0 - float(lam))
+    denom = F.col("n").cast("double") + F.lit(float(alpha)) * F.col(
+        "v"
+    ).cast("double")
+    p_uni = (
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+        + F.lit(float(alpha))
+    ) / denom
+    # tier 1: every (g, w1, w2) present in bi. c1/c2/totals join back
+    # LEFT, and p_bi keeps the per-row form's c1-NULL guard, so a
+    # caller-supplied INCONSISTENT model (e.g. uni vocabulary-pruned
+    # while bi keeps the pair) scores exactly as the per-row form
+    # scored it -- trained-together tables never hit those branches
     c1 = uni.select("g", F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select("g", F.col("w").alias("w2"), F.col("c").alias("c2"))
-    hint = F.broadcast if broadcast_model else (lambda df: df)
-    joined = (
-        stream.join(hint(bi), ["g", "w1", "w2"], "left")
-        .join(hint(c1), ["g", "w1"], "left")
-        .join(hint(c2), ["g", "w2"], "left")
-        .join(hint(totals), "g", "left")
-    )
     p_bi = F.when(
-        F.col("c1").isNotNull() & F.col("c12").isNotNull(),
+        F.col("c1").isNotNull(),
         F.col("c12").cast("double") / F.col("c1").cast("double"),
     ).otherwise(F.lit(0.0))
-    denom = F.col("n").cast("double") + F.lit(float(alpha)) * F.col("v").cast(
-        "double"
+    pair_lp = (
+        bi.join(c1, ["g", "w1"], "left")
+        .join(c2, ["g", "w2"], "left")
+        .join(totals, "g", "left")
+        .select(
+            "g", "w1", "w2",
+            F.log(lam_l * p_bi + om_l * p_uni).alias("lp_pair"),
+        )
     )
-    p_uni = (
-        F.coalesce(F.col("c2"), F.lit(0)).cast("double") + F.lit(float(alpha))
-    ) / denom
-    logp = F.log(F.lit(float(lam)) * p_bi + F.lit(1.0 - float(lam)) * p_uni)
+    # tier 2: unseen pair, seen w2 -- p_bi is literally 0.0, exactly as
+    # the per-row otherwise() branch evaluated it
+    w2_lp = c2.join(totals, "g", "left").select(
+        "g", "w2",
+        F.log(lam_l * F.lit(0.0) + om_l * p_uni).alias("lp_w2"),
+    )
+    # tier 3: unseen w2 -- c2 NULL -> coalesce 0, one constant per group
+    oov_lp = totals.select(
+        "g",
+        F.log(
+            lam_l * F.lit(0.0)
+            + om_l
+            * (
+                (F.lit(0).cast("double") + F.lit(float(alpha)))
+                / denom
+            )
+        ).alias("lp_oov"),
+    )
+    joined = (
+        stream.join(hint(pair_lp), ["g", "w1", "w2"], "left")
+        .join(hint(w2_lp), ["g", "w2"], "left")
+        .join(hint(oov_lp), "g", "left")
+    )
+    logp = F.coalesce("lp_pair", "lp_w2", "lp_oov")
     scored = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (

@@ -57,8 +57,8 @@ def _mk_corpus(spark, tmp_path_factory, n_filler: int):
     ta = base_a.split()
     # clique B base: ONE middle token changed => jaccard vs base_a
     # ~35/41 = 0.85, an edge BETWEEN the cliques (and high enough that
-    # 4x2 minhash banding finds it essentially surely: miss = (1-j^2)^4
-    # ~ 0.5%)
+    # 8x2 minhash banding finds it essentially surely: miss = (1-j^2)^8
+    # ~ 0.002%)
     tb = list(ta)
     tb[20] = "zz"
     base_b = " ".join(tb)
@@ -146,7 +146,7 @@ def test_collapsed_equals_direct(spark, corpus):
 
 def test_lsh_path_equals_direct_on_planted_corpus(spark, corpus, monkeypatch):
     # force the over-bound branch; every true pair in this corpus has
-    # jaccard ~0.75+ so 4x2 banding finds them all (deterministic
+    # jaccard ~0.75+ so 8x2 banding finds them all (deterministic
     # coefficients -- this is a pin, not a probabilistic hope)
     monkeypatch.setattr(dedup, "LEXICAL_LSH_BOUND", 1)
     got = _mapping(

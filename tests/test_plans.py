@@ -836,8 +836,15 @@ def test_auto_bucketed_curation_matches_plain(spark, sf_dir, monkeypatch):
         )
         monkeypatch.setattr(llm_pipeline, "BUCKETED_DAG_BOUND", 0)
         auto = run_llm_curation(spark, sf_dir, targets=["assigned"])
+        # tables are namespaced per corpus dir (dag_<md5 prefix>_<model>)
+        # so concurrent corpora in one session can never alias
         tables = {t.name for t in spark.catalog.listTables()}
-        assert "dag_curated" in tables and "dag_assigned" in tables
+        assert any(
+            t.startswith("dag_") and t.endswith("_curated") for t in tables
+        ), tables
+        assert any(
+            t.startswith("dag_") and t.endswith("_assigned") for t in tables
+        ), tables
         a = sorted(r["doc_id"] for r in auto["assigned"].collect())
         b = sorted(r["doc_id"] for r in plain["assigned"].collect())
         assert a == b and len(a) > 0
