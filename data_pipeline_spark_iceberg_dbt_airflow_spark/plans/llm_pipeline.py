@@ -356,15 +356,6 @@ def build_llm_curation_pipeline(
         eps = DEFAULT_EPS if sem_eps is None else sem_eps
 
         nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
-        emb = (
-            hash_embed(
-                sd.where(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
-                    "doc_id", "text"
-                )
-            )
-            .where(nonzero)
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
-        )
         # TRUNCATE lineage at the stage boundary: semdedup's k-means
         # fit runs ~2 actions per Lloyd round, and without the
         # checkpoint every one of them would re-execute the whole
@@ -374,7 +365,25 @@ def build_llm_curation_pipeline(
         # materialize-at-the-model-boundary posture the module
         # docstring prescribes for 100 TB, applied to the one stage
         # whose operator is iterative.
-        emb = emb.localCheckpoint(eager=True)
+        #
+        # The zero-vector filter runs AFTER the checkpoint, on the
+        # stored arrays: placed before it, predicate pushdown inlines
+        # the embedding's whole map-assembly expression into the
+        # interpreted exists() predicate and the assembly runs twice
+        # per row (the round-8 derived-expression trap, caught again
+        # round 10 -- measured 61.1s -> 10.2s at 1M for this stage's
+        # embed term). The checkpoint stores the rare zero vectors
+        # too; 64 floats per dropped row is free.
+        emb = (
+            hash_embed(
+                sd.where(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
+                    "doc_id", "text"
+                )
+            )
+            .select(F.col("doc_id").alias("vec_id"), "embedding")
+            .localCheckpoint(eager=True)
+            .where(nonzero)
+        )
         try:
             # Lloyd refinement reads an md5-ranked sample of ~50
             # vectors per cell, not the corpus: cells only BLOCK the
