@@ -83,9 +83,24 @@ def main() -> None:
     )
 
     sem_k = default_sem_k(n_docs)
-    out = {"n_docs": n_docs, "sem_k": sem_k}
+    order = (
+        ("bucketed", "plain")
+        if "--bucketed-first" in sys.argv
+        else ("plain", "bucketed")
+    )
+    out = {"n_docs": n_docs, "sem_k": sem_k, "order": "->".join(order)}
 
-    for mode in ("plain", "bucketed"):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        release_shingle_index,
+    )
+
+    for mode in order:
+        # drop the session-cached persisted shingle index so BOTH modes
+        # pay the cold build -- without this the second mode ran warm
+        # and the comparison silently credited the layout with the
+        # cache's savings (round-10 fix; use --bucketed-first to bound
+        # any residual same-session warmth in the other direction)
+        release_shingle_index(spark)
         runner = build_llm_curation_pipeline(spark, sf_dir, sem_k=sem_k)
         sw0 = _shuffle_write_bytes(ui)
         t0 = time.time()

@@ -1,0 +1,112 @@
+"""Per-term attribution of the lexical near-dup stage (SCALING.md).
+
+`doc_clusters` is the curation DAG's largest non-semantic stage at 1M
+(~77s); this tool splits it through the SAME building blocks
+`queries/dedup.lexical_components` composes -- shingle index build,
+digest-collapse rep map, banded-MinHash candidates, explicit
+verification, connected components, the label folds -- with a
+materialization barrier between terms, then runs the composed operator
+for the total (the residual is the final size/canonical assembly).
+
+    python tools/lexical_attrib.py <n_docs> [corpus_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import tempfile
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    n_docs = int(sys.argv[1])
+    corpus_dir = sys.argv[2] if len(sys.argv) > 2 else None
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from tools.dfcap_sweep import ensure_corpus
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
+        connected_components,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
+
+    own_tmp = None
+    if corpus_dir is None:
+        own_tmp = tempfile.TemporaryDirectory()
+        sf_dir = own_tmp.name
+    else:
+        sf_dir = corpus_dir
+    ensure_corpus(spark, sf_dir, n_docs)
+
+    out: dict = {"n_docs": n_docs}
+
+    t0 = time.time()
+    sh = dedup.shingled_docs(spark, sf_dir)
+    out["index_rows"] = sh.count()  # builds + persists the index
+    out["index_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    rep_map = dedup._digest_rep_map(spark, sf_dir, sh).localCheckpoint(
+        eager=True
+    )
+    out["rep_map_s"] = round(time.time() - t0, 1)
+    rep_sh = sh.join(
+        rep_map.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+
+    lsh = n_docs > dedup.LEXICAL_LSH_BOUND
+    out["path"] = "lsh" if lsh else "direct"
+    t0 = time.time()
+    if lsh:
+        cand = dedup._minhash_candidates(rep_sh).localCheckpoint(eager=True)
+        out["candidates"] = cand.count()
+        out["candidates_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        pairs = dedup._verify_candidates(rep_sh, cand).localCheckpoint(
+            eager=True
+        )
+    else:
+        pairs = dedup._pair_jaccard(rep_sh).localCheckpoint(eager=True)
+    out["pairs"] = pairs.count()
+    out["verify_s"] = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    labels = connected_components(pairs.select("doc_a", "doc_b"))
+    out["labeled"] = labels.count()
+    out["cc_s"] = round(time.time() - t0, 1)
+
+    # composed operator end-to-end (warm index; the residual over the
+    # terms is the label fold + sizes + canonical assembly)
+    t0 = time.time()
+    out["rows"] = dedup.lexical_components(spark, sf_dir).count()
+    out["composed_s"] = round(time.time() - t0, 1)
+
+    print(json.dumps(out))
+    spark.stop()
+    if own_tmp is not None:
+        own_tmp.cleanup()
+
+
+if __name__ == "__main__":
+    main()
