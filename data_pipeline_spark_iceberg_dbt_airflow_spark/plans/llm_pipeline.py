@@ -339,7 +339,7 @@ def build_llm_curation_pipeline(
         # this granularity and passes through unchanged.
         from ..operators.kmeans import CorpusTooSmallError
         from ..queries.semdedup import DEFAULT_EPS, semdedup
-        from ..queries.text import hash_embed
+        from ..queries.text import hash_embed_checkpointed
 
         # the corpus-size probe feeds BOTH sizing decisions: the default
         # cell count (N/250 vs sqrt(N), see default_sem_k) and the
@@ -355,34 +355,17 @@ def build_llm_curation_pipeline(
         k = default_sem_k(n_docs) if sem_k is None else sem_k
         eps = DEFAULT_EPS if sem_eps is None else sem_eps
 
-        nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
-        # TRUNCATE lineage at the stage boundary: semdedup's k-means
-        # fit runs ~2 actions per Lloyd round, and without the
-        # checkpoint every one of them would re-execute the whole
-        # upstream DAG (span dedup, boilerplate strip, quality, LM --
-        # measured: minutes per action at test scale). The checkpointed
-        # frame is (doc_id, 64 floats) -- tiny; this is exactly the
-        # materialize-at-the-model-boundary posture the module
-        # docstring prescribes for 100 TB, applied to the one stage
-        # whose operator is iterative.
-        #
-        # The zero-vector filter runs AFTER the checkpoint, on the
-        # stored arrays: placed before it, predicate pushdown inlines
-        # the embedding's whole map-assembly expression into the
-        # interpreted exists() predicate and the assembly runs twice
-        # per row (the round-8 derived-expression trap, caught again
-        # round 10 -- measured 61.1s -> 10.2s at 1M for this stage's
-        # embed term). The checkpoint stores the rare zero vectors
-        # too; 64 floats per dropped row is free.
-        emb = (
-            hash_embed(
-                sd.where(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
-                    "doc_id", "text"
-                )
+        # hash_embed_checkpointed TRUNCATES lineage at the stage
+        # boundary (semdedup's Lloyd fit runs ~2 actions per round;
+        # without the checkpoint each would re-execute the whole
+        # upstream DAG -- span dedup, boilerplate strip, quality, LM)
+        # and drops zero vectors AFTER materialization: the safe order
+        # is enforced at the producer since the derived-filter trap
+        # bit this exact frame in round 10 (see its docstring).
+        emb = hash_embed_checkpointed(
+            sd.where(F.coalesce(F.length("text"), F.lit(0)) > 0).select(
+                "doc_id", "text"
             )
-            .select(F.col("doc_id").alias("vec_id"), "embedding")
-            .localCheckpoint(eager=True)
-            .where(nonzero)
         )
         try:
             # Lloyd refinement reads an md5-ranked sample of ~50

@@ -382,7 +382,7 @@ def dedup_exact_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: for 10.8s -- ~79% of the drift bought back for ~2s at 1M, so 16/8x2
 #: is the default. Worst-case P(miss) exactly AT the 0.5 threshold:
 #: (1-0.25)^8 = 0.100 (was 0.32); at the j~0.9 of real near-copies:
-#: 1.7e-6 (was 1.3e-5).
+#: 1.7e-6 (was (1-0.81)^4 = 1.3e-3).
 NUM_PERM = 16
 ROWS_PER_BAND = 2
 

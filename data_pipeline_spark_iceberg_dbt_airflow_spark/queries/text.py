@@ -551,6 +551,35 @@ def hash_embed(docs: DataFrame, dim: int = 64) -> DataFrame:
     )
 
 
+def hash_embed_checkpointed(
+    docs: DataFrame,
+    dim: int = 64,
+    id_out: str = "vec_id",
+    drop_zero: bool = True,
+) -> DataFrame:
+    """(``id_out``, embedding) eagerly localCheckpointed, with the
+    zero-vector filter applied AFTER materialization -- the only safe
+    order, enforced here at the producer so no caller can reintroduce
+    the trap: a filter placed on the DERIVED embedding projection gets
+    the whole map-assembly expression inlined into its interpreted
+    exists() predicate by pushdown and runs the assembly twice per row
+    (the round-8 derived-expression failure mode; it bit a third time
+    in round 10 -- measured 61.1s -> 10.2s at 1M docs for this exact
+    frame). The checkpoint also truncates lineage, which iterative
+    consumers (semdedup's Lloyd fit) need anyway; the rare zero
+    vectors it stores before dropping cost dim floats per row."""
+    emb = (
+        hash_embed(docs, dim=dim)
+        .select(F.col("doc_id").alias(id_out), "embedding")
+        .localCheckpoint(eager=True)
+    )
+    if drop_zero:
+        emb = emb.where(
+            F.exists(F.col("embedding"), lambda x: x != 0)
+        )
+    return emb
+
+
 #: Shared bigram-stream SQL (guarded against <2-token docs; see the
 #: sequence(1,0)-counts-DOWN pitfall).
 _BIGRAMS = (

@@ -40,31 +40,21 @@ def _shuffle_write_bytes(ui: str) -> int:
 def main() -> None:
     import tempfile
 
-    from pyspark.sql import SparkSession
+    # flags must not be consumed as the positional corpus_dir (round-10
+    # review: `1000000 --bucketed-first` silently built the corpus in a
+    # cwd directory literally named '--bucketed-first')
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(pos[0])
+    corpus_dir = pos[1] if len(pos) > 1 else None
 
-    n_docs = int(sys.argv[1])
-    corpus_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    from tools.dfcap_sweep import ensure_corpus, make_session
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
-        # the byte accounting sums the UI's COMPLETED-stage history;
-        # the default retention (1000 stages) can evict early stages
-        # between markers and corrupt the delta, so retain far more
-        # than two full DAG runs ever produce
-        .config("spark.ui.retainedStages", "100000")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    # the byte accounting sums the UI's COMPLETED-stage history; the
+    # default retention (1000 stages) can evict early stages between
+    # markers and corrupt the delta, so retain far more than two full
+    # DAG runs ever produce
+    spark = make_session({"spark.ui.retainedStages": "100000"})
     ui = spark.sparkContext.uiWebUrl
-
-    from tools.dfcap_sweep import ensure_corpus
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
         build_llm_curation_pipeline,
@@ -99,7 +89,12 @@ def main() -> None:
         # pay the cold build -- without this the second mode ran warm
         # and the comparison silently credited the layout with the
         # cache's savings (round-10 fix; use --bucketed-first to bound
-        # any residual same-session warmth in the other direction)
+        # any residual same-session warmth in the other direction).
+        # KNOWN residual bias: the first mode's localCheckpoint blocks
+        # are freed only when Python GC + ContextCleaner get to them,
+        # so the second mode's storage memory is not pristine -- run
+        # the two modes in both orders and trust the SHUFFLE BYTES
+        # (layout-determined, warmth-independent) over the walls
         release_shingle_index(spark)
         runner = build_llm_curation_pipeline(spark, sf_dir, sem_k=sem_k)
         sw0 = _shuffle_write_bytes(ui)

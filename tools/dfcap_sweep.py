@@ -33,6 +33,33 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+def make_session(extra_conf: dict | None = None):
+    """The one Spark session builder every stress/sweep tool shares:
+    local[SPARK_GRAFT_CPUS] (default 32), 32 shuffle partitions,
+    SPARK_GRAFT_DRIVER_MEM (default 16g) -- four tools used to carry
+    copy-pasted builders that had already drifted (round-10 review).
+    ``extra_conf`` layers tool-specific knobs (e.g. bucketed_delta's
+    UI stage retention)."""
+    from pyspark.sql import SparkSession
+
+    b = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
 def ensure_corpus(spark, sf_dir: str, n_docs: int) -> None:
     from tools.curation_stress import make_corpus
 
@@ -65,7 +92,6 @@ def ensure_corpus(spark, sf_dir: str, n_docs: int) -> None:
 def main() -> None:
     import tempfile
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     N_DOCS = int(sys.argv[1])
@@ -74,18 +100,7 @@ def main() -> None:
     CORPUS_DIR = sys.argv[4] if len(sys.argv) > 4 else None
     assert PATH in ("direct", "lsh"), PATH
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = make_session()
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
 

@@ -40,26 +40,14 @@ GEOMETRIES = ((8, 2), (12, 2), (16, 2))
 def main() -> None:
     import tempfile
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     n_docs = int(sys.argv[1])
     corpus_dir = sys.argv[2] if len(sys.argv) > 2 else None
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from tools.dfcap_sweep import ensure_corpus, make_session
 
-    from tools.dfcap_sweep import ensure_corpus
+    spark = make_session()
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
         connected_components,

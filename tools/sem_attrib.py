@@ -32,7 +32,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     import tempfile
 
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     N_DOCS = int(sys.argv[1])
@@ -42,20 +41,9 @@ def main() -> None:
     # at k ~ sqrt(N), vs the DAG's default k = N/250
     K_OVERRIDE = int(sys.argv[3]) if len(sys.argv) > 3 else None
 
-    spark = (
-        SparkSession.builder.master(
-            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
-        )
-        .config("spark.sql.shuffle.partitions", "32")
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    from tools.dfcap_sweep import ensure_corpus, make_session
 
-    from tools.dfcap_sweep import ensure_corpus
+    spark = make_session()
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
@@ -75,7 +63,7 @@ def main() -> None:
         norm,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
-        hash_embed,
+        hash_embed_checkpointed,
     )
 
     own_tmp = None
@@ -95,18 +83,11 @@ def main() -> None:
     out = {"n_docs": N_DOCS, "k": k, "fit_sample": fit_sample}
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
-    nonzero = F.exists(F.col("embedding"), lambda x: x != 0)
 
     t0 = time.time()
-    # checkpoint BEFORE the zero-vector filter -- filtering the derived
-    # embedding projection re-derives the assembly per row (round-8
-    # trap; measured 61.1s -> 10.2s at 1M). Same order as the DAG.
-    emb = (
-        hash_embed(docs.select("doc_id", "text"))
-        .select(F.col("doc_id").alias("vec_id"), "embedding")
-        .localCheckpoint(eager=True)
-        .where(nonzero)
-    )
+    # the producer enforces checkpoint-before-zero-filter (the round-8
+    # derived-filter trap); same frame the DAG's sem stage builds
+    emb = hash_embed_checkpointed(docs.select("doc_id", "text"))
     out["embed_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
