@@ -52,7 +52,12 @@ def _nanos_columns(path: str) -> list[str]:
     Multi-file tables (a directory of part files) probe the first part's
     footer -- one table, one schema; a writer that mixed ns and us
     timestamp units across parts would fail Spark's own schema merge
-    before this probe could matter."""
+    before this probe could matter. A probe that cannot be read (empty
+    directory, corrupt first part) reports NO nanos columns rather than
+    raising: this is a best-effort rewrite hint, and the genuinely
+    broken table then fails in the Spark scan with the real error
+    instead of a pyarrow footer traceback (same contract as
+    table_row_count's None)."""
     if path not in _NANOS_COLS_CACHE:
         import pyarrow.parquet as pq
 
@@ -65,10 +70,12 @@ def _nanos_columns(path: str) -> list[str]:
             )
             if parts:
                 probe = os.path.join(path, parts[0])
-        schema = pq.read_schema(probe)
-        _NANOS_COLS_CACHE[path] = [
-            f.name for f in schema if str(f.type) == "timestamp[ns]"
-        ]
+        try:
+            schema = pq.read_schema(probe)
+            cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+        except Exception:
+            cols = []
+        _NANOS_COLS_CACHE[path] = cols
     return _NANOS_COLS_CACHE[path]
 
 

@@ -396,15 +396,25 @@ def build_llm_curation_pipeline(
     runner.add(Model("sem_deduped", sem_deduped, refs=("span_deduped",)))
 
     def chunks(cur: DataFrame) -> DataFrame:
-        n_chunks = F.floor((F.col("n_chars") - 1) / CHUNK_STRIDE).cast("int")
+        # chunk-index array via ONE n_chars reference: ceil(n/stride)
+        # equals floor((n-1)/stride)+1 for n > 0 and is 0 for empty
+        # docs, whose empty array then vanishes in the (non-outer)
+        # posexplode. The old `.where(n_chars > 0)` guard is gone ON
+        # PURPOSE: in the lazy (materialize=False) composition,
+        # predicate pushdown substituted span_deduped's derived text
+        # producer -- the whole interpreted mask-rebuild -- into the
+        # filter and re-ran it per row (the r8/r10 trap; caught by
+        # metrics.derived_reinline_findings on this exact plan).
+        # array_repeat instead of sequence: sequence(1, 0) counts DOWN.
+        idx = F.expr(
+            "transform(array_repeat(0, cast(ceil(n_chars /"
+            f" {CHUNK_STRIDE}) as int)), (x, i) -> i)"
+        )
         return (
-            cur.where(F.col("n_chars") > 0)
-            .select(
+            cur.select(
                 "doc_id",
                 "lang",
-                F.posexplode(F.sequence(F.lit(0), n_chunks)).alias(
-                    "chunk_idx", "_i"
-                ),
+                F.posexplode(idx).alias("chunk_idx", "_i"),
                 F.col("text"),
             )
             .select(

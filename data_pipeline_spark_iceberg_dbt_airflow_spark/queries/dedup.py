@@ -114,6 +114,117 @@ def _tokens_col() -> F.Column:
     return F.split(F.expr(_NORM), " ")
 
 
+#: Build the shingle rows with the Arrow kernel (default) instead of the
+#: Catalyst transform/md5 expression. The expression path stays as the
+#: reference rendering (same formula as the DuckDB oracle CTEs) and is
+#: pinned bit-equal to the kernel by tests/test_dedup.py's differential;
+#: flip to False to fall back. Rationale: transform(sequence(...)) +
+#: per-element md5/conv/substr is CodegenFallback -- interpreted
+#: per-shingle expression eval was the dominant lexical-stage term at 1M
+#: docs (44.2s of ~77s, tools/lexical_attrib.py r10), while hashlib.md5
+#: over Arrow batches does the identical arithmetic at C speed.
+SHINGLE_KERNEL = True
+
+
+def _shingle_rows_expr(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) shingle rows via the Catalyst expression rendering.
+
+    The literal Spark-SQL transcription of ORACLE_SHINGLE_CTES: one
+    interpreted md5+conv per shingle inside transform(sequence(...)).
+    Kept as the cross-engine reference the kernel is differenced
+    against; not the default build path (see SHINGLE_KERNEL).
+    """
+    return (
+        docs.select("doc_id", _tokens_col().alias("t"))
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(t)-3),"
+                    " i -> cast(conv(substr(md5(encode(concat_ws(' ',"
+                    " t[i], t[i+1], t[i+2]), 'UTF-8')), 1, 15), 16, 10)"
+                    " as bigint)))"
+                )
+            ).alias("sid"),
+        )
+    )
+
+
+def _shingle_rows_kernel(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) shingle rows via an Arrow ``mapInPandas`` kernel.
+
+    Bit-equal to :func:`_shingle_rows_expr` by construction, term by
+    term (the differential test pins it on real + adversarial corpora):
+
+    - ``lower(text)`` -> ``str.lower()`` (identical over the UTF-8
+      plane for the corpus alphabet; pinned by the differential).
+    - ``regexp_replace(.., '\\\\s+', ' ')`` -> a compiled
+      ``[ \\t\\n\\x0b\\f\\r]+`` pattern. Java's ``\\s`` is the ASCII
+      class ONLY -- Python's ``\\s`` also eats Unicode whitespace
+      (U+00A0 etc.), which would silently merge tokens the expression
+      path keeps apart (the round-4 ``str.split()`` lesson), so the
+      Java class is spelled out.
+    - ``trim`` -> ``strip(' ')`` (Spark trim removes 0x20 only).
+    - ``split(s, ' ')`` -> ``s.split(' ')`` (both keep empty fields).
+    - sid: ``conv(substr(md5_hex, 1, 15), 16, 10)`` = the top 60 bits
+      of the digest = ``int.from_bytes(digest[:8], 'big') >> 4`` --
+      exact integers well under 2**63, no float rounding anywhere.
+    - ``array_distinct`` -> a per-doc ``set`` (downstream is pure set
+      semantics: groupBys and joins, never row order).
+
+    Scale shape: embarrassingly parallel over doc rows -- no shuffle,
+    no state, output is the same 16-byte (doc_id, sid) stream the
+    expression path emits, so every downstream exchange is unchanged.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        md5 = hashlib.md5
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            doc_ids: list[int] = []
+            counts: list[int] = []
+            sids: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # NULL text: expr path filters size(NULL)=-1
+                toks = ws.sub(" ", text.lower()).strip(" ").split(" ")
+                n = len(toks) - 2
+                if n < 1:
+                    continue
+                seen = {
+                    int.from_bytes(
+                        md5(
+                            " ".join(toks[i : i + 3]).encode("utf-8")
+                        ).digest()[:8],
+                        "big",
+                    )
+                    >> 4
+                    for i in range(n)
+                }
+                doc_ids.append(doc_id)
+                counts.append(len(seen))
+                sids.extend(seen)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(
+                        np.asarray(doc_ids, dtype=np.int64),
+                        np.asarray(counts, dtype=np.int64),
+                    ),
+                    "sid": np.asarray(sids, dtype=np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id bigint, sid bigint"
+    )
+
+
 #: One persisted shingle index per (JVM session, sf_dir). Bounded by the
 #: number of distinct corpora a session touches (not by invocation count),
 #: and releasable -- the round-2 persist()-per-call leak is gone. Keyed on
@@ -133,7 +244,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup branches: ``(doc_id, sid, n_sh)`` -- all BIGINT -- where
     ``sid`` is the top-60-bit md5 prefix of the shingle text and
     ``n_sh`` the doc's capped shingle count. Hashing happens ONCE here,
-    inside the per-row transform (round 3 recomputed md5 per consumer);
+    inside the Arrow shingle kernel (round 3 recomputed md5 per
+    consumer; round 11 moved the tokenize+md5 pass off the interpreted
+    transform -- see SHINGLE_KERNEL);
     per-doc dedup happens ROW-SIDE (array_distinct before explode -- no
     corpus-wide distinct shuffle); the df-cap is one groupBy(sid) +
     broadcast anti-join; ``n_sh`` is a sort-free count over a
@@ -150,19 +263,9 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it runs on every core even when the scan is a single parquet split.
     docs = read_table(spark, sf_dir, "documents", widen=True)
     sh = (
-        docs.select("doc_id", _tokens_col().alias("t"))
-        .where(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "array_distinct(transform(sequence(0, size(t)-3),"
-                    " i -> cast(conv(substr(md5(encode(concat_ws(' ',"
-                    " t[i], t[i+1], t[i+2]), 'UTF-8')), 1, 15), 16, 10)"
-                    " as bigint)))"
-                )
-            ).alias("sid"),
-        )
+        _shingle_rows_kernel(docs)
+        if SHINGLE_KERNEL
+        else _shingle_rows_expr(docs)
     )
     # The df-cap drops HOT shingles, and hot shingles are few by
     # definition (df > DF_CAP can hold for at most n_rows/DF_CAP distinct

@@ -680,11 +680,18 @@ def lm_score_docs_grouped(
     # LEFT, and p_bi keeps the per-row form's c1-NULL guard, so a
     # caller-supplied INCONSISTENT model (e.g. uni vocabulary-pruned
     # while bi keeps the pair) scores exactly as the per-row form
-    # scored it -- trained-together tables never hit those branches
+    # scored it -- trained-together tables never hit those branches.
+    # c1 = 0 (present but zero-count) additionally routes to the 0.0
+    # branch: this tier is evaluated over EVERY bi row at precompute
+    # time, so under ANSI an unguarded c12/c1 would raise
+    # DIVIDE_BY_ZERO even for pairs no document contains (the per-row
+    # form only raised on actual stream hits -- the one documented
+    # divergence: a zero-count-c1 pair a document DOES hit scores
+    # under the 0.0-smoothed tier here instead of raising).
     c1 = uni.select("g", F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.select("g", F.col("w").alias("w2"), F.col("c").alias("c2"))
     p_bi = F.when(
-        F.col("c1").isNotNull(),
+        F.col("c1").isNotNull() & (F.col("c1") != 0),
         F.col("c12").cast("double") / F.col("c1").cast("double"),
     ).otherwise(F.lit(0.0))
     pair_lp = (

@@ -224,3 +224,61 @@ def test_verify_candidates_matches_pair_jaccard(spark, corpus):
         for r in dedup._verify_candidates(sh, cand).collect()
     }
     assert verified == direct
+
+
+def _shingle_set(df):
+    return {(r["doc_id"], r["sid"]) for r in df.collect()}
+
+
+def test_shingle_kernel_bit_equal_expr_on_real_corpus(spark, sf_dir):
+    # The Arrow kernel (default build path) must emit the EXACT
+    # (doc_id, sid) set the Catalyst expression rendering does -- same
+    # md5-prefix integers, not just the same dedup verdicts.
+    docs = read_table(spark, sf_dir, "documents")
+    got = _shingle_set(dedup._shingle_rows_kernel(docs))
+    want = _shingle_set(dedup._shingle_rows_expr(docs))
+    assert got and got == want
+
+
+def test_shingle_kernel_bit_equal_expr_adversarial(spark):
+    # Every tokenization edge the Java-vs-Python semantics argument
+    # turns on: the ASCII \s class (U+00A0 must NOT split -- Python's
+    # \s would), all five Java whitespace chars, space-only trim,
+    # case folding incl. 1:M special casing (U+0130), NULL / empty /
+    # sub-shingle-length docs, and leading/trailing/run whitespace.
+    rows = [
+        (1, "plain four token doc"),
+        (2, "nbsp joined token stays one token here"),
+        (3, "a\tb\nc\x0bd\x0ce\rf g"),
+        (4, "MiXeD CaSe ÉCOLE Straße İstanbul tokens"),
+        (5, None),
+        (6, ""),
+        (7, "two tokens"),
+        (8, "   lead   and  trail   spaces   everywhere   "),
+        (9, "   only nbsp   and spaces  "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = _shingle_set(dedup._shingle_rows_kernel(docs))
+    want = _shingle_set(dedup._shingle_rows_expr(docs))
+    assert got == want
+    # the nbsp doc must shingle as 6 tokens (nbsp joined is ONE),
+    # i.e. 4 distinct shingles -- guards against a Python-\s rewrite
+    # that would silently split it into 7
+    assert len([s for d, s in got if d == 2]) == 4
+
+
+def test_nanos_probe_unreadable_dir_reports_no_columns(tmp_path):
+    # ADVICE r10: an empty directory table (or unreadable first part)
+    # must degrade to "no nanos columns" -- the real failure then
+    # surfaces in the Spark scan, not as a pyarrow footer traceback
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        _nanos_columns,
+    )
+
+    empty = tmp_path / "empty_table.parquet"
+    empty.mkdir()
+    assert _nanos_columns(str(empty)) == []
+    corrupt = tmp_path / "corrupt_table.parquet"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not parquet")
+    assert _nanos_columns(str(corrupt)) == []

@@ -1442,3 +1442,50 @@ def test_normed_cache_evicts_on_wrapper_finalize(spark, sf_dir):
     assert (tok, "/nowhere") not in sim._NORMED_CACHE
     # live session untouched by the dead token's purge
     assert sim._normed(spark, sf_dir) is sim._normed(spark, sf_dir)
+
+
+def test_grouped_lm_zero_count_c1_does_not_raise(spark):
+    """ADVICE r10: the grouped scorer precomputes tier-1 log-probs over
+    EVERY bi-model row, so an inconsistent caller-supplied model with a
+    ZERO-count unigram (c1 = 0, present, not NULL) heading a bigram
+    must not raise ANSI DIVIDE_BY_ZERO for documents that never hit
+    the pair -- and a document that DOES hit it scores under the
+    0.0-smoothed tier (the documented divergence from the per-row
+    form, which raised on hit)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb"), (2, "en", "zz bb")],
+        "doc_id long, lang string, text string",
+    )
+    uni = spark.createDataFrame(
+        [("en", "aa", 1), ("en", "bb", 2), ("en", "zz", 0)],
+        "g string, w string, c long",
+    )
+    bi = spark.createDataFrame(
+        # (zz, bb): c1 = 0 -- unguarded c12/c1 raises at precompute
+        [("en", "aa", "bb", 1), ("en", "zz", "bb", 1)],
+        "g string, w1 string, w2 string, c12 long",
+    )
+    totals = spark.createDataFrame(
+        [("en", 3, 3)], "g string, n long, v long"
+    )
+    got = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in lm_score_docs_grouped(docs, uni, bi, totals).collect()
+    }
+    assert set(got) == {1, 2}
+    # doc 2's (zz, bb) hit takes the 0.0-smoothed p_bi branch: its
+    # entropy is exactly the unseen-pair tier for w2=bb
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        LM_ALPHA,
+        LM_LAMBDA,
+    )
+
+    p_uni_bb = (2 + LM_ALPHA) / (3 + LM_ALPHA * 3)
+    want = -math.log(LM_LAMBDA * 0.0 + (1 - LM_LAMBDA) * p_uni_bb)
+    assert math.isclose(got[2], want, rel_tol=1e-12)

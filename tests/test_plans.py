@@ -852,3 +852,67 @@ def test_auto_bucketed_curation_matches_plain(spark, sf_dir, monkeypatch):
         for t in spark.catalog.listTables():
             if t.name.startswith("dag_"):
                 spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+
+
+# --- derived-expression re-inline guard (r11) --------------------------------
+
+
+def test_derived_reinline_detector_flags_the_round10_shape(spark, sf_dir):
+    """RED fixture: a filter on hash_embed's DERIVED embedding column
+    (the exact c4cd7f3 shape -- 61.1s -> 10.2s at 1M when fixed) must
+    trip the plan-walk guard; the checkpointed producer must not."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        derived_reinline_findings,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        hash_embed,
+        hash_embed_checkpointed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad = hash_embed(docs).where(
+        F.exists(F.col("embedding"), lambda x: x != 0)
+    )
+    assert derived_reinline_findings(bad), (
+        "the r10 filter-on-derived-embedding shape must be flagged"
+    )
+    assert derived_reinline_findings(hash_embed(docs)) == []
+    assert derived_reinline_findings(hash_embed_checkpointed(docs)) == []
+
+
+def test_derived_reinline_detector_flags_predicate_substitution(spark, sf_dir):
+    """RED fixture for the r8 shape: pushdown substitutes a big derived
+    scalar into the filter predicate -> the producer evaluates twice."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        derived_reinline_findings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = F.col("text")
+    for _ in range(12):
+        big = F.concat(F.substring(big, 1, 50), F.upper(F.reverse(big)))
+    derived = docs.withColumn("expensive", F.length(big))
+    bad = derived.where(F.col("expensive") > 10).select("doc_id", "expensive")
+    kinds = {k for k, _, _ in derived_reinline_findings(bad)}
+    assert "re-inlined" in kinds
+
+
+def test_dag_stage_plans_carry_no_derived_reinline(spark, sf_dir):
+    """Every lazily-composed curation stage plan is free of the trap
+    class -- this is the guard that caught the chunks-stage filter
+    substituting span_deduped's mask-rebuild (fixed r11 by folding the
+    emptiness guard into the chunk-index arithmetic)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        assert_no_derived_reinline,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        run_llm_curation,
+    )
+
+    out = run_llm_curation(spark, sf_dir, materialize=False)
+    for name, df in out.items():
+        assert_no_derived_reinline(df, label=name)

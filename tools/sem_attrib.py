@@ -113,8 +113,11 @@ def main() -> None:
             threshold=1.0 - DEFAULT_EPS,
             # the same scale switch semdedup applies (round 10: the
             # candidate-count proxy, not k*dim), spelled from the same
-            # helper so they cannot drift
-            kernel=pair_kernel_default(N_DOCS, k),
+            # helper -- fed the FITTED cell count (a collapsing fit can
+            # return fewer centroids than the requested k, and fewer
+            # cells means MORE candidates, so the requested-k proxy
+            # would understate pair cost exactly when it matters)
+            kernel=pair_kernel_default(N_DOCS, len(centroids)),
         )
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
