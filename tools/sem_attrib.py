@@ -40,6 +40,9 @@ def main() -> None:
     # assignment work ~ N*k, in-cell pair work ~ N*(N/k) -- balanced
     # at k ~ sqrt(N), vs the DAG's default k = N/250
     K_OVERRIDE = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    # optional Lloyd cap override (argv[4]) for the r11 fit-variance /
+    # drop-sensitivity experiment (VERDICT r10 task 7)
+    MAX_ITER = int(sys.argv[4]) if len(sys.argv) > 4 else None
 
     from tools.dfcap_sweep import ensure_corpus, make_session
 
@@ -91,8 +94,15 @@ def main() -> None:
     out["embed_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
+    fit_kwargs = {} if MAX_ITER is None else {"max_iterations": MAX_ITER}
+    out["max_iterations"] = MAX_ITER if MAX_ITER is not None else "default"
     centroids = kmeans_fit(
-        emb, k, id_col="vec_id", vec_col="embedding", fit_sample=fit_sample
+        emb,
+        k,
+        id_col="vec_id",
+        vec_col="embedding",
+        fit_sample=fit_sample,
+        **fit_kwargs,
     )
     out["fit_s"] = round(time.time() - t0, 1)
 
@@ -140,7 +150,12 @@ def main() -> None:
     # groupBy/join (and re-running assignment inside)
     t0 = time.time()
     verdicts = semdedup(
-        emb, k=k, eps=DEFAULT_EPS, fit_sample=fit_sample, corpus_rows=N_DOCS
+        emb,
+        k=k,
+        eps=DEFAULT_EPS,
+        fit_sample=fit_sample,
+        corpus_rows=N_DOCS,
+        **({} if MAX_ITER is None else {"max_iterations": MAX_ITER}),
     )
     out["dropped"] = verdicts.where(~F.col("keep")).count()
     out["semdedup_total_s"] = round(time.time() - t0, 1)
