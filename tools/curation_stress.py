@@ -9,7 +9,18 @@ by stage, materializing each output (the dbt table boundary) and
 printing per-stage wall-clock + row count. The numbers land in
 SCALING.md ("Measured: end-to-end curation at 50k docs").
 
-Usage: python tools/curation_stress.py [n_docs] [--learned | --junk]
+Usage: python tools/curation_stress.py [n_docs] [corpus_dir]
+           [--learned | --junk] [--bucketed]
+
+``corpus_dir`` (plain runs only) reuses/creates a persistent corpus via
+``dfcap_sweep.ensure_corpus`` so repeated measurements at one size skip
+the generation cost; junk runs keep their own tempdir (the junk plant
+is a different corpus). ``--bucketed`` materializes each stage exactly
+as ``run_llm_curation``'s above-``BUCKETED_DAG_BOUND`` auto default
+does -- ``write_bucketed`` doc_id tables inside ``bucketed_sorted_
+reader``, localCheckpoint for keyless models -- so the per-stage walls
+are the composed-defaults walls (the r11 1M-vs-4M exponent table),
+not the plain-checkpoint counterfactual.
 
 ``--learned`` plants a 10% junk class (vowel-free pseudo-words with
 the same stopword cadence and length, so the HEURISTIC gate scores
@@ -34,10 +45,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _nums = [a for a in sys.argv[1:] if not a.startswith("--")]
 N_DOCS = int(_nums[0]) if _nums else 50_000
+CORPUS_DIR = _nums[1] if len(_nums) > 1 else None
 LEARNED = "--learned" in sys.argv
 #: plant the junk class WITHOUT the learned gate (the counterfactual:
 #: how much junk the heuristic+LM rungs pass on their own)
 JUNK = LEARNED or "--junk" in sys.argv
+#: materialize stages as the runner's bucketed auto-default would
+BUCKETED = "--bucketed" in sys.argv
+if CORPUS_DIR is not None and JUNK:
+    raise SystemExit(
+        "--junk/--learned generate a planted corpus: a reusable "
+        "corpus_dir would mislabel it -- drop one or the other"
+    )
 # the DAG's own default sizing (N/250 below SEM_K_BOUND, sqrt(N) above);
 # resolved at import so the header can print it before Spark starts
 from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (  # noqa: E402
@@ -155,27 +174,41 @@ def main() -> None:
         build_llm_curation_pipeline,
     )
 
-    with tempfile.TemporaryDirectory() as sf_dir:
+    own_tmp = None
+    if CORPUS_DIR is None:
+        own_tmp = tempfile.TemporaryDirectory()
+        sf_dir = own_tmp.name
+    else:
+        sf_dir = CORPUS_DIR
+    try:
         t0 = time.time()
-        corpus, junk_ids = make_corpus(N_DOCS, with_junk=JUNK)
-        # io.read_table probes the footer with pyarrow, so the table
-        # must be ONE file named documents.parquet (as the driver
-        # testdata ships): write a single part and rename it.
-        stage = os.path.join(sf_dir, "_stage")
-        spark.createDataFrame(
-            corpus,
-            "doc_id long, text string, lang string, source string, n_chars long",
-        ).coalesce(1).write.parquet(stage)
-        part = next(
-            n for n in os.listdir(stage) if n.endswith(".parquet")
-        )
-        os.rename(
-            os.path.join(stage, part),
-            os.path.join(sf_dir, "documents.parquet"),
-        )
+        junk_ids: list[int] = []
+        if CORPUS_DIR is not None:
+            # plain corpus, persistent dir: reuse (row-count-validated)
+            # or build once via the shared helper
+            from tools.dfcap_sweep import ensure_corpus
+
+            ensure_corpus(spark, sf_dir, N_DOCS)
+        else:
+            corpus, junk_ids = make_corpus(N_DOCS, with_junk=JUNK)
+            # io.read_table probes the footer with pyarrow, so the table
+            # must be ONE file named documents.parquet (as the driver
+            # testdata ships): write a single part and rename it.
+            stage = os.path.join(sf_dir, "_stage")
+            spark.createDataFrame(
+                corpus,
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.parquet(stage)
+            part = next(
+                n for n in os.listdir(stage) if n.endswith(".parquet")
+            )
+            os.rename(
+                os.path.join(stage, part),
+                os.path.join(sf_dir, "documents.parquet"),
+            )
         print(
             f"# corpus: {N_DOCS} docs ({len(junk_ids)} junk) "
-            f"written in {time.time() - t0:.1f}s"
+            f"ready in {time.time() - t0:.1f}s"
         )
         quality_seed = None
         if LEARNED:
@@ -189,19 +222,49 @@ def main() -> None:
         runner = build_llm_curation_pipeline(
             spark, sf_dir, sem_k=SEM_K, quality_seed=quality_seed
         )
+        if BUCKETED:
+            import contextlib
+            import hashlib
+
+            from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (  # noqa: E501
+                bucketed_sorted_reader,
+                write_bucketed,
+            )
+
+            tag = hashlib.md5(
+                os.path.abspath(sf_dir).encode("utf-8")
+            ).hexdigest()[:8]
+            reader_ctx = bucketed_sorted_reader(spark)
+        else:
+            import contextlib
+
+            reader_ctx = contextlib.nullcontext()
         results = {}
         total = 0.0
-        for name in runner._toposort(list(runner._models), satisfied=set()):
-            m = runner._models[name]
-            t0 = time.time()
-            out = m.fn(*[results[r] for r in m.refs]).localCheckpoint(
-                eager=True
-            )
-            dt = time.time() - t0
-            results[name] = out
-            total += dt
-            print(f"{name:16s} {dt:7.2f}s  rows={out.count()}")
-        print(f"{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K})")
+        with reader_ctx:
+            for name in runner._toposort(
+                list(runner._models), satisfied=set()
+            ):
+                m = runner._models[name]
+                t0 = time.time()
+                out = m.fn(*[results[r] for r in m.refs])
+                # mirror runner.run's bucketed branch exactly: doc_id
+                # models land as bucketed+sorted tables (the write IS
+                # the materialization), keyless ones localCheckpoint
+                if BUCKETED and "doc_id" in out.columns:
+                    tbl = f"stress_{tag}_{name}"
+                    write_bucketed(out, tbl, "doc_id", 32, sort=True)
+                    out = spark.table(tbl)
+                else:
+                    out = out.localCheckpoint(eager=True)
+                dt = time.time() - t0
+                results[name] = out
+                total += dt
+                print(f"{name:16s} {dt:7.2f}s  rows={out.count()}")
+        print(
+            f"{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K}, "
+            f"boundaries={'bucketed' if BUCKETED else 'plain'})"
+        )
         if JUNK:
             from pyspark.sql import functions as F
 
@@ -217,6 +280,9 @@ def main() -> None:
                 f"curated (of {len(junk_ids)} planted; the dup branches "
                 f"never copy a junk id, so planted = distinct junk docs)"
             )
+    finally:
+        if own_tmp is not None:
+            own_tmp.cleanup()
     spark.stop()
 
 
