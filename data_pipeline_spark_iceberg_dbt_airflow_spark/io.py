@@ -293,6 +293,14 @@ def read_table(
     files and many row groups, so the widen stays a no-op there.
     """
     path = table_path(sf_dir, name)
+    # A MISSING table is the caller's loud FileNotFoundError, exactly as
+    # the pyarrow footer probe used to raise it before the probe learned
+    # to swallow read errors (r11 ADVICE fix: an unreadable-but-present
+    # table is a best-effort-probe miss that Spark's scan reports
+    # properly; an absent one would otherwise surface as a much later
+    # AnalysisException from whichever action first analyzes the plan).
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"table {name!r} not found at {path}")
     key = (session_token(spark), path)
     df = _SCAN_CACHE.get(key)
     if df is None:
