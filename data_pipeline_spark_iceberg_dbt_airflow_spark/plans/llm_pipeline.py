@@ -72,19 +72,25 @@ from .runner import Model, PipelineRunner, RunConfig
 #: Quality gate: drop the bottom of the quality-score distribution.
 MIN_QUALITY = 0.35
 
-#: Above this many documents the semantic stage's default cell count
-#: switches from the dup-maximizing N/250 rule to the paper's k ~ sqrt(N)
-#: (the LEXICAL_LSH_BOUND pattern: a footer row count, no Spark job).
-#: The N/250 rule couples k to N, and because the Lloyd fit's sample is
-#: itself sized proportional to k (SEM_FIT_PER_CELL * k), the fit term
-#: costs ~ sample*k ~ k^2 ~ N^2 -- the DAG's one remaining
-#: construction-level superlinearity (VERDICT r9). With the block-pair
-#: kernel the in-cell pair term is flat in k, so the measured optimum
-#: moved back to sqrt(N): composed semdedup at 1M was 84.5s at k=1000
-#: vs 241.8s at k=4000 with identical component structure within 1.4%
-#: of drops (SCALING.md k-sweep). Below the bound the N/250 rule keeps
-#: its slightly-higher drop count at negligible cost; the driver-oracle
-#: corpora sit far below the bound, and the oracle's seed-only
+#: The crossover corpus size where the semantic stage's two sizing
+#: regimes meet: N/250 = 2*sqrt(N) at N = 250k. Below it the
+#: dup-maximizing N/250 rule is the cheaper term; above it the sizing
+#: must fall back to O(sqrt(N)) because the Lloyd fit's sample is
+#: itself sized proportional to k (SEM_FIT_PER_CELL * k), so an N/250
+#: rule's fit term costs ~ sample*k ~ k^2 ~ N^2 -- the DAG's one
+#: remaining construction-level superlinearity before round 10 (the
+#: block-pair kernel made the in-cell pair term flat in k: composed
+#: semdedup at 1M was 84.5s at k=1000 vs 241.8s at k=4000 with
+#: identical component structure within 1.4% of drops). Round 11
+#: replaced the r10 branch (N/250 below, 1*sqrt(N) above -- k HALVED
+#: crossing the bound, 1000 -> 500) with the continuous
+#: min(N/250, 2*sqrt(N)): identical below 62.5k docs, measured at the
+#: old discontinuity (250,001 docs) the continuous rule's k=1000
+#: finds +356 verified semantic dups (+1.0%) over the halved k=500,
+#: and at 1M (k=2000 vs 1000) walls and drops are within noise
+#: (-0.18% drops, SCALING.md r11 sweep). The constant is now
+#: documentation of the crossover, not a branch point; the
+#: driver-oracle corpora sit far below it and the oracle's seed-only
 #: rendering uses SEM_ORACLE_K regardless.
 SEM_K_BOUND = 250_000
 
@@ -101,14 +107,14 @@ BUCKETED_DAG_BOUND = 100_000
 
 def default_sem_k(n_docs: int) -> int:
     """The semantic stage's default cell count for an ``n_docs`` corpus:
-    N/250 below SEM_K_BOUND (most drops, cheap at small N), sqrt(N)
-    above it (the only sizing whose fit term -- sample ~ k, cost ~
-    sample*k -- stays linear in N; see SEM_K_BOUND)."""
+    min(N/250, 2*sqrt(N)) -- the dup-maximizing N/250 rule while it is
+    the smaller term, capped by the only asymptote whose fit term
+    (sample ~ k, cost ~ sample*k) stays linear in N. Continuous at the
+    SEM_K_BOUND crossover by construction (see the bound's doc for the
+    measured drop deltas vs the r10 branch it replaced)."""
     import math
 
-    if n_docs > SEM_K_BOUND:
-        return max(8, math.isqrt(n_docs))
-    return max(8, n_docs // 250)
+    return max(8, min(n_docs // 250, 2 * math.isqrt(n_docs)))
 
 #: Lloyd-refinement sample size per semantic cell: the sem stage fits
 #: its coarse quantizer on an md5-ranked sample of this many vectors
@@ -117,6 +123,20 @@ def default_sem_k(n_docs: int) -> int:
 #: ~50/cell is plenty for cells whose only job is to BLOCK the pair
 #: search; the sample is a deterministic function of the id set.
 SEM_FIT_PER_CELL = 50
+
+#: Lloyd iteration cap for the sem stage's coarse quantizer (forwarded
+#: to kmeans_fit via semdedup; the public operator keeps its own
+#: default). At 1M/k=1000 the fit does NOT reach its fixpoint within
+#: 10 rounds, so the r10 uncapped-to-10 default both paid ~2x the fit
+#: wall and left the stage wall hostage to round-count drift on
+#: slightly-different survivor sets. Measured at 1M (SCALING.md r11):
+#: cap 5 vs 10 halves the fit wall (32.4s vs 60.8s) and changes
+#: verified semantic drops by -363 of 138,930 (-0.26%) -- cells only
+#: block the pair search, they do not decide verdicts (every candidate
+#: pair is still cosine-verified), so a coarser quantizer costs only
+#: the pairs that land across a cell boundary. Models remain
+#: bit-deterministic at identical inputs under any cap.
+SEM_FIT_MAX_ITER = 5
 
 #: Perplexity gate: drop the most-perplexing tail of the corpus under
 #: its own PER-LANGUAGE bigram LM (garbled / boilerplate text). Both
@@ -382,6 +402,7 @@ def build_llm_curation_pipeline(
                 eps=eps,
                 fit_sample=SEM_FIT_PER_CELL * k,
                 corpus_rows=n_docs,
+                max_iterations=SEM_FIT_MAX_ITER,
             )
         except CorpusTooSmallError:
             return sd

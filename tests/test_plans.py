@@ -793,11 +793,11 @@ def test_bucketed_boundaries_make_cross_stage_joins_shuffle_free(
 
 
 def test_default_sem_k_sizing_rule():
-    """Round-10: N/250 below SEM_K_BOUND (dup-maximizing, cheap at
-    small N), sqrt(N) above it (the only default whose fit term --
-    sample ~ k, cost ~ sample*k -- stays linear in N)."""
-    import math
-
+    """Round-11: min(N/250, 2*sqrt(N)) -- the dup-maximizing N/250
+    while it is the smaller term, the linear-fit 2*sqrt(N) asymptote
+    above, CONTINUOUS at the SEM_K_BOUND crossover (the r10 branch
+    halved k from 1000 to 500 crossing 250k docs; the measured drop
+    delta at 250,001 favored the continuous rule, SCALING.md r11)."""
     from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
         SEM_K_BOUND,
         default_sem_k,
@@ -805,15 +805,21 @@ def test_default_sem_k_sizing_rule():
 
     assert default_sem_k(500) == 8            # floor
     assert default_sem_k(50_000) == 200       # N/250 regime
-    assert default_sem_k(200_000) == 800      # still below the bound
-    assert default_sem_k(SEM_K_BOUND) == SEM_K_BOUND // 250
-    assert default_sem_k(1_000_000) == 1000   # sqrt regime
-    assert default_sem_k(100_000_000) == 10_000
-    # continuity direction: the sqrt rule takes over with FEWER cells
-    # than N/250 would ask for, never more
-    just_above = SEM_K_BOUND + 1
-    assert default_sem_k(just_above) == math.isqrt(just_above)
-    assert default_sem_k(just_above) < just_above // 250
+    assert default_sem_k(200_000) == 800      # still below the crossover
+    # continuity AT the crossover: both terms equal 1000 at N = 250k
+    assert default_sem_k(SEM_K_BOUND) == 1000
+    assert default_sem_k(SEM_K_BOUND + 1) == 1000
+    # integer-floor jitter only (2*isqrt drops by 2 crossing a square),
+    # never the r10 halving
+    assert default_sem_k(SEM_K_BOUND - 1) == 998
+    assert default_sem_k(1_000_000) == 2000   # 2*sqrt regime
+    assert default_sem_k(100_000_000) == 20_000
+    # the rule never exceeds either term
+    for n in (10_000, 250_000, 4_000_000):
+        import math
+
+        assert default_sem_k(n) <= max(8, n // 250)
+        assert default_sem_k(n) <= max(8, 2 * math.isqrt(n))
 
 
 def test_auto_bucketed_curation_matches_plain(spark, sf_dir, monkeypatch):
