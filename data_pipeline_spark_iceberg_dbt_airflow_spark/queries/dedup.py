@@ -65,8 +65,34 @@ from .registry import register
 
 #: Shingles appearing in more than this many docs are dropped (stop-shingle
 #: cap; keeps the inverted-index join linear under skew). Mirrored verbatim
-#: in every oracle.
+#: in every oracle. This is the FLOOR of the effective cap -- see
+#: :func:`df_cap_for`; every driver-oracle and bench corpus sits at the
+#: floor (ratio * N < 100 below 1M docs), so the oracle CTEs keep the
+#: literal constant.
 DF_CAP = 100
+
+#: Stop-shingle definition as a corpus FRACTION: df > 0.01% of documents.
+#: An absolute cap is scale-WRONG by construction -- for a fixed content
+#: distribution every shingle's df grows linearly with N, so a fixed cap
+#: removes an ever-growing share of the index. Measured on the stress
+#: corpus (r11, SCALING.md): at 1M docs the fixed cap dropped 5.1% of
+#: shingle instances; at 4M, 69.4% -- residual per-doc shingle sets
+#: shrank to the rare tail, residual-Jaccard variance exploded, and the
+#: lexical rung falsely merged ~192k docs (canonical rate 87.9% -> 83.1%
+#: on a corpus whose planted dup structure is scale-invariant), silently
+#: absorbing the semantic-dup plant upstream of the sem stage. The ratio
+#: form keeps the capped SHARE N-invariant (df > r*N at scale s*N  <=>
+#: df > r*N at N, for dfs scaling with N): the 0.01%-of-docs quantile the
+#: 1M floor empirically corresponds to.
+DF_CAP_RATIO = 1e-4
+
+
+def df_cap_for(n_rows: int | None) -> int:
+    """Effective stop-shingle cap for an ``n_rows``-document corpus:
+    max(DF_CAP, DF_CAP_RATIO * N). None (unknown size) -> the floor."""
+    if n_rows is None:
+        return DF_CAP
+    return max(DF_CAP, int(n_rows * DF_CAP_RATIO))
 
 #: Near-dup verification threshold on true n-gram Jaccard.
 JACCARD_THRESHOLD = 0.5
@@ -276,10 +302,19 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df-cap aggregate and the capped+counted output both read the cache
     # instead of re-shingling (round 3 ran the explode twice per build).
     raw = sh.persist()
+    # Scale-aware cap: footer row count (no Spark job); an unprobeable
+    # corpus pays ONE count job rather than silently taking the
+    # absolute floor at scale (the r10 lexical-gate posture -- and the
+    # floor-at-scale failure is exactly the r11 4M over-merge,
+    # see DF_CAP_RATIO).
+    n_docs = table_row_count(sf_dir, "documents")
+    if n_docs is None:
+        n_docs = docs.count()
+    cap = df_cap_for(n_docs)
     drop = (
         raw.groupBy("sid")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") > DF_CAP)
+        .where(F.col("df") > cap)
         .select("sid")
     )
     capped = raw.join(F.broadcast(drop), "sid", "left_anti")

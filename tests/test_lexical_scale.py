@@ -282,3 +282,52 @@ def test_nanos_probe_unreadable_dir_reports_no_columns(tmp_path):
     corrupt.mkdir()
     (corrupt / "part-00000.parquet").write_bytes(b"not parquet")
     assert _nanos_columns(str(corrupt)) == []
+
+
+def test_df_cap_scales_with_corpus_size():
+    # r11: the stop-shingle cap is a RATIO with an absolute floor --
+    # a fixed cap removes an ever-growing instance share as df grows
+    # linearly with N (measured 5.1% at 1M -> 69.4% at 4M, SCALING.md)
+    assert dedup.df_cap_for(None) == dedup.DF_CAP
+    assert dedup.df_cap_for(1_000) == 100
+    assert dedup.df_cap_for(1_000_000) == 100   # floor == ratio point
+    assert dedup.df_cap_for(4_000_000) == 400
+    assert dedup.df_cap_for(100_000_000) == 10_000
+
+
+def test_ratio_cap_keeps_hot_shingle_small_corpus_drops_it(
+    spark, tmp_path_factory, monkeypatch
+):
+    # one hot 3-token doc repeated 30x: df=30. With the floor forced to
+    # 5 the absolute cap drops it (all singletons in the direct path's
+    # index); with a ratio that puts the effective cap at 60 the clique
+    # keeps its shingle and collapses to one component.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("ratiocap")
+    n = 30
+    rows = [(i, "aaa bbb ccc", "en", "t", 11) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    monkeypatch.setattr(dedup, "DF_CAP", 5)
+    monkeypatch.setattr(dedup, "DF_CAP_RATIO", 0.0)
+    try:
+        capped = _mapping(lexical_components(spark, str(sf)))
+        assert all(v == k for k, v in capped.items())  # all singletons
+        release_shingle_index(spark)
+        monkeypatch.setattr(dedup, "DF_CAP_RATIO", 2.0)  # cap = 60 > 30
+        kept = _mapping(lexical_components(spark, str(sf)))
+        assert set(kept.values()) == {0}  # one exact-dup component
+    finally:
+        release_shingle_index(spark)

@@ -105,6 +105,10 @@ def main() -> None:
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
 
     dedup.DF_CAP = CAP
+    # the sweep measures the ABSOLUTE cap: zero the ratio term so
+    # df_cap_for cannot floor a downward sweep back up at big corpora
+    # (r11: the effective cap is max(DF_CAP, ratio * N))
+    dedup.DF_CAP_RATIO = 0.0
     # path selection via the corpus-size bound: 0 forces banded MinHash,
     # a huge bound forces the direct inverted-index join
     dedup.LEXICAL_LSH_BOUND = 0 if PATH == "lsh" else 10**12
