@@ -42,6 +42,7 @@ dimension at all).
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -249,6 +250,25 @@ def write_bucketed(
             "append breaks the one-file-per-bucket sort guarantee; "
             "use mode='overwrite' or sort=False"
         )
+    # Stale-location guard: with an in-memory catalog (tests, tools,
+    # any restarted local session) a table written by a DEAD session is
+    # gone from the catalog but its managed-location directory remains,
+    # and saveAsTable then fails with LOCATION_ALREADY_EXISTS even in
+    # overwrite mode (overwrite can only replace a table the catalog
+    # KNOWS). A location whose table is absent from the catalog is by
+    # construction debris -- no live reader can reference it -- so
+    # remove it. Persistent-metastore deployments never hit this branch
+    # (the table is in the catalog and overwrite handles it).
+    spark = df.sparkSession
+    if mode == "overwrite" and not spark.catalog.tableExists(table):
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+        if wh.scheme in ("", "file"):
+            loc = os.path.join(wh.path, table.split(".")[-1].lower())
+            if os.path.isdir(loc):
+                shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)

@@ -286,3 +286,35 @@ def test_bucketed_join_is_exchange_and_sort_free(spark, sf_dir, tmp_path):
         spark.conf.unset(flag)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_write_bucketed_overwrites_stale_location(spark):
+    # r11: a DEAD session's managed-table directory (present on disk,
+    # absent from the in-memory catalog) must not fail a fresh
+    # overwrite with LOCATION_ALREADY_EXISTS -- the exact shape every
+    # restarted local tool run hits (the 4M rerun crash).
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    tbl = "t_stale_loc_guard"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, tbl)
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        os.makedirs(loc, exist_ok=True)  # the debris
+        with open(os.path.join(loc, "part-junk.parquet"), "wb") as f:
+            f.write(b"debris")
+        df = spark.range(100).withColumnRenamed("id", "doc_id")
+        write_bucketed(df, tbl, "doc_id", 4, sort=True)
+        assert spark.table(tbl).count() == 100
+        # and a normal overwrite of the LIVE table still works
+        write_bucketed(df.limit(7), tbl, "doc_id", 4, sort=True)
+        assert spark.table(tbl).count() == 7
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
