@@ -72,9 +72,14 @@ def _nanos_columns(path: str) -> list[str]:
                 probe = os.path.join(path, parts[0])
         try:
             schema = pq.read_schema(probe)
-            cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
         except Exception:
-            cols = []
+            # degrade to "no nanos columns" for THIS call but do NOT
+            # cache the failure: a transient probe error (table still
+            # being written, flaky NFS) would otherwise poison the
+            # process-lifetime cache and skip the ns->us widen forever
+            # after the fault clears (r11 review)
+            return []
+        cols = [f.name for f in schema if str(f.type) == "timestamp[ns]"]
         _NANOS_COLS_CACHE[path] = cols
     return _NANOS_COLS_CACHE[path]
 

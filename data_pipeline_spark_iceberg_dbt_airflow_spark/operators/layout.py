@@ -260,13 +260,24 @@ def write_bucketed(
     # remove it. Persistent-metastore deployments never hit this branch
     # (the table is in the catalog and overwrite handles it).
     spark = df.sparkSession
-    if mode == "overwrite" and not spark.catalog.tableExists(table):
+    if (
+        mode == "overwrite"
+        # UNQUALIFIED names in the default database only: a qualified
+        # name's location is <warehouse>/<db>.db/<table>, so deriving
+        # it from the bare table segment could point the rmtree at a
+        # DIFFERENT live table's directory (r11 review) -- outside the
+        # simple case, surface Spark's own LOCATION_ALREADY_EXISTS and
+        # let the operator decide.
+        and "." not in table
+        and spark.catalog.currentDatabase() == "default"
+        and not spark.catalog.tableExists(table)
+    ):
         import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
-            loc = os.path.join(wh.path, table.split(".")[-1].lower())
+            loc = os.path.join(wh.path, table.lower())
             if os.path.isdir(loc):
                 shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(n_buckets, key)

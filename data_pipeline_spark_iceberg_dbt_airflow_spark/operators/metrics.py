@@ -135,46 +135,59 @@ def _seq(jseq):
 def _walk_expr(e, scope: frozenset, registry: dict, findings: list) -> tuple:
     """Post-order over one expression tree.
 
-    Returns (size, free_lambda_var_ids, has_attribute_ref). ``scope``
-    holds the exprIds of lambda variables bound by ENCLOSING lambdas;
-    a subtree whose free lambda vars miss the scope entirely is
-    loop-invariant where it sits.
+    Returns (size, free_lambda_var_ids, has_attribute_ref, shash).
+    ``scope`` holds the exprIds of lambda variables bound by ENCLOSING
+    lambdas; a subtree whose free lambda vars miss the scope entirely
+    is loop-invariant where it sits. ``shash`` is a structural hash
+    built in the same pass -- class names composed over child hashes,
+    attr leaves contributing their exprId and literal leaves their
+    value hashCode -- so duplicate detection is exprId-SENSITIVE
+    (structurally-equal projections over DIFFERENT inputs, e.g. union
+    branches, must not merge; only a true re-inline duplicates the
+    same attributes) WITHOUT rendering every >=24-node subtree to a
+    string: the r11 review measured the old per-subtree toString as
+    O(n^2) py4j work on exactly the hundreds-of-node producers this
+    guard targets. Renders happen once per REPORTED family.
     """
     cls = e.getClass().getSimpleName()
     if cls == "NamedLambdaVariable":
-        return 1, frozenset((e.exprId().id(),)), False
-    if cls in ("AttributeReference", "BoundReference"):
-        return 1, frozenset(), True
+        vid = e.exprId().id()
+        return 1, frozenset((vid,)), False, hash(("lamvar", vid))
+    if cls == "AttributeReference":
+        return 1, frozenset(), True, hash((cls, e.exprId().id()))
+    if cls == "BoundReference":
+        return 1, frozenset(), True, hash((cls, e.hashCode()))
+    if cls == "Literal":
+        return 1, frozenset(), False, hash((cls, e.hashCode()))
     if cls == "LambdaFunction":
         bound = frozenset(
             v.exprId().id() for v in _seq(e.arguments())
         )
         inner = scope | bound
-        size, free, has_attr = 1, frozenset(), False
+        size, free, has_attr, hs = 1, frozenset(), False, [cls]
         for c in _seq(e.children()):
-            s, f, h = _walk_expr(c, inner, registry, findings)
+            s, f, h, ch = _walk_expr(c, inner, registry, findings)
             size += s
             free |= f
             has_attr = has_attr or h
-        return size, free - bound, has_attr
-    size, free, has_attr = 1, frozenset(), False
+            hs.append(ch)
+        return size, free - bound, has_attr, hash(tuple(hs))
+    size, free, has_attr, hs = 1, frozenset(), False, [cls]
     for c in _seq(e.children()):
-        s, f, h = _walk_expr(c, scope, registry, findings)
+        s, f, h, ch = _walk_expr(c, scope, registry, findings)
         size += s
         free |= f
         has_attr = has_attr or h
+        hs.append(ch)
+    shash = hash(tuple(hs))
     if has_attr and size >= LAMBDA_INVARIANT_MIN_SIZE:
         if scope and not (free & scope):
             findings.append(
                 ("lambda-invariant", size, e.toString()[:200])
             )
     if has_attr and size >= REINLINE_MIN_SIZE:
-        # exprId-sensitive key (the rendered tree carries attr#id):
-        # structurally-equal projections over DIFFERENT inputs (union
-        # branches) must NOT merge -- only a true re-inline duplicates
-        # the same attributes
-        registry.setdefault(e.toString(), []).append(size)
-    return size, free, has_attr
+        registry.setdefault((shash, size), []).append(e)
+    return size, free, has_attr, shash
 
 
 def derived_reinline_findings(df: DataFrame) -> list[tuple]:
@@ -185,14 +198,15 @@ def derived_reinline_findings(df: DataFrame) -> list[tuple]:
     plan = df._jdf.queryExecution().optimizedPlan()
     registry: dict[str, list[int]] = {}
     findings: list[tuple] = []
-    seen: set = set()
 
     def walk_plan(node) -> None:
-        # object identity: logical nodes have no id(); cycles impossible
-        # but shared cached subplans are fine to skip
-        if id(node) in seen:
-            return
-        seen.add(id(node))
+        # No visited-set: logical plans are trees (cycles impossible),
+        # and a set keyed on id() of transient Py4J WRAPPERS would be
+        # actively wrong -- CPython reuses a freed wrapper's address,
+        # so a sibling subtree could be silently skipped and the guard
+        # would go probabilistically blind to the exact trap class it
+        # exists to catch (r11 review). Worst case a re-listed subquery
+        # is scanned twice; the walk still terminates.
         for e in _seq(node.expressions()):
             _walk_expr(e, frozenset(), registry, findings)
         for c in _seq(node.children()):
@@ -202,16 +216,21 @@ def derived_reinline_findings(df: DataFrame) -> list[tuple]:
 
     walk_plan(plan)
     # report only the LARGEST duplicated subtree per duplicate family:
-    # every sub-subtree of a re-inlined producer duplicates with it
+    # every sub-subtree of a re-inlined producer duplicates with it.
+    # The one render happens here, on the reported exemplar only.
     dup = [
-        (rendering, sizes)
-        for rendering, sizes in registry.items()
-        if len(sizes) > 1
+        (key, exemplars)
+        for key, exemplars in registry.items()
+        if len(exemplars) > 1
     ]
     if dup:
-        rendering, sizes = max(dup, key=lambda kv: kv[1][0])
+        (shash, size), exemplars = max(dup, key=lambda kv: kv[0][1])
         findings.append(
-            ("re-inlined", f"{len(sizes)}x size {sizes[0]}", rendering[:200])
+            (
+                "re-inlined",
+                f"{len(exemplars)}x size {size}",
+                exemplars[0].toString()[:200],
+            )
         )
     return findings
 

@@ -183,8 +183,14 @@ def _shingle_rows_kernel(docs: DataFrame) -> DataFrame:
     Bit-equal to :func:`_shingle_rows_expr` by construction, term by
     term (the differential test pins it on real + adversarial corpora):
 
-    - ``lower(text)`` -> ``str.lower()`` (identical over the UTF-8
-      plane for the corpus alphabet; pinned by the differential).
+    - ``lower(text)`` -> ``str.lower()``. NOT universally bit-equal:
+      Spark's non-ASCII path delegates to JVM ``toLowerCase()`` under
+      the DEFAULT locale and the JVM's Unicode tables, so a Turkish
+      default locale (dotless-i) or a JVM/CPython Unicode-version skew
+      can diverge on exotic planes (r11 review). Equal under the
+      root/en locale this engine ships with; the differential test
+      (ASCII + U+00A0 + 1:M folds) pins the deployed environment, and
+      a deployment changing the JVM locale must re-run it.
     - ``regexp_replace(.., '\\\\s+', ' ')`` -> a compiled
       ``[ \\t\\n\\x0b\\f\\r]+`` pattern. Java's ``\\s`` is the ASCII
       class ONLY -- Python's ``\\s`` also eats Unicode whitespace
@@ -202,9 +208,15 @@ def _shingle_rows_kernel(docs: DataFrame) -> DataFrame:
     Scale shape: embarrassingly parallel over doc rows -- no shuffle,
     no state, output is the same 16-byte (doc_id, sid) stream the
     expression path emits, so every downstream exchange is unchanged.
+
+    ``mapInArrow``, not ``mapInPandas`` (r11 review): the Arrow->pandas
+    conversion turns a bigint column containing ANY null into float64 --
+    a NULL doc_id then crashed the int64 cast, and every non-null id
+    above 2**53 sharing that batch was silently rounded. Arrow batches
+    keep int64-with-nulls exact, and a NULL-id doc's shingle rows flow
+    through with a NULL id exactly as the expression path emits them.
     """
-    import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     def gen(batches):
         import hashlib
@@ -212,11 +224,11 @@ def _shingle_rows_kernel(docs: DataFrame) -> DataFrame:
 
         md5 = hashlib.md5
         ws = re.compile("[ \t\n\x0b\f\r]+")
-        for pdf in batches:
-            doc_ids: list[int] = []
-            counts: list[int] = []
+        for batch in batches:
+            cols = batch.to_pydict()
+            doc_ids: list[int | None] = []
             sids: list[int] = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id, text in zip(cols["doc_id"], cols["text"]):
                 if not isinstance(text, str):
                     continue  # NULL text: expr path filters size(NULL)=-1
                 toks = ws.sub(" ", text.lower()).strip(" ").split(" ")
@@ -233,20 +245,17 @@ def _shingle_rows_kernel(docs: DataFrame) -> DataFrame:
                     >> 4
                     for i in range(n)
                 }
-                doc_ids.append(doc_id)
-                counts.append(len(seen))
+                doc_ids.extend([doc_id] * len(seen))
                 sids.extend(seen)
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.repeat(
-                        np.asarray(doc_ids, dtype=np.int64),
-                        np.asarray(counts, dtype=np.int64),
-                    ),
-                    "sid": np.asarray(sids, dtype=np.int64),
-                }
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(sids, type=pa.int64()),
+                ],
+                ["doc_id", "sid"],
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    return docs.select("doc_id", "text").mapInArrow(
         gen, schema="doc_id bigint, sid bigint"
     )
 

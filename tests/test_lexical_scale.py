@@ -331,3 +331,28 @@ def test_ratio_cap_keeps_hot_shingle_small_corpus_drops_it(
         assert set(kept.values()) == {0}  # one exact-dup component
     finally:
         release_shingle_index(spark)
+
+
+def _shingle_rows_sorted(df):
+    return sorted(
+        ((r["doc_id"] is None, r["doc_id"] or 0, r["sid"]) for r in df.collect())
+    )
+
+
+def test_shingle_kernel_null_and_big_doc_ids(spark):
+    # r11 review: the mapInPandas rendering crashed on a NULL doc_id
+    # (Arrow->pandas floats the bigint column) and silently rounded
+    # ids above 2**53 sharing the batch; mapInArrow keeps both exact.
+    big = (1 << 60) + 7  # not representable in float64
+    rows = [
+        (None, "aaa bbb ccc ddd"),
+        (big, "aaa bbb ccc ddd"),
+        (1, "eee fff ggg"),
+        (None, None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = _shingle_rows_sorted(dedup._shingle_rows_kernel(docs))
+    want = _shingle_rows_sorted(dedup._shingle_rows_expr(docs))
+    assert got == want
+    assert any(d == big for _, d, _s in got)   # exact, not rounded
+    assert any(isnull for isnull, _, _s in got)  # NULL id flows through

@@ -57,7 +57,7 @@ if CORPUS_DIR is not None and JUNK:
         "--junk/--learned generate a planted corpus: a reusable "
         "corpus_dir would mislabel it -- drop one or the other"
     )
-# the DAG's own default sizing (N/250 below SEM_K_BOUND, sqrt(N) above);
+# the DAG's own default sizing (min(N/250, 2*sqrt(N)) since r11);
 # resolved at import so the header can print it before Spark starts
 from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (  # noqa: E402
     default_sem_k,
@@ -283,6 +283,15 @@ def main() -> None:
     finally:
         if own_tmp is not None:
             own_tmp.cleanup()
+            if BUCKETED and "tag" in locals():
+                # a tempdir corpus gets a fresh md5 tag every run, so
+                # its stage tables would accumulate in the shared
+                # warehouse forever (r11 review); persistent-corpus
+                # runs keep theirs (stable tag, overwritten next run,
+                # and useful for post-run diagnosis)
+                for t in spark.catalog.listTables():
+                    if t.name.startswith(f"stress_{tag}_"):
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     spark.stop()
 
 
