@@ -43,6 +43,7 @@ dimension at all).
 from __future__ import annotations
 
 import os
+import uuid
 from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
@@ -260,11 +261,23 @@ def write_bucketed(
     # remove it. Persistent-metastore deployments never hit this branch
     # (the table is in the catalog and overwrite handles it).
     spark = df.sparkSession
+    try:
+        catalog_impl = spark.conf.get("spark.sql.catalogImplementation")
+    except Exception:
+        # unreadable -> assume persistent and DON'T touch the location
+        catalog_impl = "hive"
+    debris = None
     if (
         mode == "overwrite"
+        # The dead-session-debris premise only holds for the IN-MEMORY
+        # catalog: with a persistent metastore a location whose table
+        # this session can't see may belong to a live table of another
+        # session sharing the warehouse dir (r11 ADVICE) -- there,
+        # surface Spark's own LOCATION_ALREADY_EXISTS.
+        and catalog_impl == "in-memory"
         # UNQUALIFIED names in the default database only: a qualified
         # name's location is <warehouse>/<db>.db/<table>, so deriving
-        # it from the bare table segment could point the rmtree at a
+        # it from the bare table segment could point the cleanup at a
         # DIFFERENT live table's directory (r11 review) -- outside the
         # simple case, surface Spark's own LOCATION_ALREADY_EXISTS and
         # let the operator decide.
@@ -272,18 +285,27 @@ def write_bucketed(
         and spark.catalog.currentDatabase() == "default"
         and not spark.catalog.tableExists(table)
     ):
-        import shutil
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
             loc = os.path.join(wh.path, table.lower())
             if os.path.isdir(loc):
-                shutil.rmtree(loc)
+                # Rename aside instead of deleting: if the saveAsTable
+                # below crashes mid-write, the prior files are still on
+                # disk under the .stale name (recoverable) instead of
+                # gone (r11 ADVICE); only a COMPLETED write removes
+                # them.
+                debris = f"{loc}.stale-{uuid.uuid4().hex[:8]}"
+                os.rename(loc, debris)
     w = df.write.mode(mode).bucketBy(n_buckets, key)
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
+    if debris is not None:
+        import shutil
+
+        shutil.rmtree(debris, ignore_errors=True)
 
 
 @contextmanager

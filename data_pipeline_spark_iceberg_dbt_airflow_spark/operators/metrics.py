@@ -172,7 +172,20 @@ def _walk_expr(e, scope: frozenset, registry: dict, findings: list) -> tuple:
             has_attr = has_attr or h
             hs.append(ch)
         return size, free - bound, has_attr, hash(tuple(hs))
-    size, free, has_attr, hs = 1, frozenset(), False, [cls]
+    # Parameterized interior nodes (Cast target type, GetStructField
+    # ordinal, date-trunc level, ...) carry constructor args that are
+    # NOT children, so class-name + child hashes alone can merge
+    # distinct same-shape subtrees into a false family (r11 ADVICE).
+    # The dataType discriminates the common cases (a Cast differs from
+    # its child exactly by type; struct fields differ by field type in
+    # practice) for one extra py4j call per node; residual collisions
+    # (same-typed distinct params, Python hash collisions) are cleared
+    # by the toString confirmation at report time.
+    try:
+        disc = e.dataType().simpleString()
+    except Exception:
+        disc = ""
+    size, free, has_attr, hs = 1, frozenset(), False, [cls, disc]
     for c in _seq(e.children()):
         s, f, h, ch = _walk_expr(c, scope, registry, findings)
         size += s
@@ -196,17 +209,23 @@ def derived_reinline_findings(df: DataFrame) -> list[tuple]:
     tuples. Run on the PRE-materialization stage frame (a checkpointed
     frame's plan is an opaque LogicalRDD with nothing left to scan)."""
     plan = df._jdf.queryExecution().optimizedPlan()
-    registry: dict[str, list[int]] = {}
+    registry: dict[tuple, list] = {}
     findings: list[tuple] = []
+    # Optimized logical plans are DAGs, not trees: a self-union /
+    # self-join reuses the SAME child plan object on both branches, so
+    # an unguarded walk visits shared subtrees once per path (inflated
+    # duplicate counts; exponential time on deep self-composition --
+    # r11 ADVICE). Dedup must be on JVM object identity: id() of
+    # transient Py4J wrappers is unusable (CPython reuses freed
+    # addresses, and two wrappers for one JVM node have different
+    # ids), so keep a JVM-side java.util.IdentityHashMap -- exact
+    # reference identity, and holding the map pins every visited node.
+    seen = df.sparkSession._jvm.java.util.IdentityHashMap()
 
     def walk_plan(node) -> None:
-        # No visited-set: logical plans are trees (cycles impossible),
-        # and a set keyed on id() of transient Py4J WRAPPERS would be
-        # actively wrong -- CPython reuses a freed wrapper's address,
-        # so a sibling subtree could be silently skipped and the guard
-        # would go probabilistically blind to the exact trap class it
-        # exists to catch (r11 review). Worst case a re-listed subquery
-        # is scanned twice; the walk still terminates.
+        if seen.containsKey(node):
+            return
+        seen.put(node, node)
         for e in _seq(node.expressions()):
             _walk_expr(e, frozenset(), registry, findings)
         for c in _seq(node.children()):
@@ -215,23 +234,29 @@ def derived_reinline_findings(df: DataFrame) -> list[tuple]:
             walk_plan(sq)
 
     walk_plan(plan)
-    # report only the LARGEST duplicated subtree per duplicate family:
-    # every sub-subtree of a re-inlined producer duplicates with it.
-    # The one render happens here, on the reported exemplar only.
-    dup = [
-        (key, exemplars)
-        for key, exemplars in registry.items()
-        if len(exemplars) > 1
-    ]
-    if dup:
-        (shash, size), exemplars = max(dup, key=lambda kv: kv[0][1])
-        findings.append(
-            (
-                "re-inlined",
-                f"{len(exemplars)}x size {size}",
-                exemplars[0].toString()[:200],
-            )
-        )
+    # report only the LARGEST duplicated subtree per duplicate family
+    # (every sub-subtree of a re-inlined producer duplicates with it),
+    # and only after CONFIRMING the family by rendering: the structural
+    # hash is a filter, not proof -- same-typed distinct parameters or
+    # a Python hash collision could merge different subtrees, and this
+    # guard fails builds (r11 ADVICE). True re-inlines are exact copies
+    # (same exprIds), so their renderings are identical; renders happen
+    # only on the rare >1-exemplar families, keeping the walk itself
+    # render-free (the r11 O(n^2)-toString concern).
+    confirmed = []
+    for (shash, size), exemplars in registry.items():
+        if len(exemplars) < 2:
+            continue
+        groups: dict[str, int] = {}
+        for ex in exemplars:
+            s = ex.toString()
+            groups[s] = groups.get(s, 0) + 1
+        rendering, n = max(groups.items(), key=lambda kv: kv[1])
+        if n > 1:
+            confirmed.append((size, n, rendering))
+    if confirmed:
+        size, n, rendering = max(confirmed)
+        findings.append(("re-inlined", f"{n}x size {size}", rendering[:200]))
     return findings
 
 

@@ -64,11 +64,11 @@ from ..operators.graph import connected_components
 from .registry import register
 
 #: Shingles appearing in more than this many docs are dropped (stop-shingle
-#: cap; keeps the inverted-index join linear under skew). Mirrored verbatim
-#: in every oracle. This is the FLOOR of the effective cap -- see
-#: :func:`df_cap_for`; every driver-oracle and bench corpus sits at the
-#: floor (ratio * N < 100 below 1M docs), so the oracle CTEs keep the
-#: literal constant.
+#: cap; keeps the inverted-index join linear under skew). This is the FLOOR
+#: of the effective cap -- see :func:`df_cap_for`; the oracle CTEs compute
+#: the SAME max(floor, ratio*N) in SQL from the documents table itself
+#: (r12, ADVICE: a literal floor in the oracle silently diverged from the
+#: engine for any corpus above the 1M crossover).
 DF_CAP = 100
 
 #: Stop-shingle definition as a corpus FRACTION: df > 0.01% of documents.
@@ -115,7 +115,18 @@ _NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
 #: collision across distinct shingles is ~n^2/2^61 and, because BOTH
 #: engines key on sid, affects both identically -- semantics stay
 #: engine-equal by construction).
-ORACLE_SHINGLE_CTES = rf"""
+def oracle_shingle_ctes(df_cap: int = DF_CAP, df_cap_ratio: float = DF_CAP_RATIO) -> str:
+    """Render the shared shingle CTEs with the scale-aware stop-shingle
+    cap computed FROM THE DATA, exactly as the engine's ``df_cap_for(N)``:
+    GREATEST(floor, trunc(ratio * N)) with N = COUNT(*) over the whole
+    documents table (the engine uses the parquet footer count of the same
+    table). FLOOR before the cast mirrors Python int() truncation (DuckDB
+    CAST rounds to nearest). At every driver/bench scale (N < 1M) this
+    reduces to the literal floor, so r1-r11 oracle hashes are unchanged;
+    above the crossover the differential is now ENFORCED rather than
+    guarded by a comment (r12, ADVICE). Parameterized so tests can cross
+    the regime boundary on a small corpus."""
+    return rf"""
     toks AS (
         SELECT doc_id,
                string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
@@ -130,9 +141,14 @@ ORACLE_SHINGLE_CTES = rf"""
         SELECT s.doc_id, s.sid
         FROM shingles s
         JOIN (SELECT sid FROM shingles
-              GROUP BY sid HAVING COUNT(*) <= {DF_CAP}) keep
+              GROUP BY sid
+              HAVING COUNT(*) <= GREATEST({df_cap},
+                     CAST(FLOOR((SELECT COUNT(*) FROM documents) * {df_cap_ratio}) AS BIGINT))) keep
           USING (sid))
 """
+
+
+ORACLE_SHINGLE_CTES = oracle_shingle_ctes()
 
 
 def _tokens_col() -> F.Column:

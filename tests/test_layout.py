@@ -318,3 +318,69 @@ def test_write_bucketed_overwrites_stale_location(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_stale_location_guard_inmemory_only_and_crash_recoverable(
+    spark, monkeypatch
+):
+    """r12 (ADVICE): (a) the debris cleanup is gated to the in-memory
+    catalog -- under a persistent metastore an unseen location may be
+    another session's LIVE table, so write_bucketed must leave it
+    alone and surface Spark's own error; (b) the debris is renamed
+    aside, not deleted, so a crash mid-saveAsTable leaves the prior
+    files recoverable on disk."""
+    import glob
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        write_bucketed,
+    )
+
+    tbl = "t_stale_loc_gate"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, tbl)
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    real_get = type(spark.conf).get
+
+    def hive_get(self, key, *a):
+        if key == "spark.sql.catalogImplementation":
+            return "hive"
+        return real_get(self, key, *a)
+
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "part-junk.parquet"), "wb") as f:
+            f.write(b"debris")
+        # (a) claimed-persistent catalog: debris untouched, loud error
+        monkeypatch.setattr(type(spark.conf), "get", hive_get)
+        with pytest.raises(Exception):
+            write_bucketed(df, tbl, "doc_id", 4, sort=True)
+        assert os.path.exists(os.path.join(loc, "part-junk.parquet"))
+        monkeypatch.undo()
+        # (b) in-memory catalog + write crash: debris renamed aside,
+        # still on disk under <loc>.stale-*
+        def boom(self, name):
+            raise RuntimeError("simulated mid-write crash")
+
+        monkeypatch.setattr(DataFrameWriter, "saveAsTable", boom)
+        with pytest.raises(RuntimeError, match="simulated"):
+            write_bucketed(df, tbl, "doc_id", 4, sort=True)
+        monkeypatch.undo()
+        stale = glob.glob(loc + ".stale-*")
+        assert stale and os.path.exists(
+            os.path.join(stale[0], "part-junk.parquet")
+        )
+        # and a clean retry works, then removes its own debris
+        write_bucketed(df, tbl, "doc_id", 4, sort=True)
+        assert spark.table(tbl).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(loc, ignore_errors=True)
+        for d in glob.glob(loc + ".stale-*"):
+            shutil.rmtree(d, ignore_errors=True)

@@ -356,3 +356,58 @@ def test_shingle_kernel_null_and_big_doc_ids(spark):
     assert got == want
     assert any(d == big for _, d, _s in got)   # exact, not rounded
     assert any(isnull for isnull, _, _s in got)  # NULL id flows through
+
+
+def test_oracle_cap_crosses_regime_with_engine(
+    spark, tmp_path_factory, monkeypatch
+):
+    # r12 (ADVICE): the oracle CTE computes the stop-shingle cap FROM
+    # THE DATA -- GREATEST(floor, trunc(ratio * N)) -- instead of
+    # baking the literal floor, so the engine/oracle differential is
+    # enforced ABOVE the ratio crossover too. Cross the regime on a
+    # 30-doc corpus by inflating the ratio: floor=5, ratio=2.0 puts
+    # the effective cap at 60 (shingle df=30 survives BOTH engines);
+    # ratio=0.1 puts it back at the floor (df=30 dropped by BOTH).
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("oraclecap")
+    n = 30
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), pa.int64()),
+                "text": pa.array(["aaa bbb ccc"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["t"] * n, pa.string()),
+                "n_chars": pa.array([11] * n, pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    monkeypatch.setattr(dedup, "DF_CAP", 5)
+    for ratio, expect_rows in ((2.0, n), (0.1, 0)):
+        monkeypatch.setattr(dedup, "DF_CAP_RATIO", ratio)
+        try:
+            eng = sorted(
+                (r["doc_id"], r["sid"])
+                for r in shingled_docs(spark, str(sf))
+                .select("doc_id", "sid")
+                .collect()
+            )
+        finally:
+            release_shingle_index(spark)
+        ora = sorted(
+            con.execute(
+                f"WITH {dedup.oracle_shingle_ctes(5, ratio)} "
+                "SELECT doc_id, sid FROM capped"
+            ).fetchall()
+        )
+        assert eng == ora
+        assert len(eng) == expect_rows

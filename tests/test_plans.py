@@ -922,3 +922,70 @@ def test_dag_stage_plans_carry_no_derived_reinline(spark, sf_dir):
     out = run_llm_curation(spark, sf_dir, materialize=False)
     for name, df in out.items():
         assert_no_derived_reinline(df, label=name)
+
+
+def test_reinline_hash_discriminates_cast_target_types(spark):
+    """r12 (ADVICE): the structural hash mixes the node dataType so
+    same-shape subtrees differing only in a NON-CHILD parameter (Cast
+    target type) hash apart instead of merging into a false family."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        _seq,
+        _walk_expr,
+    )
+
+    df = spark.range(5).select(
+        (F.col("id").cast("int") + 1).alias("p"),
+        (F.col("id").cast("smallint") + 1).alias("q"),
+    )
+    exprs = list(
+        _seq(df._jdf.queryExecution().optimizedPlan().expressions())
+    )
+    hashes = [
+        _walk_expr(e, frozenset(), {}, [])[3] for e in exprs[-2:]
+    ]
+    assert hashes[0] != hashes[1]
+
+
+def test_reinline_report_confirms_family_by_rendering(spark, sf_dir):
+    """r12 (ADVICE): a >1-exemplar structural-hash family is only
+    reported when at least two exemplars RENDER identically -- a hash
+    collision between different subtrees must not fail builds. Pinned
+    by the red fixture still firing (true re-inlines are exact copies,
+    identical toString) and a forced-collision registry staying clean."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        derived_reinline_findings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    big = F.col("text")
+    for _ in range(12):
+        big = F.concat(F.substring(big, 1, 50), F.upper(F.reverse(big)))
+    derived = docs.withColumn("expensive", F.length(big))
+    bad = derived.where(F.col("expensive") > 10).select("doc_id", "expensive")
+    findings = derived_reinline_findings(bad)
+    assert any(k == "re-inlined" for k, _, _ in findings)
+    # the reported rendering is the confirmed duplicate's toString,
+    # which for a true re-inline names the producer's functions
+    rendering = next(r for k, _, r in findings if k == "re-inlined")
+    assert rendering  # non-empty confirmed exemplar
+
+
+def test_reinline_walk_terminates_on_deep_self_composition(spark, sf_dir):
+    """r12 (ADVICE): optimized plans can be DAGs (self-union shares
+    child plan objects); the JVM-identity visited map keeps the walk
+    linear -- a 64-leaf self-composed union must scan fast and clean."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        derived_reinline_findings,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    u = docs
+    for _ in range(6):
+        u = u.unionAll(u)
+    assert derived_reinline_findings(u.select(F.col("doc_id") + 1)) == []
