@@ -224,36 +224,6 @@ def _assign_vectorized(
     dim = mat.shape[1]
     cc = np.einsum("ij,ij->i", mat, mat)
 
-    # Bound the kernel's working set: the (rows x k) distance/band
-    # temporaries are chunked so chunk*k stays ~8M doubles (~64MB/array)
-    # no matter the Arrow batch size or k -- at k=4000 an unchunked
-    # 10k-row batch would hold ~320MB temporaries PER concurrent task.
-    chunk_rows = max(1, 8_000_000 // max(1, mat.shape[0]))
-
-    def _fold_rows(xr: "np.ndarray", mt: "np.ndarray") -> "np.ndarray":
-        # the reference fold: acc += (x_j - c_j)^2 dimension-by-
-        # dimension, the exact add order (and IEEE doubles) of
-        # _dist2's aggregate expression
-        acc = np.zeros((xr.shape[0], mt.shape[0]))
-        for j in range(mt.shape[1]):
-            t = xr[:, j, None] - mt[None, :, j]
-            acc += t * t
-        return acc
-
-    # The fold and the BLAS expansion |x|^2 - 2x.c + |c|^2 each deviate
-    # from the true distance by <= ~2.3e-14 * B where
-    # B = |x|^2 + 2|x.c| + |c|^2 (gamma_n summation bounds at dim=64;
-    # every fold term is nonnegative so its bound is relative to the
-    # distance itself, the expansion's must absorb cancellation via B).
-    # GAMMA = 3e-13 * B therefore brackets |d_blas - d_fold| with >10x
-    # margin: a centroid whose banded interval cannot reach the best's
-    # provably cannot win OR tie the fold argmin, and the few that can
-    # are re-folded exactly (in centroid-id order, first minimum --
-    # argmin's own tie rule). Measured 23x over the all-fold kernel at
-    # 2000 x k=4000 x dim=64 with bit-identical picks on exact-tie,
-    # large-norm-cancellation and quantized fixtures (round 9).
-    GAMMA = 3e-13
-
     @F.pandas_udf("int")
     def nearest(col: pd.Series) -> pd.Series:
         out = np.full(len(col), -1, dtype=np.int64)
@@ -265,67 +235,116 @@ def _assign_vectorized(
         valid = [i for i, r in rows.items() if not np.isnan(r).any()]
         if valid:
             x = np.vstack([rows[i] for i in valid])
-            picks = np.empty(x.shape[0], dtype=np.int64)
-            for lo in range(0, x.shape[0], chunk_rows):
-                xc = x[lo : lo + chunk_rows]
-                n = xc.shape[0]
-                xx = np.einsum("ij,ij->i", xc, xc)
-                dots = xc @ mat.T
-                d = dots * -2.0
-                d += xx[:, None]
-                d += cc[None, :]
-                # non-finite d rows make the band meaningless (NaN
-                # comparisons silently skip the refold, and a -inf
-                # entry would win an argmin the fold never saw).
-                # Checking d catches BOTH causes: literal +-inf
-                # elements (inf-inf = NaN in the expansion) AND
-                # finite elements ~1e155+ whose squares overflow
-                # xx/dots (round-9 ADVICE -- the old isfinite(xc)
-                # guard missed the overflow class). Route every such
-                # row (never produced by any real embedding) through
-                # the reference fold.
-                inf_rows = ~np.isfinite(d).all(axis=1)
-                if inf_rows.any():
-                    picks_inf = np.argmin(
-                        _fold_rows(xc[inf_rows], mat), axis=1
-                    )
-                best = np.argmin(d, axis=1)
-                rix = np.arange(n)
-                dmin = d[rix, best]
-                # reuse dots as the band matrix, then d as the lower
-                # bound d - band
-                np.abs(dots, out=dots)
-                dots *= 2.0
-                dots += xx[:, None]
-                dots += cc[None, :]
-                dots *= GAMMA
-                thresh = dmin + dots[rix, best]
-                d -= dots
-                amb = d <= thresh[:, None]
-                hard = np.nonzero(amb.sum(axis=1) > 1)[0]
-                if len(hard):
-                    # batch refolds by candidate set: duplicated
-                    # centroids (a real fit shape -- duplicate corpus
-                    # docs can both seed) make EVERY row of their
-                    # cells ambiguous with the SAME candidate pair,
-                    # so grouping turns a per-row python loop into
-                    # one fold per distinct set
-                    groups: dict[tuple, list] = {}
-                    for i in hard:
-                        key = tuple(np.nonzero(amb[i])[0])
-                        groups.setdefault(key, []).append(i)
-                    for cand_t, idxs in groups.items():
-                        cand = np.asarray(cand_t)
-                        accs = _fold_rows(xc[idxs], mat[cand])
-                        best[idxs] = cand[np.argmin(accs, axis=1)]
-                if inf_rows.any():
-                    best[inf_rows] = picks_inf
-                picks[lo : lo + chunk_rows] = best
-            out[valid] = ids[picks]
+            out[valid] = ids[_banded_argmin(x, mat, cc)]
         s = pd.Series(out, dtype="Int64")
         return s.mask(s < 0).astype("Int32")
 
     return vectors.withColumn(out_col, nearest(F.col(vec_col)))
+
+
+def _fold_rows(xr, mt):
+    """The reference fold: acc += (x_j - c_j)^2 dimension-by-dimension,
+    the exact add order (and IEEE doubles) of _dist2's aggregate
+    expression."""
+    import numpy as np
+
+    acc = np.zeros((xr.shape[0], mt.shape[0]))
+    for j in range(mt.shape[1]):
+        t = xr[:, j, None] - mt[None, :, j]
+        acc += t * t
+    return acc
+
+
+#: The fold and the BLAS expansion |x|^2 - 2x.c + |c|^2 each deviate
+#: from the true distance by <= ~2.3e-14 * B where
+#: B = |x|^2 + 2|x.c| + |c|^2 (gamma_n summation bounds at dim=64;
+#: every fold term is nonnegative so its bound is relative to the
+#: distance itself, the expansion's must absorb cancellation via B).
+#: GAMMA = 3e-13 * B therefore brackets |d_blas - d_fold| with >10x
+#: margin: a centroid whose banded interval cannot reach the best's
+#: provably cannot win OR tie the fold argmin, and the few that can
+#: are re-folded exactly (in centroid-id order, first minimum --
+#: argmin's own tie rule). Measured 23x over the all-fold kernel at
+#: 2000 x k=4000 x dim=64 with bit-identical picks on exact-tie,
+#: large-norm-cancellation and quantized fixtures (round 9).
+_GAMMA = 3e-13
+
+
+def _banded_argmin(x, mat, cc):
+    """Exact fold-argmin row picks (indices into ``mat``'s rows) at
+    matmul speed: the BLAS expansion as a provably-banded SCREEN (see
+    _GAMMA), the reference fold on the few candidates the band cannot
+    separate. The pick equals ``argmin(_fold_rows(x, mat))``
+    bit-for-bit, ties included (first minimum in row order). ``cc`` is
+    the precomputed per-centroid |c|^2. Extracted verbatim from the
+    round-9 assignment kernel (round 12) so the hierarchical
+    quantizer's per-cell fine pick reuses the SAME screen+refold
+    arithmetic; pinned by the kernel-vs-expression differential
+    fixtures in tests/test_kmeans.py."""
+    import numpy as np
+
+    # Bound the kernel's working set: the (rows x k) distance/band
+    # temporaries are chunked so chunk*k stays ~8M doubles (~64MB/array)
+    # no matter the Arrow batch size or k -- at k=4000 an unchunked
+    # 10k-row batch would hold ~320MB temporaries PER concurrent task.
+    chunk_rows = max(1, 8_000_000 // max(1, mat.shape[0]))
+    picks = np.empty(x.shape[0], dtype=np.int64)
+    for lo in range(0, x.shape[0], chunk_rows):
+        xc = x[lo : lo + chunk_rows]
+        n = xc.shape[0]
+        xx = np.einsum("ij,ij->i", xc, xc)
+        dots = xc @ mat.T
+        d = dots * -2.0
+        d += xx[:, None]
+        d += cc[None, :]
+        # non-finite d rows make the band meaningless (NaN
+        # comparisons silently skip the refold, and a -inf
+        # entry would win an argmin the fold never saw).
+        # Checking d catches BOTH causes: literal +-inf
+        # elements (inf-inf = NaN in the expansion) AND
+        # finite elements ~1e155+ whose squares overflow
+        # xx/dots (round-9 ADVICE -- the old isfinite(xc)
+        # guard missed the overflow class). Route every such
+        # row (never produced by any real embedding) through
+        # the reference fold.
+        inf_rows = ~np.isfinite(d).all(axis=1)
+        if inf_rows.any():
+            picks_inf = np.argmin(
+                _fold_rows(xc[inf_rows], mat), axis=1
+            )
+        best = np.argmin(d, axis=1)
+        rix = np.arange(n)
+        dmin = d[rix, best]
+        # reuse dots as the band matrix, then d as the lower
+        # bound d - band
+        np.abs(dots, out=dots)
+        dots *= 2.0
+        dots += xx[:, None]
+        dots += cc[None, :]
+        dots *= _GAMMA
+        thresh = dmin + dots[rix, best]
+        d -= dots
+        amb = d <= thresh[:, None]
+        hard = np.nonzero(amb.sum(axis=1) > 1)[0]
+        if len(hard):
+            # batch refolds by candidate set: duplicated
+            # centroids (a real fit shape -- duplicate corpus
+            # docs can both seed) make EVERY row of those
+            # cells ambiguous with the SAME candidate pair,
+            # so grouping turns a per-row python loop into
+            # one fold per distinct set
+            groups: dict[tuple, list] = {}
+            for i in hard:
+                key = tuple(np.nonzero(amb[i])[0])
+                groups.setdefault(key, []).append(i)
+            for cand_t, idxs in groups.items():
+                cand = np.asarray(cand_t)
+                accs = _fold_rows(xc[idxs], mat[cand])
+                best[idxs] = cand[np.argmin(accs, axis=1)]
+        if inf_rows.any():
+            best[inf_rows] = picks_inf
+        picks[lo : lo + chunk_rows] = best
+    return picks
 
 
 def _seed_centroids(

@@ -105,16 +105,55 @@ SEM_K_BOUND = 250_000
 BUCKETED_DAG_BOUND = 100_000
 
 
+#: Above this many documents the sem stage (a) sizes k by the
+#: PAIR-BUDGET rule N/SEM_PAIR_BUDGET (expected in-cell candidates
+#: N^2/2k = N*SEM_PAIR_BUDGET/2 -- LINEAR in N by construction) and
+#: (b) switches to the two-level quantizer that makes that k
+#: affordable (flat fit/assignment are ~k^2/~N*k; hierarchical are
+#: ~S*2*sqrt(k)/~N*2*sqrt(k) -- operators/hier_kmeans). 1M is the
+#: point where N/500 meets the flat-optimal 2*sqrt(N) (2*sqrt(1e6) =
+#: 1e6/500 = 2000), so k is CONTINUOUS at the crossover and every
+#: <=1M measurement, test and oracle corpus is byte-identical to the
+#: r10/r11 behavior. Below the bound the flat N*k terms are cheap and
+#: exact global-nearest blocking is strictly better; above it the
+#: flat structure pins the pair term at N^1.5 for ANY k (the r11
+#: VERDICT "weak": blocked pairs 12.8s -> 89.3s for 1M -> 4M at
+#: k = 2*sqrt(N)) -- see hier_kmeans's module doc for the floor
+#: argument and measured constants.
+SEM_TWO_LEVEL_BOUND = 1_000_000
+
+#: Expected verified-candidate budget per document above the
+#: crossover: k = N/SEM_PAIR_BUDGET keeps in-cell candidates at
+#: ~SEM_PAIR_BUDGET/2 = 250 per doc -- the same density the measured
+#: 1M optimum (k=2000) produces, held N-invariant.
+SEM_PAIR_BUDGET = 500
+
+
 def default_sem_k(n_docs: int) -> int:
     """The semantic stage's default cell count for an ``n_docs`` corpus:
-    min(N/250, 2*sqrt(N)) -- the dup-maximizing N/250 rule while it is
-    the smaller term, capped by the only asymptote whose fit term
-    (sample ~ k, cost ~ sample*k) stays linear in N. Continuous at the
-    SEM_K_BOUND crossover by construction (see the bound's doc for the
-    measured drop deltas vs the r10 branch it replaced)."""
+    min(N/250, max(2*sqrt(N), N/500)) -- three regimes, continuous at
+    both crossovers by construction:
+
+    - N <= 250k: the dup-maximizing N/250 rule (N/250 <= 2*sqrt(N)
+      exactly while sqrt(N) <= 500);
+    - 250k < N <= 1M: 2*sqrt(N), the FLAT-quantizer optimum (it
+      balances the flat N*k assignment against N^2/2k pairs -- the
+      measured constants put k* at 2.2*sqrt(N), SCALING.md r9/r12);
+    - N > 1M: the pair-budget rule N/500 (r12, third regime), which
+      pins expected in-cell candidates at 250 per doc -- the pair term
+      becomes linear in N, and the two-level quantizer
+      (SEM_TWO_LEVEL_BOUND) keeps fit/assignment affordable at that k
+      where the flat structure could not grow k past ~sqrt(N).
+    """
     import math
 
-    return max(8, min(n_docs // 250, 2 * math.isqrt(n_docs)))
+    return max(
+        8,
+        min(
+            n_docs // 250,
+            max(2 * math.isqrt(n_docs), n_docs // SEM_PAIR_BUDGET),
+        ),
+    )
 
 #: Lloyd-refinement sample size per semantic cell: the sem stage fits
 #: its coarse quantizer on an md5-ranked sample of this many vectors
@@ -169,13 +208,19 @@ def build_llm_curation_pipeline(
     sem_eps: float | None = None,
     quality_seed: DataFrame | None = None,
     quality_threshold: float | None = None,
+    sem_two_level: bool | None = None,
 ) -> PipelineRunner:
     """``sem_k``/``sem_eps`` tune the semantic-dedup stage. ``sem_k``
     defaults to :func:`default_sem_k` over the corpus's footer row
-    count -- N/250 below ``SEM_K_BOUND``, sqrt(N) above it (the sizing
-    whose fit term stays linear in N; see the bound's doc). Too few
-    cells at a large N is the one way the PAIR term can go quadratic;
-    too MANY cells is how the FIT term does.
+    count -- N/250 below ``SEM_K_BOUND``, 2*sqrt(N) above it, and the
+    pair-budget N/500 above ``SEM_TWO_LEVEL_BOUND`` (see each bound's
+    doc). Too few cells at a large N is the one way the PAIR term can
+    go quadratic; too MANY cells is how the FIT term does.
+
+    ``sem_two_level`` forces the hierarchical quantizer on/off; the
+    default (None) engages it above ``SEM_TWO_LEVEL_BOUND`` documents,
+    the same crossover where the pair-budget sizing makes the flat
+    quantizer's N*k terms unaffordable (operators/hier_kmeans).
 
     ``quality_seed`` ((doc_id, label) with 1 = keep-worthy) swaps the
     heuristic quality gate for the CCNet-style LEARNED gate
@@ -403,6 +448,14 @@ def build_llm_curation_pipeline(
                 fit_sample=SEM_FIT_PER_CELL * k,
                 corpus_rows=n_docs,
                 max_iterations=SEM_FIT_MAX_ITER,
+                # the two-level quantizer engages with the pair-budget
+                # sizing regime (same crossover, see SEM_TWO_LEVEL_BOUND)
+                # unless the caller forced it either way
+                two_level=(
+                    n_docs > SEM_TWO_LEVEL_BOUND
+                    if sem_two_level is None
+                    else sem_two_level
+                ),
             )
         except CorpusTooSmallError:
             return sd
@@ -483,6 +536,7 @@ def run_llm_curation(
     quality_threshold: float | None = None,
     bucket_key: str | None = "auto",
     bucket_count: int = 32,
+    sem_two_level: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Build and execute the curation DAG; returns every stage by name.
     ``materialize=True`` checkpoints each stage (see PipelineRunner.run)
@@ -522,6 +576,7 @@ def run_llm_curation(
         sem_eps=sem_eps,
         quality_seed=quality_seed,
         quality_threshold=quality_threshold,
+        sem_two_level=sem_two_level,
     )
     if bucket_key is not None:
         import hashlib

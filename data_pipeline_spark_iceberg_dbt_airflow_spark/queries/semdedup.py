@@ -169,6 +169,7 @@ def semdedup(
     fit_sample: int | None = None,
     pair_kernel: bool | None = None,
     corpus_rows: int | None = None,
+    two_level: bool = False,
 ) -> DataFrame:
     """Label every vector with its semantic-duplicate component and a
     keep/drop verdict; ``where(keep)`` is the deduplicated corpus.
@@ -209,6 +210,19 @@ def semdedup(
     the blocked pair search picks its rendering on the true cost proxy
     N^2/(2k) (:func:`pair_kernel_default`); without it the k*dim
     fallback applies. ``pair_kernel`` overrides both.
+
+    ``two_level`` swaps the flat quantizer for the hierarchical one
+    (``operators/hier_kmeans``): fit ~ S*2*sqrt(k) instead of S*k and
+    bulk assignment ~ N*2*sqrt(k) instead of N*k, which is what makes
+    the pair-budget sizing k ~ N/500 affordable above the 1M-doc
+    crossover (the flat N*k terms are why k could previously grow no
+    faster than ~sqrt(N), pinning the pair term at N^1.5 --
+    SCALING.md r12). Assignment becomes nearest-in-probed-cell rather
+    than global-nearest: a blocking approximation in the same class as
+    ``fit_sample`` and the Lloyd cap (cells only block the pair
+    search; every candidate pair is still cosine-verified), measured
+    for drop deltas, never a correctness change. Oracle-checked
+    small-k renderings keep ``two_level=False``.
     """
     # NaN components are the third invalid class next to NULL and
     # wrong-dim: they would crash the decimal k-means sums and -- via
@@ -237,14 +251,30 @@ def semdedup(
     )
     if fit_sample is not None:
         fit_kwargs["fit_sample"] = fit_sample
-    centroids = kmeans_fit(
-        fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
-    )
+    if two_level:
+        from ..operators.hier_kmeans import (
+            assign_clusters_hier,
+            hier_kmeans_fit,
+        )
+
+        model = hier_kmeans_fit(
+            fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
+        )
+        centroids = model.fine
+    else:
+        centroids = kmeans_fit(
+            fit_input, k, id_col=id_col, vec_col=vec_col, **fit_kwargs
+        )
     if dim is None:
         dim = len(next(iter(centroids.values())))
     v = F.col(vec_col)
     pre_valid = v.isNotNull() & (F.size(v) == dim) & ~has_nan
-    assigned = assign_clusters(emb, centroids, vec_col=vec_col).select(
+    raw_assigned = (
+        assign_clusters_hier(emb, model, vec_col=vec_col)
+        if two_level
+        else assign_clusters(emb, centroids, vec_col=vec_col)
+    )
+    assigned = raw_assigned.select(
         F.col(id_col).alias("vec_id"),
         v.alias("embedding"),
         # NaN rows get whatever argmin the NaN comparisons produced;

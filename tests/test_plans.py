@@ -812,14 +812,14 @@ def test_default_sem_k_sizing_rule():
     # integer-floor jitter only (2*isqrt drops by 2 crossing a square),
     # never the r10 halving
     assert default_sem_k(SEM_K_BOUND - 1) == 998
-    assert default_sem_k(1_000_000) == 2000   # 2*sqrt regime
-    assert default_sem_k(100_000_000) == 20_000
-    # the rule never exceeds either term
+    assert default_sem_k(1_000_000) == 2000   # 2*sqrt regime ends here
+    # r12 third regime: the pair-budget N/500 above the 1M crossover
+    # (two-level quantizer territory; tests/test_hier_kmeans.py pins
+    # continuity at both crossovers and the 250-candidates/doc budget)
+    assert default_sem_k(100_000_000) == 200_000
+    # the rule never exceeds the N/250 dup-maximizing cap
     for n in (10_000, 250_000, 4_000_000):
-        import math
-
         assert default_sem_k(n) <= max(8, n // 250)
-        assert default_sem_k(n) <= max(8, 2 * math.isqrt(n))
 
 
 def test_auto_bucketed_curation_matches_plain(spark, sf_dir, monkeypatch):
