@@ -354,10 +354,19 @@ def _adc_rank(
     w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.asc("id_b"))
     return (
         # a zero-norm query or reconstruction has no defined cosine;
-        # those pairs are EXCLUDED, not ranked by id tiebreak
-        scored.where(F.col("cosine").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        # those pairs are EXCLUDED, not ranked by id tiebreak. The null
+        # filter runs AFTER the window, not before it: a filter on the
+        # derived cosine below the window let predicate pushdown
+        # substitute the whole ADC score into the predicate -- the
+        # producer then evaluated twice per row (the r8/r10 trap,
+        # caught live by the r12 registry-wide re-inline sweep). DESC
+        # ranks NULLS LAST, so every non-null pair keeps the exact rank
+        # the pre-filter plan gave it and the post-window filter (which
+        # Catalyst cannot push through a window on a non-partition
+        # column) drops the same rows -- output identical, score
+        # evaluated once.
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("cosine").isNotNull() & (F.col("rank") <= top_k))
         .select("id_a", "id_b", "cosine", "rank")
     )
 

@@ -168,6 +168,26 @@ def _tokens_col() -> F.Column:
 SHINGLE_KERNEL = True
 
 
+def _kernel_locale_ok(spark) -> bool:
+    """Runtime guard for the shingle kernel's one environmental
+    assumption (r12, VERDICT r11 item 2): its ``str.lower()`` is
+    bit-equal to Catalyst's ``lower()`` only under a root/en JVM
+    default locale (Spark's non-ASCII path is ``toLowerCase()`` under
+    the DEFAULT locale -- a Turkish deployment's dotless-i diverges
+    silently). Probed ONCE per index build via py4j; a non-root/en
+    locale (or an unprobeable JVM) falls back to the expression path,
+    turning the docstring caveat into enforced behavior. Root locale
+    renders language ''."""
+    try:
+        lang = (
+            spark.sparkContext._jvm.java.util.Locale.getDefault()
+            .getLanguage()
+        )
+    except Exception:
+        return False
+    return lang in ("", "en")
+
+
 def _shingle_rows_expr(docs: DataFrame) -> DataFrame:
     """(doc_id, sid) shingle rows via the Catalyst expression rendering.
 
@@ -313,9 +333,18 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Shingling is the CPU-bound stage of the whole dedup family; make sure
     # it runs on every core even when the scan is a single parquet split.
     docs = read_table(spark, sf_dir, "documents", widen=True)
+    use_kernel = SHINGLE_KERNEL and _kernel_locale_ok(spark)
+    if SHINGLE_KERNEL and not use_kernel:
+        import warnings
+
+        warnings.warn(
+            "shingle kernel disabled: non-root/en JVM default locale "
+            "breaks its lower() bit-equality; using the Catalyst "
+            "expression rendering (see _kernel_locale_ok)"
+        )
     sh = (
         _shingle_rows_kernel(docs)
-        if SHINGLE_KERNEL
+        if use_kernel
         else _shingle_rows_expr(docs)
     )
     # The df-cap drops HOT shingles, and hot shingles are few by

@@ -651,7 +651,7 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             books,
             F.col("id_b") != F.col("id_a"),
-        ).where(F.col("cosine").isNotNull())
+        )
         ranked = ranked.unionByName(
             pq_scored.select(
                 F.lit("pq").alias("method"), "id_a", "id_b", "cosine"
@@ -661,9 +661,23 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("method", "id_a").orderBy(
         F.desc("cosine"), F.asc("id_b")
     )
+    # The pq branch's NULL cosines (zero-norm query/reconstruction) are
+    # excluded AFTER the shared window, not before the union: a filter
+    # on the derived cosine directly over adc_scored let predicate
+    # pushdown substitute the whole ADC dot/norm producer into the JOIN
+    # CONDITION -- the score then evaluated twice per pair (the r8/r10
+    # trap, caught live by the r12 registry-wide re-inline sweep). DESC
+    # ranks NULLS LAST, so every non-null pq pair keeps the exact rank
+    # the pre-union filter gave it, and Catalyst cannot push a
+    # non-partition-column predicate back through the window. Other
+    # branches keep their documented null semantics (q8 ranks nulls
+    # last and retains them, matching its oracle CASE).
     topk = (
         ranked.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        .where(
+            (F.col("rank") <= TOP_K)
+            & ((F.col("method") != "pq") | F.col("cosine").isNotNull())
+        )
         .select("method", "id_a", "id_b", "cosine", "rank")
     )
     pairs = blocked_cell_pairs(emb_n).select(
@@ -755,11 +769,20 @@ def _quantized_rerank_scored(
     )
     scl = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
     inv = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+    # The scale rides INTO the element loop as an array_repeat + zip_with,
+    # never as a free reference inside the transform lambda: a lambda
+    # referencing scl re-evaluates its array_max(transform(abs)) producer
+    # PER ELEMENT -- the O(dim^2)-per-row r8 shape, caught live here by
+    # the r12 registry-wide re-inline sweep (metrics.derived_reinline).
+    # array_repeat evaluates scl ONCE per row and fills; x * s + 0.5 is
+    # the same doubles in the same order, so codes (and the oracle
+    # differential) are bit-identical to the old rendering.
     qz = emb_n.select(
         "vec_id",
-        F.transform(
+        F.zip_with(
             F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * scl + F.lit(0.5)).cast(
+            F.array_repeat(scl, F.size(F.col("embedding"))),
+            lambda x, s: F.floor(x.cast("double") * s + F.lit(0.5)).cast(
                 "bigint"
             ),
         ).alias("qv"),

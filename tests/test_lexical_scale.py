@@ -411,3 +411,49 @@ def test_oracle_cap_crosses_regime_with_engine(
         )
         assert eng == ora
         assert len(eng) == expect_rows
+
+
+def test_shingle_kernel_locale_guard(spark, tmp_path_factory, monkeypatch):
+    """r12 (VERDICT r11 item 2): the kernel's lower() bit-equality is
+    locale-conditional; the guard must route a non-root/en JVM locale
+    (or an unprobeable one) to the expression path at engage time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sf = tmp_path_factory.mktemp("localeguard")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(["aaa bbb ccc ddd", "bbb ccc ddd eee"]),
+                "lang": pa.array(["en", "en"]),
+                "source": pa.array(["t", "t"]),
+                "n_chars": pa.array([15, 15], pa.int64()),
+            }
+        ),
+        str(sf / "documents.parquet"),
+    )
+
+    def boom(docs):
+        raise AssertionError("kernel must not engage under this locale")
+
+    # simulated Turkish deployment: kernel path must not be touched
+    monkeypatch.setattr(dedup, "_kernel_locale_ok", lambda s: False)
+    monkeypatch.setattr(dedup, "_shingle_rows_kernel", boom)
+    try:
+        assert shingled_docs(spark, str(sf)).count() > 0
+    finally:
+        release_shingle_index(spark)
+    monkeypatch.undo()
+    # this environment IS root/en: the kernel engages (expression path
+    # untouched), and the real probe says ok
+    assert dedup._kernel_locale_ok(spark)
+
+    def boom_expr(docs):
+        raise AssertionError("expression path must not run on en locale")
+
+    monkeypatch.setattr(dedup, "_shingle_rows_expr", boom_expr)
+    try:
+        assert shingled_docs(spark, str(sf)).count() > 0
+    finally:
+        release_shingle_index(spark)

@@ -4,6 +4,8 @@ visible in the plan at any scale (SURVEY.md §4). These tests read
 
 from __future__ import annotations
 
+import pytest
+
 from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
 from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
 
@@ -989,3 +991,60 @@ def test_reinline_walk_terminates_on_deep_self_composition(spark, sf_dir):
     for _ in range(6):
         u = u.unionAll(u)
     assert derived_reinline_findings(u.select(F.col("doc_id") + 1)) == []
+
+
+def _registry_names():
+    import __spark_entry__ as entry
+
+    return sorted(entry.queries())
+
+
+#: Registry entries whose sweep findings are verified BENIGN, keyed to
+#: the exact (kind, detail) signature so any plan drift re-fails the
+#: test and forces a re-triage (r12 sweep triage):
+#: - agg_stats_summary: the duplicated subtree is Spark's own
+#:   stddev/variance expansion inside aggregate RESULT expressions --
+#:   evaluated once per GROUP over shared sum/count buffers, bounded by
+#:   group count, never per input row.
+#: - stream_time_windows: Spark's TimeWindow rewrite derives
+#:   window.start and window.end from the same bucket arithmetic --
+#:   engine-generated, constant-size per row.
+#: - sim_ann_family: the pairs branch both THRESHOLD-FILTERS and
+#:   DISPLAYS the same cosine; the projection instance evaluates only
+#:   for threshold SURVIVORS (id-only consumers like semdedup prune it
+#:   away entirely), so the recomputation is survivor-bounded. The two
+#:   per-ROW instances the r12 sweep caught here (q8 scale inside the
+#:   quantize lambda, ADC score pushed into the join condition) were
+#:   FIXED, not exempted.
+_REINLINE_EXEMPT = {
+    "agg_stats_summary": {("re-inlined", "2x size 36")},
+    "stream_time_windows": {("re-inlined", "2x size 32")},
+    "sim_ann_family": {("re-inlined", "2x size 26")},
+}
+
+
+@pytest.mark.parametrize("name", _registry_names())
+def test_registry_plans_carry_no_derived_reinline(spark, sf_dir, name):
+    """r12 (VERDICT r11 task 6): the re-inline guard swept only the DAG
+    stage plans, but the 50 registry queries are equally exposed to
+    CollapseProject/pushdown substitution (the guard caught two live
+    DAG instances on arrival in r11, and this sweep caught two more on
+    ITS arrival -- the q8 quantize lambda and the ADC join-condition
+    substitution, both fixed in queries/similarity.py /
+    operators/pq.py). Sweep every registry entry's optimized plan at
+    sf0.001; findings must be empty or exactly the documented benign
+    signature. Checkpointed frames scan as opaque LogicalRDDs
+    (trivially clean) -- the DAG test covers those shapes
+    pre-materialization."""
+    import __spark_entry__ as entry
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.metrics import (
+        derived_reinline_findings,
+    )
+
+    df = entry.queries()[name](spark, sf_dir)
+    findings = derived_reinline_findings(df)
+    got = {(k, d) for k, d, _ in findings}
+    assert got == _REINLINE_EXEMPT.get(name, set()), (
+        f"derived-expression findings changed for {name}: {findings}"
+    )

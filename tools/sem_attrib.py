@@ -17,7 +17,13 @@ corpus, not the post-gate ~80% subset the in-DAG stage sees, so terms
 here are ~1.25x the in-DAG stage at the same nominal N; the split, not
 the absolute, is the measurement.
 
-    python tools/sem_attrib.py <n_docs> [corpus_dir]
+    python tools/sem_attrib.py <n_docs> [corpus_dir] [k] [max_iter] [flat|two]
+
+The optional 5th arg selects the quantizer: ``flat`` (default below the
+SEM_TWO_LEVEL_BOUND crossover) or ``two`` for the r12 hierarchical
+path (operators/hier_kmeans) -- omitted, the tool follows the DAG's own
+default for the given n_docs, so a bare invocation always measures the
+composed-defaults configuration.
 """
 
 from __future__ import annotations
@@ -43,6 +49,9 @@ def main() -> None:
     # optional Lloyd cap override (argv[4]) for the r11 fit-variance /
     # drop-sensitivity experiment (VERDICT r10 task 7)
     MAX_ITER = int(sys.argv[4]) if len(sys.argv) > 4 else None
+    # optional quantizer override (argv[5]): flat | two; default = the
+    # DAG's own gate (two-level above SEM_TWO_LEVEL_BOUND, r12)
+    QUANT = sys.argv[5] if len(sys.argv) > 5 else None
 
     from tools.dfcap_sweep import ensure_corpus, make_session
 
@@ -81,9 +90,21 @@ def main() -> None:
         default_sem_k,
     )
 
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline import (
+        SEM_TWO_LEVEL_BOUND,
+    )
+
     k = K_OVERRIDE if K_OVERRIDE is not None else default_sem_k(N_DOCS)
     fit_sample = 50 * k
-    out = {"n_docs": N_DOCS, "k": k, "fit_sample": fit_sample}
+    two_level = (
+        QUANT == "two" if QUANT else N_DOCS > SEM_TWO_LEVEL_BOUND
+    )
+    out = {
+        "n_docs": N_DOCS,
+        "k": k,
+        "fit_sample": fit_sample,
+        "two_level": two_level,
+    }
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
 
@@ -96,18 +117,40 @@ def main() -> None:
     t0 = time.time()
     fit_kwargs = {} if MAX_ITER is None else {"max_iterations": MAX_ITER}
     out["max_iterations"] = MAX_ITER if MAX_ITER is not None else "default"
-    centroids = kmeans_fit(
-        emb,
-        k,
-        id_col="vec_id",
-        vec_col="embedding",
-        fit_sample=fit_sample,
-        **fit_kwargs,
-    )
+    if two_level:
+        from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.hier_kmeans import (
+            assign_clusters_hier,
+            hier_kmeans_fit,
+        )
+
+        model = hier_kmeans_fit(
+            emb,
+            k,
+            id_col="vec_id",
+            vec_col="embedding",
+            fit_sample=fit_sample,
+            **fit_kwargs,
+        )
+        centroids = model.fine
+        out["k_coarse"] = len(model.coarse)
+        out["k_fine"] = len(model.fine)
+    else:
+        centroids = kmeans_fit(
+            emb,
+            k,
+            id_col="vec_id",
+            vec_col="embedding",
+            fit_sample=fit_sample,
+            **fit_kwargs,
+        )
     out["fit_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
-    assigned = assign_clusters(emb, centroids).localCheckpoint(eager=True)
+    assigned = (
+        assign_clusters_hier(emb, model)
+        if two_level
+        else assign_clusters(emb, centroids)
+    ).localCheckpoint(eager=True)
     out["assign_s"] = round(time.time() - t0, 1)
 
     t0 = time.time()
@@ -155,6 +198,7 @@ def main() -> None:
         eps=DEFAULT_EPS,
         fit_sample=fit_sample,
         corpus_rows=N_DOCS,
+        two_level=two_level,
         **({} if MAX_ITER is None else {"max_iterations": MAX_ITER}),
     )
     out["dropped"] = verdicts.where(~F.col("keep")).count()
