@@ -111,7 +111,12 @@ def _cell_lloyd(x, k_i: int, max_iterations: int):
 
     cents = x[:k_i].copy()
     for _ in range(max_iterations):
-        assign = np.argmin(_fold_rows(x, cents), axis=1)
+        # banded-screen exact argmin (kmeans._banded_argmin): identical
+        # picks to argmin(_fold_rows(x, cents)) -- ties included -- at
+        # matmul speed; the per-cell fold was the fit's dominant flop
+        # term (5 rounds x ~50*k_i rows x k_i cents x dim per cell)
+        cc = np.einsum("ij,ij->i", cents, cents)
+        assign = _banded_argmin(x, cents, cc)
         new = cents.copy()
         for c in range(k_i):
             members = x[assign == c]
@@ -184,12 +189,19 @@ def hier_kmeans_fit(
             .repartition(par, "__id")
             .localCheckpoint(eager=True)
         )
+    # The coarse model gets the same 50-vectors-per-cell budget the fine
+    # level uses: its Lloyd rounds (a decimal-sum shuffle over the fit
+    # frame per round) need only k_c REPRESENTATIVE centroids, and
+    # 50*k_c is the rule's own sufficiency bar. kmeans_fit's md5-ranked
+    # head of our (already md5-ranked) sample is deterministic and a
+    # superset-of-seeds by construction.
     coarse = kmeans_fit(
         fit_rows,
         k_c,
         id_col="__id",
         vec_col="__v",
         max_iterations=max_iterations,
+        fit_sample=50 * k_c,
     )
     sample_assigned = _assign_vectorized(
         fit_rows, coarse, vec_col="__v", out_col="__coarse"
@@ -310,3 +322,101 @@ def assign_clusters_hier(
     return staged.withColumn(
         out_col, fine_pick(F.col(vec_col), F.col("__coarse"))
     ).drop("__coarse")
+
+
+#: Margin gate for the secondary pair-search probe (squared-L2 space):
+#: a vector emits a probe row iff its 2nd-nearest coarse distance
+#: satisfies d2^2 <= PROBE_FACTOR * d1^2 (1.21 = 1.1^2). Motivation
+#: (r12 drop attribution at 4M): the two-level drop deficit vs flat
+#: (-4.3%) was ENTIRELY coarse-boundary splits (k-doubling alone was
+#: +0.06%), so the probe targets the shell where a flat quantizer
+#: would have co-located the pair. Measured honesty note: on the
+#: 64-dim hash_embed distribution, distance concentration makes
+#: d2 ~ d1 for nearly every vector (98.2% of the 4M corpus gates IN),
+#: so the margin degenerates to probes=2 there -- the pair term keeps
+#: its linear-in-N shape with a ~4x constant, measured composed
+#: semdedup 229.7s vs the flat-default 407.6s at 4M WITH +13.8% more
+#: verified duplicate pairs found than ANY flat sizing measured
+#: (every emitted pair is cosine-verified, so extra candidates can
+#: only ADD true recall, never false merges). Distributions with real
+#: cluster structure get the cheap shell this constant names; this
+#: knob is the recall/pair-cost dial either way.
+PROBE_FACTOR = 1.21
+
+
+def with_probe_label(
+    vectors: DataFrame,
+    model: HierKMeansModel,
+    vec_col: str = "embedding",
+    out_col: str = "probe_label",
+    factor: float = PROBE_FACTOR,
+) -> DataFrame:
+    """Secondary pair-search labels for boundary vectors (multi-probe).
+
+    Adds ``out_col``: for each valid vector whose 2nd-nearest COARSE
+    centroid sits within the ``factor`` margin (squared-L2:
+    d2^2 <= factor * d1^2), the nearest fine cell WITHIN
+    that runner-up coarse cell -- the cell the vector would likely have
+    landed in had it sat on the other side of the boundary; NULL for
+    rows outside the shell (and invalid vectors). The primary
+    assignment is
+    untouched: these labels exist only to widen the blocked pair
+    search (a recall device exactly like LSH's multiple bands -- a pair
+    meeting under EITHER label is a candidate; duplicates are harmless
+    to connected components). Deterministic: exact-fold coarse
+    distances with (distance, id) tie-break for the runner-up, the
+    banded-screen exact argmin within its fine matrix.
+
+    Scale: one extra zero-shuffle Arrow pass of N*k_c fold distances
+    plus ~shell_fraction * N extra pair-search rows -- the pair term
+    stays linear in N at the budget sizing, only its constant grows by
+    the shell fraction (measured, SCALING.md r12).
+    """
+    import numpy as np
+
+    items = sorted(model.coarse.items())
+    cmat = np.asarray([c for _, c in items], dtype=np.float64)
+    cids = [cid for cid, _ in items]
+    mats = {}
+    for c, fids in model.fine_of_coarse.items():
+        m = np.asarray([model.fine[f] for f in fids], dtype=np.float64)
+        mats[c] = (
+            m,
+            np.einsum("ij,ij->i", m, m),
+            np.asarray(fids, dtype=np.int64),
+        )
+    dim = cmat.shape[1]
+
+    @F.pandas_udf("int")
+    def probe_pick(col: pd.Series) -> pd.Series:
+        out = np.full(len(col), -1, dtype=np.int64)
+        rows = {
+            i: np.asarray(v, dtype=np.float64)
+            for i, v in enumerate(col)
+            if v is not None and len(v) == dim
+        }
+        valid = [
+            i for i, r in rows.items() if not np.isnan(r).any()
+        ]
+        if not valid:
+            return pd.Series(out, dtype="Int64").mask(True).astype("Int32")
+        x = np.vstack([rows[i] for i in valid])
+        d = _fold_rows(x, cmat)  # exact fold: deterministic everywhere
+        order = np.argsort(d, axis=1, kind="stable")  # ties -> smaller id
+        d1 = d[np.arange(len(valid)), order[:, 0]]
+        d2 = d[np.arange(len(valid)), order[:, 1]]
+        shell = d2 <= factor * d1
+        by_cell: dict[int, list[tuple[int, int]]] = {}
+        for j, i in enumerate(valid):
+            if shell[j]:
+                by_cell.setdefault(int(order[j, 1]), []).append((j, i))
+        for c, pairs_ in by_cell.items():
+            xs = x[[j for j, _ in pairs_]]
+            m, cc, fids = mats[cids[c]]
+            picks = fids[_banded_argmin(xs, m, cc)]
+            for (j, i), p in zip(pairs_, picks):
+                out[i] = p
+        s = pd.Series(out, dtype="Int64")
+        return s.mask(s < 0).astype("Int32")
+
+    return vectors.withColumn(out_col, probe_pick(F.col(vec_col)))

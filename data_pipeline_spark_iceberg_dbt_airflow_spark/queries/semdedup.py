@@ -352,6 +352,30 @@ def semdedup(
         "embedding",
         norm(F.col("embedding")).alias("nrm"),
     )
+    if two_level:
+        # multi-probe recall recovery (r12): the probed-cell assignment
+        # splits true near-dup pairs that straddle a COARSE boundary --
+        # measured as the ENTIRE two-level drop deficit at 4M (the
+        # k-doubling alone was +0.06%, SCALING.md r12). Boundary-shell
+        # vectors emit a SECOND pair-search row under the runner-up
+        # coarse cell's nearest fine cell (primary assignment, scoring
+        # and survivor choice untouched); a pair meeting under either
+        # label is a candidate, exactly like an extra LSH band, and a
+        # pair meeting under BOTH yields a duplicate edge that
+        # connected components absorbs.
+        from ..operators.hier_kmeans import with_probe_label
+
+        probed = with_probe_label(
+            scored.where(valid), model, vec_col="embedding"
+        )
+        proj = proj.unionByName(
+            probed.where(F.col("probe_label").isNotNull()).select(
+                "vec_id",
+                F.col("probe_label").alias("label"),
+                "embedding",
+                norm(F.col("embedding")).alias("nrm"),
+            )
+        )
     if pair_kernel is None:
         if corpus_rows is not None:
             # the real cost proxy: expected candidate pairs N^2/(2k),

@@ -58,6 +58,193 @@ def _toks() -> Column:
     return F.expr(_TOKS)
 
 
+#: Build the per-document profile with the Arrow kernel (default)
+#: instead of the Catalyst expression tree. The expression path stays
+#: as the reference rendering (the same formulas as the DuckDB oracle)
+#: and is pinned bit-equal to the kernel by the differential test in
+#: tests/test_llm_ops.py; flip to False to fall back. Rationale (r12,
+#: VERDICT r11 task: doc_quality is the DAG's most expensive stage at
+#: 4M): the profile's cost is spread across HOF folds (token stats,
+#: per-4gram md5 fingerprint, array_sort 2-gram run counting -- all
+#: CodegenFallback, interpreted per element) and five regexp families
+#: that each rescan the text; the kernel does ONE Python pass per doc
+#: sharing the tokenization across every family, with hashlib/re at C
+#: speed (the shingle-kernel playbook, queries/dedup.py:180). Same
+#: locale caveat as the shingle kernel: str.lower() mirrors JVM
+#: lower() only under root/en, enforced by the runtime probe.
+PROFILE_KERNEL = True
+
+#: Output column order of text_profile -- shared by both renderings and
+#: by the kernel's Arrow batch assembly. Types mirror the expression
+#: path exactly (length/size -> int, ratios -> double, md5 -> string).
+_PROFILE_SCHEMA = (
+    "doc_id bigint, lang string, char_cnt int, token_cnt int,"
+    " uniq_token_cnt int, punct_cnt int, bpe_tokens int,"
+    " avg_token_len double, stop_ratio double, alpha_ratio double,"
+    " quality_score double, pred_lang string, fingerprint string,"
+    " rep_2gram_frac double, pii_email_cnt int, pii_phone_cnt int,"
+    " pii_ip_cnt int, pii_ssn_cnt int, pii_clean_hash string"
+)
+
+
+def _profile_arrow_types():
+    import pyarrow as pa
+
+    typ = {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+    }
+    return [
+        (f.split()[0], typ[f.split()[1]])
+        for f in _PROFILE_SCHEMA.split(",")
+    ]
+
+
+def _profile_rows_kernel(docs: DataFrame) -> DataFrame:
+    """Arrow ``mapInArrow`` rendering of the text profile.
+
+    Bit-equal to :func:`_profile_rows_expr` by construction, term by
+    term (the differential test pins it on the real corpus plus NULL /
+    empty / whitespace-only / non-ASCII / NBSP fixtures):
+
+    - Java ``\\S`` / ``\\s`` are the ASCII classes ONLY; every Python
+      pattern spells the class out (the round-4 lesson, same as the
+      shingle kernel) -- tokens ``[^ \\t\\n\\x0b\\f\\r]+``, the BPE
+      pre-tokenizer's ``[^A-Za-z0-9\\s]`` arm likewise.
+    - PII patterns compile under ``re.ASCII`` so ``\\d``/``\\b`` match
+      Java's ASCII definitions (Python's default ``\\d`` eats Unicode
+      digits, which would over-count on exotic text).
+    - ``length``/``size`` count code points -- Python ``len`` ditto
+      (Spark's Length is UTF8String.numChars, not UTF-16 units).
+    - double arithmetic is the same IEEE ops in the same order
+      (ratios: one int->double divide; quality: left-associated
+      s*0.3 + a*0.4 + l*0.3).
+    - ``lower`` -> ``str.lower()`` (root/en locale only -- gated by
+      ``dedup._kernel_locale_ok`` at dispatch); ``trim`` strips 0x20
+      only; ``split(s, ' ')`` keeps empty fields (both engines).
+    - fingerprint: md5 hexdigests compare bytewise = Spark UTF8 string
+      ordering on lowercase hex; ``array_sort`` on strings is UTF-8
+      byte order = Python code-point sort (UTF-8 preserves code-point
+      order), so the 2-gram longest-run count is identical.
+    - NULL text: every stat NULL, ``pred_lang`` 'und' (the expression's
+      CASE falls through NULL conditions to the ELSE) -- mirrored
+      explicitly.
+
+    Scale shape identical to the expression path: embarrassingly
+    parallel over doc rows, no shuffle, no state; the stage's only
+    exchange remains the guarded widen (plan-asserted in
+    tests/test_metrics.py).
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        md5 = hashlib.md5
+        tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
+        punct_re = re.compile(r"[.,;:!?]")
+        alpha_re = re.compile(r"[A-Za-z]")
+        bpe_re = re.compile(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0b\f\r]")
+        ws_re = re.compile(r"[ \t\n\x0b\f\r]+")
+        lang_res = (
+            (re.compile("[一-鿿]"), "zh"),
+            (re.compile("[äöüß]"), "de"),
+            (re.compile("[ñ¿¡]"), "es"),
+            (re.compile("[çœàèù]"), "fr"),
+        )
+        pii_res = [
+            (re.compile(p, re.ASCII), tag) for _, p, tag in PII_PATTERNS
+        ]
+        stopset = frozenset(STOPWORDS)
+
+        arrow_types = _profile_arrow_types()
+        for batch in batches:
+            cols = batch.to_pydict()
+            n = len(cols["doc_id"])
+            o = {name: [None] * n for name, _ in arrow_types}
+            o["doc_id"] = cols["doc_id"]
+            o["lang"] = cols["lang"]
+            for i in range(n):
+                text, ptext = cols["text"][i], cols["ptext"][i]
+                if ptext is not None:
+                    red = ptext
+                    for (rx, tag), name in zip(
+                        pii_res, ("email", "phone", "ip", "ssn")
+                    ):
+                        o[f"pii_{name}_cnt"][i] = len(rx.findall(ptext))
+                        red = rx.sub(tag, red)
+                    o["pii_clean_hash"][i] = md5(
+                        red.encode("utf-8")
+                    ).hexdigest()
+                if text is None:
+                    o["pred_lang"][i] = "und"
+                    continue
+                char_cnt = len(text)
+                toks = tok_re.findall(text)
+                tc = len(toks)
+                alpha = len(alpha_re.findall(text))
+                o["char_cnt"][i] = char_cnt
+                o["token_cnt"][i] = tc
+                o["uniq_token_cnt"][i] = len(set(toks))
+                o["punct_cnt"][i] = len(punct_re.findall(text))
+                o["bpe_tokens"][i] = len(bpe_re.findall(text))
+                if tc > 0:
+                    o["avg_token_len"][i] = sum(map(len, toks)) / tc
+                    stop_ratio = (
+                        sum(1 for x in toks if x in stopset) / tc
+                    )
+                    o["stop_ratio"][i] = stop_ratio
+                if char_cnt > 0:
+                    alpha_ratio = alpha / char_cnt
+                    o["alpha_ratio"][i] = alpha_ratio
+                if tc > 0 and char_cnt > 0:
+                    o["quality_score"][i] = (
+                        stop_ratio * 0.3
+                        + alpha_ratio * 0.4
+                        + (min(tc, 100) / 100) * 0.3
+                    )
+                pred = "en" if alpha > 0 else "und"
+                for rx, code in lang_res:
+                    if rx.search(text):
+                        pred = code
+                        break
+                o["pred_lang"][i] = pred
+                wt = ws_re.sub(" ", text.lower()).strip(" ").split(" ")
+                nw = len(wt)
+                if nw >= 4:
+                    o["fingerprint"][i] = min(
+                        md5(
+                            " ".join(wt[j : j + 4]).encode("utf-8")
+                        ).hexdigest()
+                        for j in range(nw - 3)
+                    )
+                if nw >= 2:
+                    g2 = sorted(
+                        " ".join(wt[j : j + 2]) for j in range(nw - 1)
+                    )
+                    best, run, prev = 0, 0, None
+                    for g in g2:
+                        run = run + 1 if g == prev else 1
+                        prev = g
+                        if run > best:
+                            best = run
+                    o["rep_2gram_frac"][i] = best / len(g2)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(o[name], type=typ)
+                    for name, typ in arrow_types
+                ],
+                [name for name, _ in arrow_types],
+            )
+
+    return docs.select("doc_id", "lang", "text", "ptext").mapInArrow(
+        gen, schema=_PROFILE_SCHEMA
+    )
+
+
 @register(
     "text_profile",
     oracle=rf"""
@@ -161,6 +348,24 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synth_pii plants deterministic PII spans (the corpus itself is
     # PII-free word salad) so the detect/redact columns are exercised.
     docs = synth_pii(read_table(spark, sf_dir, "documents", widen=True))
+    if PROFILE_KERNEL:
+        # the kernel shares the shingle kernel's one environmental
+        # assumption (str.lower() vs JVM lower() under root/en) and its
+        # runtime guard
+        from .dedup import _kernel_locale_ok
+
+        if _kernel_locale_ok(spark):
+            return _profile_rows_kernel(docs)
+    return _profile_rows_expr(docs)
+
+
+def _profile_rows_expr(docs: DataFrame) -> DataFrame:
+    """The Catalyst expression rendering of the profile (the original
+    text_profile body): one codegen'd scan, zero Python. Kept as the
+    cross-engine reference `_profile_rows_kernel` is differenced
+    against (tests/test_llm_ops.py) and as the automatic fallback on a
+    non-root/en JVM locale; not the default build path (see
+    PROFILE_KERNEL)."""
     t = _toks()
     token_cnt = F.size(t)
     char_cnt = F.length("text")
@@ -188,11 +393,20 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("und")
     )
     wt = F.split(F.expr(r"trim(regexp_replace(lower(text), '\\s+', ' '))"), " ")
+    # IF guards on BOTH n-gram transforms (r12, found by the kernel
+    # differential's short-doc fixtures): sequence(0, n) with n < 0
+    # DESCENDS ([0, -1, ...]), so an unguarded transform indexes wt out
+    # of bounds and ANSI mode crashes the whole scan on any doc with
+    # fewer than 4 (fp) / 2 (g2) normalized tokens -- the outer
+    # when(size(wt) >= k) guards only the CONSUMING fold, not the array
+    # build. Guarded rows produce the same arrays as before, so every
+    # oracle hash is unchanged; short docs now yield empty arrays
+    # (array_min(array()) = NULL) exactly as the when() already stated.
     fp = F.array_min(
         F.expr(
-            "transform(sequence(0, size(wt) - 4),"
+            "IF(size(wt) >= 4, transform(sequence(0, size(wt) - 4),"
             " i -> md5(encode(concat_ws(' ', wt[i], wt[i+1], wt[i+2], wt[i+3]),"
-            " 'UTF-8')))"
+            " 'UTF-8'))), array())"
         )
     )
     # Top-2-gram count via one fold over the SORTED gram array: equal
@@ -210,8 +424,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " acc -> acc.best)"
     )
     g2 = F.expr(
-        "transform(sequence(0, size(wt) - 2),"
-        " i -> concat_ws(' ', wt[i], wt[i+1]))"
+        "IF(size(wt) >= 2, transform(sequence(0, size(wt) - 2),"
+        " i -> concat_ws(' ', wt[i], wt[i+1])), array())"
     )
     return docs.withColumn("wt", wt).withColumn("g2", g2).select(
         "doc_id",

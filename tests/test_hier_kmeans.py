@@ -216,3 +216,42 @@ def test_dag_sem_stage_runs_two_level_when_forced(spark, sf_dir):
         bucket_key=None,
     )
     assert out["sem_deduped"].count() > 0
+
+
+def test_probe_labels_are_cross_boundary_and_deterministic(corpus, model):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.hier_kmeans import (
+        with_probe_label,
+    )
+
+    fid_to_coarse = {
+        f: c for c, fs in model.fine_of_coarse.items() for f in fs
+    }
+    # a huge factor puts EVERY valid vector in the shell: every row
+    # probes, and the probe always lands in a DIFFERENT coarse cell
+    # than the primary (runner-up coarse by construction)
+    full = (
+        assign_clusters_hier(corpus, model)
+        .transform(lambda df: with_probe_label(df, model, factor=1e9))
+        .collect()
+    )
+    assert all(r["probe_label"] is not None for r in full)
+    assert all(
+        fid_to_coarse[r["probe_label"]] != fid_to_coarse[r["cluster"]]
+        for r in full
+    )
+    # the default margin selects a SUBSET (the boundary shell), with
+    # identical labels where both fire, deterministically
+    shell = {
+        r["vec_id"]: r["probe_label"]
+        for r in with_probe_label(corpus, model).collect()
+        if r["probe_label"] is not None
+    }
+    assert 0 < len(shell) < len(full)
+    full_map = {r["vec_id"]: r["probe_label"] for r in full}
+    assert all(full_map[i] == p for i, p in shell.items())
+    shell2 = {
+        r["vec_id"]: r["probe_label"]
+        for r in with_probe_label(corpus.repartition(9), model).collect()
+        if r["probe_label"] is not None
+    }
+    assert shell == shell2

@@ -1489,3 +1489,72 @@ def test_grouped_lm_zero_count_c1_does_not_raise(spark):
     p_uni_bb = (2 + LM_ALPHA) / (3 + LM_ALPHA * 3)
     want = -math.log(LM_LAMBDA * 0.0 + (1 - LM_LAMBDA) * p_uni_bb)
     assert math.isclose(got[2], want, rel_tol=1e-12)
+
+
+def _profile_canon(df):
+    # repr key: rows can carry a NULL doc_id (None < int is a TypeError)
+    return sorted((tuple(r) for r in df.collect()), key=repr)
+
+
+def test_profile_kernel_bit_equals_expression(spark, sf_dir):
+    """r12: text_profile's Arrow kernel must be BIT-EQUAL to the
+    Catalyst expression rendering -- real corpus plus the adversarial
+    classes the mirror depends on (NULL / empty / whitespace-only /
+    single-token docs, non-ASCII + NBSP, Unicode-case text, digits,
+    punctuation-only, PII spans). The short-doc fixtures also pin the
+    expression path's r12 emptiness guards: unguarded
+    sequence(0, n<0) DESCENDS and ANSI-crashed the scan on any doc
+    with <4 (fingerprint) / <2 (2-gram) normalized tokens."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.pii import (
+        synth_pii,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        text as T,
+    )
+
+    docs = synth_pii(read_table(spark, sf_dir, "documents", widen=True))
+    assert _profile_canon(T._profile_rows_kernel(docs)) == _profile_canon(
+        T._profile_rows_expr(docs)
+    )
+    rows = [
+        (1, None, "en"),
+        (2, "", "en"),
+        (3, "   \t\n  ", "en"),
+        (4, "the quick brown fox the quick brown fox", "en"),
+        (5, "café   naïve 中文 test", "zh"),
+        (6, "a", "en"),
+        (7, "x y", "en"),
+        (12, "x y z", "en"),
+        (8, "mail a@b.co or 555-123-4567 ip 10.1.2.3 ssn 123-45-6789", "en"),
+        (9, "İstanbul Iı ßẞ", "tr"),
+        (10, "1 2 3 4 5 6 7 8 9", "en"),
+        (11, "!!! ??? ,,,", "en"),
+        (13, "word joined nbsp here", "en"),
+        (33, "the the the the the of of of", "en"),
+        (None, "null id doc with several tokens here", "en"),
+    ]
+    fix = synth_pii(
+        spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    )
+    assert _profile_canon(T._profile_rows_kernel(fix)) == _profile_canon(
+        T._profile_rows_expr(fix)
+    )
+
+
+def test_profile_kernel_locale_fallback(spark, sf_dir, monkeypatch):
+    """r12: like the shingle kernel, text_profile falls back to the
+    expression rendering when the JVM default locale is not root/en."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        dedup as D,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        text as T,
+    )
+
+    def boom(docs):
+        raise AssertionError("kernel must not engage under this locale")
+
+    monkeypatch.setattr(D, "_kernel_locale_ok", lambda s: False)
+    monkeypatch.setattr(T, "_profile_rows_kernel", boom)
+    assert T.text_profile(spark, sf_dir).count() > 0

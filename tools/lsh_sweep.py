@@ -34,7 +34,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# optional third arg restricts the sweep to one geometry ("16x2") --
+# at 4M the full 3-geometry sweep plus the exact reference is hours
 GEOMETRIES = ((8, 2), (12, 2), (16, 2))
+if len(sys.argv) > 3:
+    p, r = sys.argv[3].split("x")
+    GEOMETRIES = ((int(p), int(r)),)
 
 
 def main() -> None:
