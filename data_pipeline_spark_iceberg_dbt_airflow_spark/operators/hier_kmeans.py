@@ -86,6 +86,11 @@ class HierKMeansModel:
     coarse: dict[int, list[float]]
     fine: dict[int, list[float]]
     fine_of_coarse: dict[int, list[int]]
+    #: Calibrated multi-probe margin (r13, VERDICT r12 #3): the
+    #: d2^2/d1^2 quantile at SHELL_TARGET over the fit sample, capped
+    #: at PROBE_FACTOR -- None on models fitted without calibration
+    #: (with_probe_label then uses the fixed PROBE_FACTOR).
+    probe_factor: float | None = None
 
     @property
     def k(self) -> int:
@@ -95,7 +100,14 @@ class HierKMeansModel:
 def _md5_rank_key(doc_id: int) -> str:
     """The sampling/seeding rank: md5 of the id rendered as Spark
     renders ``cast(id as string)`` -- keeps the pandas-side sort
-    identical to ``kmeans_fit``'s ``orderBy(md5(cast(id as string)))``."""
+    identical to ``kmeans_fit``'s ``orderBy(md5(cast(id as string)))``.
+
+    ``str(int(id))`` matches Spark's rendering ONLY for integral ids
+    (a float 2.5 renders '2' here but '2.5' JVM-side; a string id
+    crashes the ``int()``), so :func:`hier_kmeans_fit` enforces an
+    integral ``id_col`` dtype at entry (ADVICE r12) -- the mismatch
+    fails loudly instead of silently ranking the per-cell fine fit
+    differently from the coarse sample head."""
     return hashlib.md5(str(int(doc_id)).encode()).hexdigest()
 
 
@@ -128,6 +140,26 @@ def _cell_lloyd(x, k_i: int, max_iterations: int):
     return cents
 
 
+#: Target boundary-shell fraction for the fit-time margin calibration
+#: (r13, VERDICT r12 #3). The fixed 1.21 margin means "vectors whose
+#: runner-up coarse cell is within 10% distance" -- a SEMANTIC choice
+#: whose COST is distribution-emergent: on concentrated embeddings
+#: (64-dim hash_embed: d2 ~ d1 for nearly everyone) 98.2% of the 4M
+#: corpus gated in, a ~4x pair constant nobody chose. Calibration
+#: inverts the knob: pick the fraction of the corpus worth a second
+#: probe (the SHELL_TARGET smallest d2^2/d1^2 ratios -- exactly the
+#: vectors closest to a coarse boundary, the ones whose pairs the
+#: probe exists to recover), and derive the factor from the fit
+#: sample's ratio quantile. PROBE_FACTOR stays the UPPER ENVELOPE:
+#: calibration can only narrow the margin (a vector >10% from the
+#: boundary is not ambiguous no matter how thin the shell), so
+#: clustered distributions keep their natural thin shell and
+#: concentrated ones pay a chosen constant instead of an emergent one.
+#: The recall side of the trade is measured, not assumed: SCALING.md
+#: r13 carries the 4M A/B (drops + pair wall, calibrated vs fixed).
+SHELL_TARGET = 0.20
+
+
 def hier_kmeans_fit(
     vectors: DataFrame,
     k: int,
@@ -136,8 +168,15 @@ def hier_kmeans_fit(
     max_iterations: int = MAX_KMEANS_ITERATIONS,
     fit_sample: int | None = None,
     coarse_k: int | None = None,
+    shell_target: float | None = SHELL_TARGET,
 ) -> HierKMeansModel:
     """Fit a two-level quantizer with ~``k`` fine cells total.
+
+    ``shell_target`` calibrates the multi-probe margin from the fit
+    sample's d2^2/d1^2 quantile (see SHELL_TARGET; the model carries
+    the result as ``probe_factor`` and ``with_probe_label`` defaults
+    to it). Pass None to skip calibration -- the probe then uses the
+    fixed PROBE_FACTOR envelope.
 
     The coarse model is the existing exact-decimal ``kmeans_fit`` with
     ``coarse_k`` (default ceil(sqrt(k))) centroids over the md5-ranked
@@ -153,8 +192,25 @@ def hier_kmeans_fit(
     Rows with a NULL id are excluded from the fit (the md5 rank needs a
     renderable id); semdedup's ``dim`` gate already does this upstream.
     Raises ``CorpusTooSmallError`` (from the coarse seeder) when the
-    sample holds fewer than ``coarse_k`` vectors.
+    sample holds fewer than ``coarse_k`` vectors, and ``TypeError`` for
+    a non-integral ``id_col`` (ADVICE r12): the per-cell fine-fit sort
+    renders ids with Python's ``str(int(id))``, which matches Spark's
+    ``cast(id as string)`` only for byte/short/int/long ids -- a float
+    or string id would crash or silently rank the fine fit differently
+    from the coarse sample head, so the mismatch fails loudly here.
     """
+    from pyspark.sql import types as T
+
+    id_type = vectors.schema[id_col].dataType
+    if not isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        raise TypeError(
+            f"hier_kmeans_fit requires an integral id column; {id_col!r} "
+            f"is {id_type.simpleString()} (the md5 rank renders ids as "
+            "str(int(id)), which diverges from Spark's cast-to-string "
+            "for non-integral types -- use kmeans_fit or cast the id)"
+        )
     k_c = coarse_k if coarse_k is not None else max(2, math.isqrt(k - 1) + 1)
     # same clean + md5-ranked-sample shape as kmeans_fit (see its
     # docstring for why the sample is re-spread and checkpointed)
@@ -270,8 +326,18 @@ def hier_kmeans_fit(
     fine_of_coarse = {
         c: list(range(offsets[c], offsets[c] + alloc[c])) for c in order
     }
+    pf = (
+        _calibrated_probe_factor(
+            fit_rows, coarse, vec_col="__v", target=shell_target
+        )
+        if shell_target is not None
+        else None
+    )
     return HierKMeansModel(
-        coarse=coarse, fine=fine, fine_of_coarse=fine_of_coarse
+        coarse=coarse,
+        fine=fine,
+        fine_of_coarse=fine_of_coarse,
+        probe_factor=pf,
     )
 
 
@@ -343,15 +409,78 @@ def assign_clusters_hier(
 #: knob is the recall/pair-cost dial either way.
 PROBE_FACTOR = 1.21
 
+def _calibrated_probe_factor(
+    fit_rows: DataFrame,
+    coarse: dict[int, list[float]],
+    vec_col: str = "__v",
+    target: float = SHELL_TARGET,
+) -> float:
+    """The d2^2/d1^2 ratio quantile at ``target`` over ``fit_rows``,
+    capped into (1.0, PROBE_FACTOR].
+
+    One zero-shuffle Arrow pass over the (bounded) fit sample computes
+    each row's nearest/runner-up coarse distances with the same exact
+    fold ``with_probe_label`` uses, then one exact ``percentile``
+    aggregate takes the quantile -- deterministic for a given input
+    set (the fold is partition-independent, the percentile sorts).
+    Rows with d1 = 0 (the vector IS a centroid) have no meaningful
+    ratio and return NULL (percentile ignores them; such rows are
+    never shell candidates under any finite factor). An empty or
+    all-NULL sample falls back to PROBE_FACTOR unchanged.
+    """
+    import numpy as np
+
+    cmat = np.asarray(
+        [c for _, c in sorted(coarse.items())], dtype=np.float64
+    )
+    dim = cmat.shape[1]
+
+    @F.pandas_udf("double")
+    def d2_over_d1(col: pd.Series) -> pd.Series:
+        out = np.full(len(col), np.nan)
+        rows = {
+            i: np.asarray(v, dtype=np.float64)
+            for i, v in enumerate(col)
+            if v is not None and len(v) == dim
+        }
+        valid = [i for i, r in rows.items() if not np.isnan(r).any()]
+        if valid:
+            x = np.vstack([rows[i] for i in valid])
+            d = _fold_rows(x, cmat)
+            order = np.argsort(d, axis=1, kind="stable")
+            d1 = d[np.arange(len(valid)), order[:, 0]]
+            d2 = d[np.arange(len(valid)), order[:, 1]]
+            r = np.where(d1 > 0, d2 / np.where(d1 > 0, d1, 1.0), np.nan)
+            for j, i in enumerate(valid):
+                out[i] = r[j]
+        s = pd.Series(out, dtype="Float64")
+        return s.mask(~np.isfinite(out))
+
+    row = (
+        fit_rows.select(d2_over_d1(F.col(vec_col)).alias("r"))
+        .where(F.col("r").isNotNull())
+        .agg(F.percentile("r", float(target)).alias("q"))
+        .head()
+    )
+    q = None if row is None else row["q"]
+    if q is None or not math.isfinite(q):
+        return PROBE_FACTOR
+    return max(1.0, min(PROBE_FACTOR, float(q)))
+
 
 def with_probe_label(
     vectors: DataFrame,
     model: HierKMeansModel,
     vec_col: str = "embedding",
     out_col: str = "probe_label",
-    factor: float = PROBE_FACTOR,
+    factor: float | None = None,
 ) -> DataFrame:
     """Secondary pair-search labels for boundary vectors (multi-probe).
+
+    ``factor=None`` (default) resolves to the model's fit-time
+    calibrated ``probe_factor`` when present (see SHELL_TARGET), else
+    the fixed PROBE_FACTOR envelope; pass an explicit value to
+    override either.
 
     Adds ``out_col``: for each valid vector whose 2nd-nearest COARSE
     centroid sits within the ``factor`` margin (squared-L2:
@@ -374,6 +503,12 @@ def with_probe_label(
     """
     import numpy as np
 
+    if factor is None:
+        factor = (
+            model.probe_factor
+            if model.probe_factor is not None
+            else PROBE_FACTOR
+        )
     items = sorted(model.coarse.items())
     cmat = np.asarray([c for _, c in items], dtype=np.float64)
     cids = [cid for cid, _ in items]

@@ -266,7 +266,7 @@ def write_bucketed(
     except Exception:
         # unreadable -> assume persistent and DON'T touch the location
         catalog_impl = "hive"
-    debris = None
+    debris, stale_prefix = None, None
     if (
         mode == "overwrite"
         # The dead-session-debris premise only holds for the IN-MEMORY
@@ -283,14 +283,19 @@ def write_bucketed(
         # let the operator decide.
         and "." not in table
         and spark.catalog.currentDatabase() == "default"
-        and not spark.catalog.tableExists(table)
     ):
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
         if wh.scheme in ("", "file"):
             loc = os.path.join(wh.path, table.lower())
-            if os.path.isdir(loc):
+            # remembered for the post-success sweep below; same safety
+            # envelope as the rename (in-memory catalog, unqualified
+            # name, default db, local warehouse)
+            stale_prefix = f"{loc}.stale-"
+            if not spark.catalog.tableExists(table) and os.path.isdir(
+                loc
+            ):
                 # Rename aside instead of deleting: if the saveAsTable
                 # below crashes mid-write, the prior files are still on
                 # disk under the .stale name (recoverable) instead of
@@ -302,10 +307,19 @@ def write_bucketed(
     if sort:
         w = w.sortBy(key)
     w.saveAsTable(table)
-    if debris is not None:
+    if stale_prefix is not None:
+        import glob
         import shutil
 
-        shutil.rmtree(debris, ignore_errors=True)
+        # A COMPLETED write retires not just this call's rename-aside
+        # copy but every older <loc>.stale-* sibling left by previously
+        # CRASHED writes (ADVICE r12): each was kept only so a crash
+        # mid-write wouldn't lose the prior files; the table now has a
+        # newer committed state, so the recovery copies are
+        # unreferenced debris that would otherwise accumulate
+        # unboundedly in the warehouse.
+        for d in glob.glob(stale_prefix + "*"):
+            shutil.rmtree(d, ignore_errors=True)
 
 
 @contextmanager

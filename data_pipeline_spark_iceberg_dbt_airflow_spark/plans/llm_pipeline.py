@@ -54,6 +54,7 @@ from ..io import read_table, table_row_count
 from ..queries.dedup import (
     contaminated_docs,
     lexical_components,
+    materialize_shingle_index,
     shingled_docs,
 )
 from ..queries.text import (
@@ -584,6 +585,27 @@ def run_llm_curation(
         tag = hashlib.md5(
             os.path.abspath(sf_dir).encode("utf-8")
         ).hexdigest()[:8]
+        # The shingle index crosses two stages (doc_clusters,
+        # contaminated) but is not itself a model boundary; above the
+        # bucketed bound it gets the same bucketed-table treatment as
+        # every model boundary so the SECOND consumer reads a columnar
+        # scan instead of a cache tier that 4M-scale execution memory
+        # evicts (contaminated 66.1s -> pinned-index 14.5s, SCALING.md
+        # r12; see materialize_shingle_index's doc). Only when the run
+        # actually reaches an index consumer: a target-limited run
+        # (e.g. doc_quality alone) must not pay the shingle build.
+        needed = set(targets) if targets is not None else set(runner._models)
+        frontier = list(needed)
+        while frontier:
+            m = runner._models.get(frontier.pop())
+            for r in m.refs if m else ():
+                if r not in needed:
+                    needed.add(r)
+                    frontier.append(r)
+        if needed & {"doc_clusters", "contaminated"}:
+            materialize_shingle_index(
+                spark, sf_dir, f"dag_{tag}_shingle_index", bucket_count
+            )
         return runner.run(
             targets,
             bucket_key=bucket_key,

@@ -604,8 +604,11 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # arithmetic, so the value hash pins encode + scoring end to end.
     # The scored pairs ride the SHARED family window (method='pq'
     # partition), saving the branch its own ranking shuffle; NULL
-    # cosines (zero-norm query/reconstruction) are excluded pre-union,
-    # matching pq_topk. The Lloyd-trained codebook path (the
+    # cosines (zero-norm query/reconstruction) are excluded AFTER the
+    # shared window (see the re-inline rationale at the topk filter
+    # below -- a pre-union filter on the derived cosine re-inlined the
+    # ADC producer into the join condition), with ranks unchanged
+    # because DESC puts NULLS LAST. The Lloyd-trained codebook path (the
     # production fit) is exercised by tests/test_pq.py and
     # recall_report(method='pq').
     valid = emb_n.where(

@@ -255,3 +255,108 @@ def test_probe_labels_are_cross_boundary_and_deterministic(corpus, model):
         if r["probe_label"] is not None
     }
     assert shell == shell2
+
+
+def test_non_integral_id_fails_loudly(spark):
+    """r13 (ADVICE r12): the per-cell fine-fit sort renders ids with
+    str(int(id)) -- bit-identical to Spark's cast(id as string) ONLY
+    for integral ids. A string or float id must be rejected at entry
+    (TypeError naming the column), not crash mid-fit or silently rank
+    the fine fit differently from the coarse sample head."""
+    sdf = spark.createDataFrame(
+        [(str(i), [float(i), 1.0]) for i in range(64)],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        hier_kmeans_fit(sdf, 8)
+    fdf = spark.createDataFrame(
+        [(float(i) + 0.5, [float(i), 1.0]) for i in range(64)],
+        "vec_id double, embedding array<double>",
+    )
+    with pytest.raises(TypeError, match="integral id"):
+        hier_kmeans_fit(fdf, 8)
+    # integral ids of any width stay accepted
+    idf = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, float(i % 3)]) for i in range(300)],
+        "vec_id int, embedding array<double>",
+    )
+    m = hier_kmeans_fit(idf, 9, max_iterations=2)
+    assert len(m.fine) >= 9
+
+
+def test_probe_factor_calibration(spark, corpus):
+    """r13 (VERDICT r12 #3): the multi-probe margin is calibrated at
+    fit time from the fit sample's d2^2/d1^2 quantile to target a
+    chosen shell fraction, with the geometric 1.21 margin as the
+    UPPER envelope (calibration can only narrow it). Pins:
+    determinism, the envelope, the opt-out, the probe default, and
+    that on a concentrated distribution the calibrated shell lands
+    near the target instead of 'almost everyone'."""
+    import math
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators import (
+        hier_kmeans as H,
+    )
+
+    m1 = hier_kmeans_fit(corpus, 64, max_iterations=3, fit_sample=1500)
+    m2 = hier_kmeans_fit(
+        corpus.repartition(13), 64, max_iterations=3, fit_sample=1500
+    )
+    # deterministic under repartition, inside the envelope
+    assert m1.probe_factor == m2.probe_factor
+    assert m1.probe_factor is not None
+    assert 1.0 <= m1.probe_factor <= H.PROBE_FACTOR
+    # opt-out keeps the fixed envelope (and the r12 behavior)
+    m0 = hier_kmeans_fit(
+        corpus, 64, max_iterations=3, fit_sample=1500, shell_target=None
+    )
+    assert m0.probe_factor is None
+    assert m0.coarse == m1.coarse and m0.fine == m1.fine
+    # with_probe_label defaults to the calibrated factor: explicitly
+    # passing it must give the identical shell
+    cal = {
+        r["vec_id"]: r["probe_label"]
+        for r in H.with_probe_label(corpus, m1).collect()
+        if r["probe_label"] is not None
+    }
+    exp = {
+        r["vec_id"]: r["probe_label"]
+        for r in H.with_probe_label(
+            corpus, m1, factor=m1.probe_factor
+        ).collect()
+        if r["probe_label"] is not None
+    }
+    assert cal == exp
+    # a CONCENTRATED distribution (every ratio ~1): the fixed margin
+    # gates nearly everyone in; the calibrated factor caps the shell
+    # near the target fraction -- the knob the r12 verdict asked for
+    import random
+
+    rng = random.Random(3)
+    # 64-dim isotropic gaussian: the same distance-concentration
+    # signature as the 4M hash_embed corpus (measured here: 98% of
+    # vectors inside the fixed 1.21 margin)
+    conc = spark.createDataFrame(
+        [
+            (i, [rng.gauss(0, 1.0) for _ in range(64)])
+            for i in range(1200)
+        ],
+        "vec_id long, embedding array<double>",
+    ).localCheckpoint(eager=True)
+    mc = hier_kmeans_fit(conc, 36, max_iterations=2, fit_sample=1000)
+    n = conc.count()
+    fixed_shell = (
+        H.with_probe_label(conc, mc, factor=H.PROBE_FACTOR)
+        .where(F.col("probe_label").isNotNull())
+        .count()
+    )
+    cal_shell = (
+        H.with_probe_label(conc, mc)
+        .where(F.col("probe_label").isNotNull())
+        .count()
+    )
+    assert fixed_shell / n > 0.7  # the emergent 'almost everyone'
+    assert cal_shell / n <= H.SHELL_TARGET + 0.15  # the chosen constant
+    assert cal_shell < fixed_shell
+    assert mc.probe_factor < H.PROBE_FACTOR
+    assert math.isfinite(mc.probe_factor)

@@ -376,9 +376,21 @@ def test_stale_location_guard_inmemory_only_and_crash_recoverable(
         assert stale and os.path.exists(
             os.path.join(stale[0], "part-junk.parquet")
         )
-        # and a clean retry works, then removes its own debris
+        # plant an OLDER stale sibling from a hypothetical earlier
+        # crash: the r12 ADVICE accumulation case -- each call used to
+        # remove only its OWN debris
+        os.makedirs(loc + ".stale-deadbeef", exist_ok=True)
+        # a clean retry works, then removes its own debris AND every
+        # older stale sibling (r13)
         write_bucketed(df, tbl, "doc_id", 4, sort=True)
         assert spark.table(tbl).count() == 10
+        assert glob.glob(loc + ".stale-*") == []
+        # a normal overwrite of the LIVE table (no rename this time)
+        # also sweeps any siblings a crash left behind
+        os.makedirs(loc + ".stale-cafef00d", exist_ok=True)
+        write_bucketed(df.limit(3), tbl, "doc_id", 4, sort=True)
+        assert spark.table(tbl).count() == 3
+        assert glob.glob(loc + ".stale-*") == []
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(loc, ignore_errors=True)

@@ -457,3 +457,124 @@ def test_shingle_kernel_locale_guard(spark, tmp_path_factory, monkeypatch):
         assert shingled_docs(spark, str(sf)).count() > 0
     finally:
         release_shingle_index(spark)
+
+
+def test_locale_probe_is_behavioral(spark, monkeypatch):
+    """r13 (ADVICE r12): the guard now evaluates Catalyst's lower() on
+    an executor and compares it against Python's str.lower(), instead
+    of reading the DRIVER JVM's locale name. Pins: (a) the verdict is
+    cached per session token, (b) a lowercase divergence on the probe
+    string is detected, (c) an unprobeable session falls back to
+    False (expression path)."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import (
+        session_token,
+    )
+
+    tok = session_token(spark)
+    # (a) probe once, verdict lands in the cache; a poisoned cache
+    # entry is believed (proving the tiny job runs once per session)
+    dedup._LOCALE_PROBE_CACHE.pop(tok, None)
+    assert dedup._kernel_locale_ok(spark) is True
+    assert dedup._LOCALE_PROBE_CACHE[tok] is True
+    dedup._LOCALE_PROBE_CACHE[tok] = False
+    assert dedup._kernel_locale_ok(spark) is False
+    dedup._LOCALE_PROBE_CACHE.pop(tok, None)
+
+    # (b) a probe string whose Python lower() disagrees with what the
+    # executor JVM computes must fail the guard -- this exercises the
+    # real comparison branch (Catalyst genuinely lowercases the probe;
+    # the str subclass stands in for a divergent-locale executor)
+    class _DivergentLower(str):
+        def lower(self):
+            return "￿-not-what-the-jvm-says"
+
+    monkeypatch.setattr(
+        dedup, "_LOCALE_PROBE", _DivergentLower(dedup._LOCALE_PROBE)
+    )
+    assert dedup._kernel_locale_ok(spark) is False
+    monkeypatch.undo()
+    dedup._LOCALE_PROBE_CACHE.pop(tok, None)
+
+    # (c) unprobeable session (job submission raises) -> False
+    monkeypatch.setattr(
+        spark,
+        "range",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("no jvm")),
+        raising=False,
+    )
+    assert dedup._kernel_locale_ok(spark) is False
+    monkeypatch.undo()
+    dedup._LOCALE_PROBE_CACHE.pop(tok, None)
+    assert dedup._kernel_locale_ok(spark) is True
+
+
+def test_materialize_shingle_index_table_backed(spark, sf_dir):
+    """r13 (VERDICT r12 #1): the cross-stage shingle index can be
+    swapped for a bucketed-table scan -- identical rows, cache entry
+    re-pointed (so BOTH consumers read the table), idempotent, and the
+    minhash-shaped groupBy(doc_id) over it is exchange-free under the
+    bucketed reader (the layout property the in-memory window gave)."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucketed_sorted_reader,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        contaminated_docs,
+        materialize_shingle_index,
+        shingled_docs,
+    )
+
+    tbl = "t_shidx_mat"
+    release_shingle_index(spark)
+    try:
+        mem_rows = sorted(
+            (r["doc_id"], r["sid"], r["n_sh"])
+            for r in shingled_docs(spark, sf_dir).collect()
+        )
+        mem_contam = sorted(
+            tuple(r)
+            for r in contaminated_docs(
+                shingled_docs(spark, sf_dir)
+            ).collect()
+        )
+        out = materialize_shingle_index(spark, sf_dir, tbl, 4)
+        # cache re-pointed: the plain accessor now reads the table
+        again = shingled_docs(spark, sf_dir)
+        plan = again._jdf.queryExecution().optimizedPlan().toString()
+        assert "InMemoryRelation" not in plan, plan
+        assert tbl in plan.lower(), plan
+        assert (
+            sorted(
+                (r["doc_id"], r["sid"], r["n_sh"]) for r in out.collect()
+            )
+            == mem_rows
+        )
+        # downstream consumer unchanged through the swap
+        assert (
+            sorted(
+                tuple(r)
+                for r in contaminated_docs(
+                    shingled_docs(spark, sf_dir)
+                ).collect()
+            )
+            == mem_contam
+        )
+        # idempotent: a second call returns the table scan, no rebuild
+        assert (
+            materialize_shingle_index(spark, sf_dir, tbl, 4)
+            is shingled_docs(spark, sf_dir)
+        )
+        # bucketed layout serves the doc_id aggregation with no
+        # exchange (what the persisted window's partitioning provided)
+        with bucketed_sorted_reader(spark):
+            agg = (
+                spark.table(tbl)
+                .groupBy("doc_id")
+                .agg(F.min("sid").alias("m"))
+            )
+            pl = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in pl, pl
+    finally:
+        release_shingle_index(spark)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
