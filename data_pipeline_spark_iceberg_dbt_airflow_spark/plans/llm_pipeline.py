@@ -277,7 +277,16 @@ def build_llm_curation_pipeline(
             "doc_id", "lang", "text"
         )
         uni, bi, totals = train_bigram_lm_grouped(docs)
-        return lm_score_docs_grouped(docs, uni, bi, totals)
+        # footer row count (no Spark job) gates the scoring kernel's
+        # fixed broadcast cost to corpora big enough to amortize it
+        # (text.LM_KERNEL_MIN_DOCS)
+        return lm_score_docs_grouped(
+            docs,
+            uni,
+            bi,
+            totals,
+            corpus_rows=table_row_count(sf_dir, "documents"),
+        )
 
     runner.add(Model("doc_lm", doc_lm))
     runner.add(

@@ -774,8 +774,27 @@ def _verify_candidates(sh: DataFrame, cand: DataFrame) -> DataFrame:
     genuinely-similar candidates, so verify-what-LSH-found is the
     bounded plan. The size-compatibility prefilter is the same
     provably-lossless gate _pair_jaccard applies.
+
+    r13: both posting sides are first SEMI-JOIN-REDUCED to the
+    candidate-touched id set -- only docs appearing in some candidate
+    pair can contribute an intersection row (lossless by definition of
+    the two equi-joins; n_sh sizes ride the index columns, so nothing
+    else is read from dropped docs). The payoff is the verify stage's
+    dominant exchange: the (doc_b, sid) join re-shuffles the posting
+    side, which was the FULL corpus x ~55-shingle index; reduced, it is
+    bounded by the candidate docs' lists (|ids| <= 2|cand|). The id set
+    stays un-hinted: it is doc_id-keyed like the index's cached
+    partitioning, so the semi join reuses the index layout and AQE
+    broadcasts the id side when it is small -- no driver-size
+    assumption at 100 TB.
     """
-    a, b = _posting_sides(sh)
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = sh.join(ids, "doc_id", "left_semi")
+    a, b = _posting_sides(touched)
     return _jaccard_tail(cand.join(a, "doc_a").join(b, ["doc_b", "sid"]))
 
 

@@ -842,6 +842,110 @@ def train_bigram_lm_grouped(
     return uni, bi, totals
 
 
+def _lm_stream_kernel(
+    docs: DataFrame, pair_d: dict, w2_d: dict, oov_d: dict
+) -> DataFrame:
+    """(doc_id, lp) bigram log-prob rows via one ``mapInArrow`` pass.
+
+    Input: (doc_id long, g string, text string) with g non-null.
+    Tokenization is the profile kernel's Java-semantics ``\\S+`` class
+    (``[^ \\t\\n\\x0b\\f\\r]+`` -- Java's \\s is ASCII-only, unlike
+    Python's, so NBSP stays INSIDE tokens exactly as Catalyst's
+    regexp_extract_all keeps it; no lower(), so no locale dependence).
+    Each adjacent token pair looks up its tier log-prob in the
+    per-group dicts -- the VALUES are the JVM-computed doubles from the
+    model-side precompute, so the emitted stream is bit-identical to
+    the expression rendering's coalesce(lp_pair, lp_w2, lp_oov); a key
+    absent from every tier emits a NULL lp (the aggregate counts the
+    bigram, sums nothing -- same as the expression path). Docs with
+    NULL text or fewer than two tokens emit no rows, matching the
+    guarded _BIGRAMS explode.
+
+    Scale: zero-shuffle map pass; the dicts ship once per worker via a
+    spark broadcast (model-sized -- gated by LM_KERNEL_MODEL_BOUND at
+    the call site).
+    """
+    import pyarrow as pa
+
+    bc = docs.sparkSession.sparkContext.broadcast((pair_d, w2_d, oov_d))
+
+    def gen(batches):
+        import re
+
+        tok_re = re.compile(r"[^ \t\n\x0b\f\r]+")
+        pair_b, w2_b, oov_b = bc.value
+        for batch in batches:
+            ids = batch.column("doc_id").to_pylist()
+            gs = batch.column("g").to_pylist()
+            txts = batch.column("text").to_pylist()
+            out_ids: list = []
+            out_lps: list = []
+            for i, txt in enumerate(txts):
+                if txt is None:
+                    continue
+                toks = tok_re.findall(txt)
+                n = len(toks)
+                if n < 2:
+                    continue
+                grp = gs[i]
+                pg = pair_b.get(grp)
+                wg = w2_b.get(grp)
+                og = oov_b.get(grp)
+                did = ids[i]
+                for j in range(n - 1):
+                    w2 = toks[j + 1]
+                    lp = pg.get((toks[j], w2)) if pg else None
+                    if lp is None:
+                        lp = wg.get(w2) if wg else None
+                        if lp is None:
+                            lp = og
+                    out_ids.append(did)
+                    out_lps.append(lp)
+            if out_ids:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_ids, pa.int64()),
+                        pa.array(out_lps, pa.float64()),
+                    ],
+                    ["doc_id", "lp"],
+                )
+
+    return docs.mapInArrow(gen, "doc_id long, lp double")
+
+
+#: Engage the Arrow scoring kernel in lm_score_docs_grouped (r13,
+#: VERDICT r12 task 4). Attribution at 1M (tools/lm_attrib.py): the
+#: scoring half's dominant term is the THREE broadcast probes over the
+#: ~59M-row bigram stream (stream 3.4s -> +joins 12.6s -> +decimal agg
+#: 13.5s), and the composed stage pays ~3 redundant corpus passes
+#: because each model-table broadcast re-runs the unigram lineage. The
+#: kernel replaces stream-explode + probes with one mapInArrow pass:
+#: Java-semantics \S+ tokenize (the profile kernel's proven regex), a
+#: per-group dict lookup of the SAME JVM-computed tier log-probs
+#: (collected once, model-sized), emitting (doc_id, lp) rows; the
+#: exact-decimal per-doc aggregation STAYS in Spark, so scores are
+#: bit-equal by construction (the differential test pins it). Flip to
+#: False to fall back to the pure-expression rendering.
+LM_SCORE_KERNEL = True
+
+#: Kernel engagement bound on collected model rows (pair tier): above
+#: this the per-worker dict copies outgrow the Python workers' memory
+#: budget and the JVM-broadcast expression path is the right tool.
+#: Corpus-sublinear models (Zipf vocabularies) sit far below it.
+LM_KERNEL_MODEL_BOUND = 2_000_000
+
+#: Kernel engagement floor on corpus size (when the caller knows it):
+#: the kernel pays a model-sized FIXED cost per call (pair-tier
+#: collect + dict pickle + broadcast ship + Python worker spin-up,
+#: ~5-15s measured) that the per-bigram savings must amortize -- at
+#: 50k docs the stage got SLOWER (4 -> 12s, tools/curation_stress.py),
+#: at 1M it is 2.7x faster. 250k is the estimated break-even band
+#: (same size class as the repo's other scale gates); callers that
+#: cannot know the size (corpus_rows=None) default to the kernel, the
+#: 100 TB-first choice.
+LM_KERNEL_MIN_DOCS = 250_000
+
+
 def lm_score_docs_grouped(
     docs: DataFrame,
     uni: DataFrame,
@@ -851,6 +955,8 @@ def lm_score_docs_grouped(
     lam: float = LM_LAMBDA,
     alpha: float = LM_ALPHA,
     broadcast_model: bool = True,
+    kernel: bool | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Per-document cross-entropy under the document's OWN group's LM.
 
@@ -872,14 +978,28 @@ def lm_score_docs_grouped(
     that tier's case (seen pair / unseen pair with seen w2 / unseen
     w2), over the same doubles -- pinned by the grouped-vs-ungrouped
     differential test, since ``lm_score_docs`` keeps the per-row form.
+
+    r13: with the kernel engaged (default via LM_SCORE_KERNEL; long
+    doc_id, model under LM_KERNEL_MODEL_BOUND rows, broadcast_model),
+    the stream explode + three probes are replaced by
+    :func:`_lm_stream_kernel` -- one mapInArrow pass doing dict lookups
+    of the SAME JVM-computed tier values; the exact-decimal per-doc
+    aggregate stays in Spark either way, so scores are bit-equal across
+    paths (differential-tested). Both paths also pin the uni/totals
+    frames once (the r13 checkpoint below) -- without it every
+    broadcast tier re-ran their corpus-scan lineage (~3 redundant
+    passes at 1M, tools/lm_attrib.py). Measured composed at 1M:
+    35.8s -> 13.3s.
     """
     g = F.col(group_col).alias("g")
-    stream = (
-        docs.where(F.col(group_col).isNotNull())
-        .select(F.col("doc_id"), g, _toks().alias("t"))
-        .select("doc_id", "g", F.explode(F.expr(_BIGRAMS)).alias("b"))
-        .select("doc_id", "g", "b.w1", "b.w2")
-    )
+    # r13 (tools/lm_attrib.py): pin the two model frames every tier
+    # derives from -- without this each broadcast exchange re-runs the
+    # unigram/totals corpus-scan lineage independently (~3 redundant
+    # corpus passes measured inside the composed stage at 1M). Both are
+    # corpus-SUBLINEAR (distinct tokens / one row per group), so the
+    # pin is model-sized; eager so the cost lands in this stage's wall.
+    uni = uni.localCheckpoint(eager=True)
+    totals = totals.localCheckpoint(eager=True)
     hint = F.broadcast if broadcast_model else (lambda df: df)
     lam_l = F.lit(float(lam))
     om_l = F.lit(1.0 - float(lam))
@@ -935,16 +1055,77 @@ def lm_score_docs_grouped(
             )
         ).alias("lp_oov"),
     )
-    joined = (
-        stream.join(hint(pair_lp), ["g", "w1", "w2"], "left")
-        .join(hint(w2_lp), ["g", "w2"], "left")
-        .join(hint(oov_lp), "g", "left")
+    use_kernel = (
+        (
+            LM_SCORE_KERNEL
+            and (corpus_rows is None or corpus_rows >= LM_KERNEL_MIN_DOCS)
+        )
+        if kernel is None
+        else kernel
     )
-    logp = F.coalesce("lp_pair", "lp_w2", "lp_oov")
+    joined = None
+    if use_kernel and broadcast_model:
+        from pyspark.sql import types as T
+
+        id_field = docs.schema["doc_id"].dataType
+        pair_rows = (
+            pair_lp.limit(LM_KERNEL_MODEL_BOUND + 1).collect()
+            if isinstance(id_field, T.LongType)
+            else []
+        )
+        if (
+            isinstance(id_field, T.LongType)
+            and len(pair_rows) <= LM_KERNEL_MODEL_BOUND
+        ):
+            # per-group nested dicts of the SAME JVM-computed tier
+            # log-probs (bit-equal by construction); None-valued tiers
+            # stay absent so the lookup falls through exactly like the
+            # three-way coalesce
+            pair_d: dict = {}
+            for r in pair_rows:
+                if r["lp_pair"] is not None:
+                    pair_d.setdefault(r["g"], {})[(r["w1"], r["w2"])] = r[
+                        "lp_pair"
+                    ]
+            w2_d: dict = {}
+            for r in w2_lp.collect():
+                if r["lp_w2"] is not None:
+                    w2_d.setdefault(r["g"], {})[r["w2"]] = r["lp_w2"]
+            oov_d = {
+                r["g"]: r["lp_oov"]
+                for r in oov_lp.collect()
+                if r["lp_oov"] is not None
+            }
+            joined = _lm_stream_kernel(
+                docs.where(F.col(group_col).isNotNull()).select(
+                    "doc_id", g, "text"
+                ),
+                pair_d,
+                w2_d,
+                oov_d,
+            )
+    if joined is None:
+        stream = (
+            docs.where(F.col(group_col).isNotNull())
+            .select(F.col("doc_id"), g, _toks().alias("t"))
+            .select(
+                "doc_id", "g", F.explode(F.expr(_BIGRAMS)).alias("b")
+            )
+            .select("doc_id", "g", "b.w1", "b.w2")
+        )
+        joined = (
+            stream.join(hint(pair_lp), ["g", "w1", "w2"], "left")
+            .join(hint(w2_lp), ["g", "w2"], "left")
+            .join(hint(oov_lp), "g", "left")
+            .select(
+                "doc_id",
+                F.coalesce("lp_pair", "lp_w2", "lp_oov").alias("lp"),
+            )
+        )
     scored = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (
-            -(F.sum(logp.cast("decimal(38,15)")).cast("double"))
+            -(F.sum(F.col("lp").cast("decimal(38,15)")).cast("double"))
             / F.count(F.lit(1))
         ).alias("cross_entropy"),
     )

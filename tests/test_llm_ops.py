@@ -1558,3 +1558,145 @@ def test_profile_kernel_locale_fallback(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(D, "_kernel_locale_ok", lambda s: False)
     monkeypatch.setattr(T, "_profile_rows_kernel", boom)
     assert T.text_profile(spark, sf_dir).count() > 0
+
+
+def test_lm_scoring_kernel_bit_equals_expression(spark, sf_dir):
+    """r13 (VERDICT r12 task 4): lm_score_docs_grouped's Arrow scoring
+    kernel (dict lookups of the JVM-computed tier log-probs) must be
+    BIT-EQUAL to the pure-expression rendering -- over the real corpus
+    AND an adversarial fixture covering every divergence channel:
+    NULL text, NULL lang, empty/1-token docs, NBSP inside tokens
+    (Java \\s is ASCII -- a Python \\s tokenizer would split there),
+    unseen pairs, unseen w2, a group with its own distribution, and
+    repeated bigrams within one doc."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.text import (
+        lm_score_docs_grouped,
+        train_bigram_lm_grouped,
+    )
+
+    fixtures = spark.createDataFrame(
+        [
+            (1, "en", "aa bb aa bb cc"),
+            (2, "en", "aa\u00a0bb aa\u00a0bb zz"),  # NBSP inside tokens
+            (3, "en", None),
+            (4, None, "aa bb cc"),
+            (5, "en", ""),
+            (6, "en", "solo"),
+            (7, "fr", "xx yy xx yy"),
+            (8, "en", "never seen tokens here"),
+            (9, "fr", "xx zz-unseen"),
+            (10, "en", "aa aa aa aa"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    corpus = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "text")
+        .limit(2000)
+        .localCheckpoint(eager=True)
+    )
+    for docs in (fixtures, corpus):
+        uni, bi, tot = train_bigram_lm_grouped(docs)
+        ker = {
+            r["doc_id"]: tuple(r)
+            for r in lm_score_docs_grouped(
+                docs, uni, bi, tot, kernel=True
+            ).collect()
+        }
+        exp = {
+            r["doc_id"]: tuple(r)
+            for r in lm_score_docs_grouped(
+                docs, uni, bi, tot, kernel=False
+            ).collect()
+        }
+        assert ker == exp
+        assert len(ker) == docs.count()
+
+
+def test_lm_kernel_falls_back_on_oversized_model_and_nonlong_ids(
+    spark, monkeypatch
+):
+    """The kernel collects the pair tier to per-worker dicts; above
+    LM_KERNEL_MODEL_BOUND rows (or for a non-long doc_id, whose Arrow
+    schema the kernel pins) it must fall back to the JVM-broadcast
+    expression path with identical results."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        text as T,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb cc"), (2, "en", "bb cc dd")],
+        "doc_id long, lang string, text string",
+    )
+    uni, bi, tot = T.train_bigram_lm_grouped(docs)
+    want = sorted(
+        tuple(r)
+        for r in T.lm_score_docs_grouped(
+            docs, uni, bi, tot, kernel=False
+        ).collect()
+    )
+    monkeypatch.setattr(T, "LM_KERNEL_MODEL_BOUND", 1)
+
+    def boom(*a, **k):
+        raise AssertionError("kernel engaged above the model bound")
+
+    monkeypatch.setattr(T, "_lm_stream_kernel", boom)
+    got = sorted(
+        tuple(r)
+        for r in T.lm_score_docs_grouped(docs, uni, bi, tot).collect()
+    )
+    assert got == want
+    monkeypatch.undo()
+    # non-long ids: expression path, same rows
+    idocs = spark.createDataFrame(
+        [(1, "en", "aa bb cc"), (2, "en", "bb cc dd")],
+        "doc_id int, lang string, text string",
+    )
+    iu, ib, it = T.train_bigram_lm_grouped(idocs)
+    monkeypatch.setattr(T, "_lm_stream_kernel", boom)
+    rows = sorted(
+        tuple(r)
+        for r in T.lm_score_docs_grouped(idocs, iu, ib, it).collect()
+    )
+    assert [r[0] for r in rows] == [1, 2]
+
+
+def test_lm_kernel_corpus_floor_gate(spark, monkeypatch):
+    """The kernel's fixed broadcast cost must not engage below
+    LM_KERNEL_MIN_DOCS when the caller supplies corpus_rows; an
+    unknown size (None) defaults to the kernel (the 100 TB-first
+    choice); an explicit kernel= overrides the gate either way."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        text as T,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb cc"), (2, "en", "bb cc dd")],
+        "doc_id long, lang string, text string",
+    )
+    uni, bi, tot = T.train_bigram_lm_grouped(docs)
+
+    calls = {"n": 0}
+    real = T._lm_stream_kernel
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(T, "_lm_stream_kernel", counting)
+    # below the floor: expression path
+    T.lm_score_docs_grouped(docs, uni, bi, tot, corpus_rows=10).collect()
+    assert calls["n"] == 0
+    # at/above the floor and unknown size: kernel
+    T.lm_score_docs_grouped(
+        docs, uni, bi, tot, corpus_rows=T.LM_KERNEL_MIN_DOCS
+    ).collect()
+    assert calls["n"] == 1
+    T.lm_score_docs_grouped(docs, uni, bi, tot).collect()
+    assert calls["n"] == 2
+    # explicit override wins over the gate
+    T.lm_score_docs_grouped(
+        docs, uni, bi, tot, corpus_rows=10, kernel=True
+    ).collect()
+    assert calls["n"] == 3

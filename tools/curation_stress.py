@@ -69,16 +69,22 @@ SEM_K = default_sem_k(N_DOCS)
 STOPS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
 
-def make_corpus(n: int, with_junk: bool = False):
-    # Text must CLEAR the curation quality gate (llm_pipeline.MIN_QUALITY
-    # = 0.35 over stop_ratio*0.3 + alpha_ratio*0.4 + length_credit*0.3),
-    # or the dedup rungs under stress would only ever see the survivors:
-    # all-alpha pseudo-words with every 4th token a stopword scores
-    # ~0.55 at 60 tokens. Digit-bearing vocab (w001...) scores ~0.30
-    # and gated 90% of the corpus out in the first dry run.
+def iter_corpus(n: int, with_junk: bool = False):
+    """Row generator behind :func:`make_corpus` -- yields
+    (doc_id, text, lang, source, n_chars) in the IDENTICAL sequence
+    (same RNG draws, same dup plants). Exists so 16M+ corpora can
+    stream to parquet in chunks instead of holding ~8 GB of Python
+    tuples (r13: the 16M scale point); the bounded history deque
+    replays make_corpus's rows[-1]/rows[-5] references exactly (one
+    append per i, so len(rows) == i)."""
+    from collections import deque
+
     rng = random.Random(20260814)
     vocab = [
-        "".join(rng.choice("bcdfghjklmnpqrstvwz") + rng.choice("aeiou") for _ in range(3))
+        "".join(
+            rng.choice("bcdfghjklmnpqrstvwz") + rng.choice("aeiou")
+            for _ in range(3)
+        )
         for _ in range(300)
     ]
 
@@ -88,66 +94,63 @@ def make_corpus(n: int, with_junk: bool = False):
             for j in range(k)
         ]
 
-    # vowel-free pseudo-words: same all-alpha shape, same stopword
-    # cadence, same length as good docs, so the HEURISTIC quality
-    # score is indistinguishable -- only vocabulary separates the
-    # classes, which is exactly what the learned gate keys on. The
-    # CVCVCV good vocab can never be vowel-free, so junk survivors
-    # are countable post-hoc by a no-vowel-token probe.
     junk_vocab = [
         "".join(rng.choice("qxzwvkjhmn") for _ in range(6))
         for _ in range(300)
     ]
 
     hot = " ".join(words(30))
-    rows = []
-    junk_ids = []
+    hist: deque = deque(maxlen=5)  # last 5 texts
     last_plain: list | None = None
     for i in range(n):
         if with_junk and i % 10 == 9:
-            # 10% junk: above the 5% per-language LM tail, so the LM
-            # gate alone cannot absorb the class (ids never collide
-            # with the dup branches: 9 mod 10 is none of 1, 3, 5, 7)
-            junk_ids.append(i)
             text = " ".join(
                 STOPS[j % len(STOPS)] if j % 4 == 3
                 else rng.choice(junk_vocab)
                 for j in range(60)
             )
-        elif i % 10 == 1 and rows:
-            # near-copy of the previous doc with one token changed:
-            # shingle near-dup + semantic dup
-            toks = rows[-1][1].split()
-            toks[len(toks) // 2] = rng.choice(vocab)
-            text = " ".join(toks)
-        elif i % 50 == 7 and len(rows) > 5:
-            text = rows[-5][1]  # exact duplicate
-        elif i % 20 == 5 and last_plain:
-            # SEMANTIC-ONLY dup: bag-equal chunk permutation of the last
-            # plain body. Permuting 4-token chunks (aligned to the
-            # stopword period, so the [v v v stop] cadence -- and the
-            # bigram-LM score -- survives) kills ~half the ordered
-            # 3-gram shingles: Jaccard vs the base ~0.35 < 0.5, so the
-            # lexical near-dup rung CANNOT see the pair, while the
-            # order-insensitive hash_embed vector is IDENTICAL (cosine
-            # 1.0 > 1 - eps) -- only sem_deduped can drop it. This is
-            # the rung's earn-its-cost plant (VERDICT r7 task 6: the
-            # old generator's dups were all lexically visible upstream,
-            # so the semantic stage measurably dropped zero rows).
-            chunks = [
-                last_plain[j : j + 4] for j in range(0, len(last_plain), 4)
-            ]
-            rng.shuffle(chunks)
-            text = " ".join(t for c in chunks for t in c)
+            is_junk = True
         else:
-            body = words(60)
-            if i % 10 == 3:
-                body[20:20] = hot.split()  # the corpus-hot passage
+            is_junk = False
+            if i % 10 == 1 and i > 0:
+                toks = hist[-1].split()
+                toks[len(toks) // 2] = rng.choice(vocab)
+                text = " ".join(toks)
+            elif i % 50 == 7 and i > 5:
+                text = hist[-5]
+            elif i % 20 == 5 and last_plain:
+                chunks = [
+                    last_plain[j : j + 4]
+                    for j in range(0, len(last_plain), 4)
+                ]
+                rng.shuffle(chunks)
+                text = " ".join(t for c in chunks for t in c)
             else:
-                last_plain = body
-            text = " ".join(body)
+                body = words(60)
+                if i % 10 == 3:
+                    body[20:20] = hot.split()
+                else:
+                    last_plain = body
+                text = " ".join(body)
+        hist.append(text)
         lang = "en" if i % 5 else "de"
-        rows.append((i, text, lang, "synth", len(text)))
+        yield (i, text, lang, "synth", len(text)), is_junk
+
+
+def make_corpus(n: int, with_junk: bool = False):
+    # Text must CLEAR the curation quality gate (llm_pipeline.MIN_QUALITY
+    # = 0.35 over stop_ratio*0.3 + alpha_ratio*0.4 + length_credit*0.3),
+    # or the dedup rungs under stress would only ever see the survivors:
+    # all-alpha pseudo-words with every 4th token a stopword scores
+    # ~0.55 at 60 tokens. Digit-bearing vocab (w001...) scores ~0.30
+    # and gated 90% of the corpus out in the first dry run.
+    # (r13: the row sequence lives in iter_corpus so huge corpora can
+    # stream to parquet; this wrapper materializes the same rows.)
+    rows, junk_ids = [], []
+    for row, is_junk in iter_corpus(n, with_junk):
+        rows.append(row)
+        if is_junk:
+            junk_ids.append(row[0])
     return rows, junk_ids
 
 
@@ -241,6 +244,24 @@ def main() -> None:
             reader_ctx = contextlib.nullcontext()
         results = {}
         total = 0.0
+        if BUCKETED:
+            # mirror run_llm_curation's r13 default: the cross-stage
+            # shingle index materializes as its own bucketed boundary
+            # table BEFORE the stage loop, so doc_clusters and
+            # contaminated both read a columnar scan (the r12 4M
+            # contaminated wall was cache-eviction recompute). Printed
+            # as its own line so the exponent table carries it.
+            from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (  # noqa: E501
+                materialize_shingle_index,
+            )
+
+            t0 = time.time()
+            materialize_shingle_index(
+                spark, sf_dir, f"stress_{tag}_shingle_index", 32
+            )
+            dt = time.time() - t0
+            total += dt
+            print(f"{'shingle_index':16s} {dt:7.2f}s  (bucketed boundary)")
         with reader_ctx:
             for name in runner._toposort(
                 list(runner._models), satisfied=set()

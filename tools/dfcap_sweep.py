@@ -77,6 +77,62 @@ def ensure_corpus(spark, sf_dir: str, n_docs: int) -> None:
             )
         return
     os.makedirs(sf_dir, exist_ok=True)
+    if n_docs > 2_000_000:
+        # r13 (the 16M scale point): materializing the corpus as Python
+        # tuples costs ~0.5 KB/doc of driver memory and a monolithic
+        # createDataFrame pickle -- stream the IDENTICAL row sequence
+        # (curation_stress.iter_corpus, same RNG) straight into one
+        # parquet file in 500k-row groups instead. Same rows, no Spark
+        # job, bounded memory.
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tools.curation_stress import iter_corpus
+
+        tmp = path + ".tmp"
+        cols: dict = {
+            "doc_id": [],
+            "text": [],
+            "lang": [],
+            "source": [],
+            "n_chars": [],
+        }
+        writer = None
+
+        def flush():
+            nonlocal writer
+            if not cols["doc_id"]:
+                return
+            t = pa.table(
+                {
+                    "doc_id": pa.array(cols["doc_id"], pa.int64()),
+                    "text": pa.array(cols["text"], pa.string()),
+                    "lang": pa.array(cols["lang"], pa.string()),
+                    "source": pa.array(cols["source"], pa.string()),
+                    "n_chars": pa.array(cols["n_chars"], pa.int64()),
+                }
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, t.schema)
+            writer.write_table(t)
+            for v in cols.values():
+                v.clear()
+
+        for (doc_id, text, lang, source, n_chars), _ in iter_corpus(
+            n_docs
+        ):
+            cols["doc_id"].append(doc_id)
+            cols["text"].append(text)
+            cols["lang"].append(lang)
+            cols["source"].append(source)
+            cols["n_chars"].append(n_chars)
+            if len(cols["doc_id"]) >= 500_000:
+                flush()
+        flush()
+        if writer is not None:
+            writer.close()
+        os.rename(tmp, path)
+        return
     corpus, _ = make_corpus(n_docs)
     stage = os.path.join(sf_dir, "_stage")
     spark.createDataFrame(

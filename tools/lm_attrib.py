@@ -154,9 +154,61 @@ def main() -> None:
             F.log(F.lit(lam) * p_bi + F.lit(1 - lam) * p_uni).alias("lp"),
         ),
     )
-    # scoring half over the pinned model
+    # stream + model probes + coalesce WITHOUT the per-doc aggregation
+    # (score_s minus this is the decimal groupBy's own share)
+    lp_pair = (
+        bi_c.join(c1, ["g", "w1"], "left")
+        .join(c2, ["g", "w2"], "left")
+        .join(totals_c, "g", "left")
+        .select(
+            "g",
+            "w1",
+            "w2",
+            F.log(F.lit(lam) * p_bi + F.lit(1 - lam) * p_uni).alias(
+                "lp_pair"
+            ),
+        )
+    )
+    lp_w2 = c2.join(totals_c, "g", "left").select(
+        "g",
+        "w2",
+        F.log(
+            F.lit(lam) * F.lit(0.0) + F.lit(1 - lam) * p_uni
+        ).alias("lp_w2"),
+    )
+    lp_oov = totals_c.select(
+        "g",
+        F.log(
+            F.lit(lam) * F.lit(0.0)
+            + F.lit(1 - lam)
+            * ((F.lit(0).cast("double") + F.lit(alpha)) / denom)
+        ).alias("lp_oov"),
+    )
+    stream = (
+        docs.where(F.col("lang").isNotNull())
+        .select("doc_id", F.col("lang").alias("g"), _toks().alias("t"))
+        .select("doc_id", "g", F.explode(F.expr(_BIGRAMS)).alias("b"))
+        .select("doc_id", "g", "b.w1", "b.w2")
+    )
+    term(
+        "stream_joined_s",
+        stream.join(F.broadcast(lp_pair), ["g", "w1", "w2"], "left")
+        .join(F.broadcast(lp_w2), ["g", "w2"], "left")
+        .join(F.broadcast(lp_oov), "g", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lp_pair", "lp_w2", "lp_oov").alias("lp"),
+        ),
+    )
+    # scoring half over the pinned model (twice: the first call in a
+    # session pays Python-worker spin-up + model-broadcast shipping;
+    # the repeat is the steady-state wall)
     scored = lm_score_docs_grouped(docs, uni_c, bi_c, totals_c)
     term("score_s", scored)
+    term(
+        "score_repeat_s",
+        lm_score_docs_grouped(docs, uni_c, bi_c, totals_c),
+    )
     scored_c = scored.localCheckpoint(eager=True)
     term("cutoff_s", lm_tail_cutoffs(scored_c))
     # the composed stage, cold lineage end to end

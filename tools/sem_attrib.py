@@ -17,13 +17,16 @@ corpus, not the post-gate ~80% subset the in-DAG stage sees, so terms
 here are ~1.25x the in-DAG stage at the same nominal N; the split, not
 the absolute, is the measurement.
 
-    python tools/sem_attrib.py <n_docs> [corpus_dir] [k] [max_iter] [flat|two]
+    python tools/sem_attrib.py <n_docs> [corpus_dir] [k] [max_iter] [flat|two] [fixed|cal]
 
 The optional 5th arg selects the quantizer: ``flat`` (default below the
 SEM_TWO_LEVEL_BOUND crossover) or ``two`` for the r12 hierarchical
 path (operators/hier_kmeans) -- omitted, the tool follows the DAG's own
 default for the given n_docs, so a bare invocation always measures the
-composed-defaults configuration.
+composed-defaults configuration. The optional 6th arg (r13) pins the
+multi-probe margin: ``fixed`` = the 1.21 envelope (shell_target=None,
+the r12 behavior) for the calibrated-vs-fixed A/B; default/'cal' = the
+fit-time calibrated shell.
 """
 
 from __future__ import annotations
@@ -52,6 +55,23 @@ def main() -> None:
     # optional quantizer override (argv[5]): flat | two; default = the
     # DAG's own gate (two-level above SEM_TWO_LEVEL_BOUND, r12)
     QUANT = sys.argv[5] if len(sys.argv) > 5 else None
+    # optional probe-margin mode (argv[6], r13): 'fixed' disables the
+    # fit-time shell calibration (shell_target=None -> the 1.21
+    # envelope, the r12 behavior) for the calibrated-vs-fixed A/B;
+    # default = the calibrated HEAD default
+    PROBE = sys.argv[6] if len(sys.argv) > 6 else None
+    if PROBE not in (None, "fixed", "cal"):
+        raise SystemExit(f"argv[6] must be fixed|cal, got {PROBE!r}")
+    if PROBE == "fixed":
+        import data_pipeline_spark_iceberg_dbt_airflow_spark.operators.hier_kmeans as _HK  # noqa: E501
+
+        _orig_fit = _HK.hier_kmeans_fit
+
+        def _fixed_fit(*a, **kw):
+            kw["shell_target"] = None
+            return _orig_fit(*a, **kw)
+
+        _HK.hier_kmeans_fit = _fixed_fit
 
     from tools.dfcap_sweep import ensure_corpus, make_session
 
@@ -104,6 +124,7 @@ def main() -> None:
         "k": k,
         "fit_sample": fit_sample,
         "two_level": two_level,
+        "probe": PROBE or "cal-default",
     }
 
     docs = read_table(spark, sf_dir, "documents", widen=True)
