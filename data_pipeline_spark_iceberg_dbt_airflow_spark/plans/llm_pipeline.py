@@ -273,10 +273,33 @@ def build_llm_curation_pipeline(
         # same signature at 1M). Counts and the decimal score sums are
         # partitioning-independent by design, so the widen is free of
         # semantics.
-        docs = read_table(spark, sf_dir, "documents", widen=True).select(
-            "doc_id", "lang", "text"
+        # r13: pin the 3-column corpus frame ONCE for the whole stage.
+        # The stage makes several corpus passes (unigram counts, bigram
+        # counts, the scoring stream), and each pass from the raw scan
+        # repays the scan's worst property: a single-file corpus with
+        # few row groups reads as that few TASKS, so the widen
+        # exchange's upstream is nearly serial -- measured ~20s PER
+        # PASS at 1M (uni count 22.6s from the scan vs 2.7s from
+        # memory). One checkpoint pays it once; every pass then runs
+        # at full parallelism from storage (MEMORY_AND_DISK -- spills,
+        # never recomputes). At cluster scale this is the standard
+        # pin-the-hot-input pattern; the frame is released with the
+        # stage (the returned lineage drops it once the boundary
+        # materializes).
+        docs = (
+            read_table(spark, sf_dir, "documents", widen=True)
+            .select("doc_id", "lang", "text")
+            .localCheckpoint(eager=True)
         )
         uni, bi, totals = train_bigram_lm_grouped(docs)
+        # pin the corpus-SUBLINEAR unigram table and re-derive the
+        # groups-sized totals from the PIN (the caller-passed totals'
+        # own lineage would otherwise re-run the unigram corpus pass a
+        # second time inside lm_score's internal checkpoint)
+        uni = uni.localCheckpoint(eager=True)
+        totals = uni.groupBy("g").agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+        )
         # footer row count (no Spark job) gates the scoring kernel's
         # fixed broadcast cost to corpora big enough to amortize it
         # (text.LM_KERNEL_MIN_DOCS)

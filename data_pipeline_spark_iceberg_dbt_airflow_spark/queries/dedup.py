@@ -485,6 +485,17 @@ def materialize_shingle_index(
     for cache in (_INDEX_CACHE, _RAW_CACHE):
         if key in cache:
             cache.pop(key).unpersist()
+    # BARE table scan, deliberately un-persisted (r13, measured BOTH
+    # ways at 4M): persisting the scan pinned ~231M rows of cache
+    # blocks through the rest of the DAG and recreated the r12
+    # memory-tier contention downstream (doc_clusters 236 -> 421s,
+    # doc_lm 59 -> 142s same-day), while the bare scan's per-pass
+    # columnar re-read costs doc_clusters ~44s and leaves every later
+    # stage's memory alone (contaminated 31.7s -> 14.6s under the
+    # persist shows the scan re-read is ~15s -- a price each consumer
+    # pays locally instead of exporting eviction pressure). At 100 TB
+    # the index never fits executor storage anyway; the disk-backed
+    # boundary IS the scale shape.
     out = spark.table(table)
     _INDEX_CACHE[key] = out
     return out

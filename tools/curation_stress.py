@@ -282,6 +282,16 @@ def main() -> None:
                 results[name] = out
                 total += dt
                 print(f"{name:16s} {dt:7.2f}s  rows={out.count()}")
+                # r13: at 16M a stage's dead shuffle files (tens of GB)
+                # free only when the JVM GCs their ShuffleDependency
+                # objects -- the 64g heap can outlive the DISK (the 16M
+                # run bottomed at 2.2GB free before ContextCleaner
+                # fired). Nudge the cleaner at every stage boundary so
+                # scratch usage tracks the LIVE stage, not GC luck.
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
         print(
             f"{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K}, "
             f"boundaries={'bucketed' if BUCKETED else 'plain'})"
