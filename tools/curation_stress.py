@@ -262,6 +262,13 @@ def main() -> None:
             dt = time.time() - t0
             total += dt
             print(f"{'shingle_index':16s} {dt:7.2f}s  (bucketed boundary)")
+            # free the index build's dead shuffle generations BEFORE
+            # doc_clusters adds its own (the 16M ENOSPC: ~55GB of
+            # already-dead build shuffle lingered into the next stage)
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         with reader_ctx:
             for name in runner._toposort(
                 list(runner._models), satisfied=set()
