@@ -326,13 +326,31 @@ def hier_kmeans_fit(
     fine_of_coarse = {
         c: list(range(offsets[c], offsets[c] + alloc[c])) for c in order
     }
-    pf = (
-        _calibrated_probe_factor(
-            fit_rows, coarse, vec_col="__v", target=shell_target
+    pf = None
+    if shell_target is not None:
+        # ADVICE r13: with fit_sample=None, fit_rows is the FULL
+        # cleaned corpus -- calibrating over it would add a
+        # corpus-wide Arrow distance pass plus an exact global
+        # percentile (one aggregation buffer holding every ratio)
+        # exactly where that is most expensive. Calibration only needs
+        # a representative shell quantile, so it gets the same
+        # md5-ranked deterministic head shape the fit itself uses,
+        # capped at the fine level's 50-per-cell sufficiency budget.
+        cal_rows = fit_rows
+        if fit_sample is None:
+            cal_rows = (
+                clean.select(
+                    F.md5(F.col("__id").cast("string")).alias("__h"),
+                    "__id",
+                    "__v",
+                )
+                .orderBy("__h", "__id")
+                .limit(50 * k)
+                .drop("__h")
+            )
+        pf = _calibrated_probe_factor(
+            cal_rows, coarse, vec_col="__v", target=shell_target
         )
-        if shell_target is not None
-        else None
-    )
     return HierKMeansModel(
         coarse=coarse,
         fine=fine,

@@ -185,6 +185,7 @@ def write_bucketed(
     n_buckets: int,
     sort: bool = True,
     mode: str = "overwrite",
+    pre_partitioned: bool = False,
 ) -> None:
     """Write ``df`` as a BUCKETED (and, by default, bucket-sorted)
     managed table: rows are hash-partitioned into ``n_buckets`` files
@@ -240,7 +241,18 @@ def write_bucketed(
         # trade: write parallelism is capped at n_buckets tasks (one
         # per bucket) -- acceptable because n_buckets is sized to make
         # buckets executor-memory-sized units of JOIN work anyway.
-        df = df.repartition(n_buckets, F.col(key))
+        # ``pre_partitioned=True`` is the caller's ASSERTION that the
+        # frame already carries exactly this layout -- a
+        # ``repartition(n_buckets, key)`` upstream with only
+        # partitioning-preserving ops since (e.g. a window partitioned
+        # by the key) -- so the builder can fold the bucket shuffle
+        # into an exchange it was paying anyway. A wrong assertion
+        # breaks one-file-per-bucket and with it the sorted-reader
+        # contract (multi-file buckets read as sorted feed
+        # SortMergeJoin unsorted input); tests pin the one honest
+        # caller (materialize_shingle_index's cold build).
+        if not pre_partitioned:
+            df = df.repartition(n_buckets, F.col(key))
     if sort and mode == "append":
         # an append leaves >1 file per bucket: each is sorted, their
         # concatenation is NOT, and a reader trusting the legacy

@@ -247,6 +247,19 @@ def build_llm_curation_pipeline(
     runner.add(
         Model("doc_clusters", lambda: lexical_components(spark, sf_dir))
     )
+    # contaminated registers IMMEDIATELY after doc_clusters (r14,
+    # VERDICT r13 #1): the two are the shingle index's only consumers,
+    # and execution order follows registration order for independent
+    # models -- adjacent, the second consumer's index re-read runs
+    # against a still-warm OS page cache (and any scoped pin of the
+    # boundary covers both without outliving either into doc_lm's
+    # memory-hungry bigram explode, the r12/r13 eviction trap).
+    runner.add(
+        Model(
+            "contaminated",
+            lambda: contaminated_docs(shingled_docs(spark, sf_dir)),
+        )
+    )
     runner.add(Model("doc_quality", lambda: text_profile(spark, sf_dir)))
     if use_learned:
         from ..quality.learned import learned_quality_scores
@@ -312,12 +325,6 @@ def build_llm_curation_pipeline(
         )
 
     runner.add(Model("doc_lm", doc_lm))
-    runner.add(
-        Model(
-            "contaminated",
-            lambda: contaminated_docs(shingled_docs(spark, sf_dir)),
-        )
-    )
 
     def curated(
         raw: DataFrame,

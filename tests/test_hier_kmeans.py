@@ -360,3 +360,37 @@ def test_probe_factor_calibration(spark, corpus):
     assert cal_shell < fixed_shell
     assert mc.probe_factor < H.PROBE_FACTOR
     assert math.isfinite(mc.probe_factor)
+
+
+def test_calibration_bounded_without_fit_sample(spark, monkeypatch):
+    """ADVICE r13: with fit_sample=None, fit_rows is the FULL cleaned
+    corpus; calibration must NOT run its Arrow distance pass + exact
+    global percentile over it. It gets the same md5-ranked head shape
+    the fit uses, capped at 50*k rows -- pinned by intercepting the
+    calibration input and counting it."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators import (
+        hier_kmeans as H,
+    )
+
+    k = 4
+    n = 50 * k + 137  # corpus strictly larger than the budget
+    sdf = spark.createDataFrame(
+        [(i, [float(i % 13), float(i % 7), 1.0]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    seen: dict = {}
+    real = H._calibrated_probe_factor
+
+    def spy(fit_rows, coarse, vec_col="__v", target=H.SHELL_TARGET):
+        seen["n"] = fit_rows.count()
+        return real(fit_rows, coarse, vec_col=vec_col, target=target)
+
+    monkeypatch.setattr(H, "_calibrated_probe_factor", spy)
+    m = H.hier_kmeans_fit(sdf, k, max_iterations=2, fit_sample=None)
+    assert seen["n"] <= 50 * k
+    assert m.probe_factor is not None
+    assert 1.0 <= m.probe_factor <= H.PROBE_FACTOR
+    # a bounded fit_sample still calibrates over the fit sample itself
+    seen.clear()
+    H.hier_kmeans_fit(sdf, k, max_iterations=2, fit_sample=60)
+    assert seen["n"] == 60

@@ -578,3 +578,124 @@ def test_materialize_shingle_index_table_backed(spark, sf_dir):
     finally:
         release_shingle_index(spark)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_materialize_shingle_index_cache_keys_on_args(spark, sf_dir):
+    """ADVICE r13: the table-backed cache entry must be keyed on the
+    requested (table, bucket_count), not just (session, corpus) -- a
+    second call with a different table name rebuilds (writing the new
+    table) instead of silently returning the old scan; and a backing
+    table dropped externally triggers a rebuild instead of surfacing
+    later as an AnalysisException at read time."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        materialize_shingle_index,
+        shingled_docs,
+    )
+
+    t1, t2 = "t_shidx_args_a", "t_shidx_args_b"
+    release_shingle_index(spark)
+    try:
+        first = materialize_shingle_index(spark, sf_dir, t1, 4)
+        rows = sorted(
+            (r["doc_id"], r["sid"], r["n_sh"]) for r in first.collect()
+        )
+        # different table name: a NEW table is written and served
+        second = materialize_shingle_index(spark, sf_dir, t2, 8)
+        assert spark.catalog.tableExists(t2)
+        plan = second._jdf.queryExecution().optimizedPlan().toString()
+        assert t2 in plan.lower(), plan
+        assert (
+            sorted(
+                (r["doc_id"], r["sid"], r["n_sh"])
+                for r in second.collect()
+            )
+            == rows
+        )
+        # same args again: idempotent (no third table, same frame)
+        assert materialize_shingle_index(spark, sf_dir, t2, 8) is second
+        # drop the backing table behind the cache: the next call must
+        # REBUILD (from the raw corpus) rather than raise at read time
+        spark.sql(f"DROP TABLE {t2}")
+        rebuilt = materialize_shingle_index(spark, sf_dir, t2, 8)
+        assert spark.catalog.tableExists(t2)
+        assert (
+            sorted(
+                (r["doc_id"], r["sid"], r["n_sh"])
+                for r in rebuilt.collect()
+            )
+            == rows
+        )
+        # and the plain accessor serves the rebuilt table
+        assert shingled_docs(spark, sf_dir) is rebuilt
+    finally:
+        release_shingle_index(spark)
+        spark.sql(f"DROP TABLE IF EXISTS {t1}")
+        spark.sql(f"DROP TABLE IF EXISTS {t2}")
+
+
+def test_materialize_shingle_index_cold_fast_path(spark, sf_dir):
+    """r14 (VERDICT r13 #1): a COLD materialize builds the uncached
+    lineage pre-partitioned and writes it directly -- no index-cache
+    populate, ONE doc_id shuffle -- and must produce exactly the rows
+    the in-memory build produces, with the one-file-per-bucket layout
+    the sorted-reader contract needs (this is the one caller of
+    write_bucketed(pre_partitioned=True))."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucketed_sorted_reader,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        materialize_shingle_index,
+        shingled_docs,
+    )
+
+    tbl = "t_shidx_cold"
+    release_shingle_index(spark)
+    try:
+        mem_rows = sorted(
+            (r["doc_id"], r["sid"], r["n_sh"])
+            for r in shingled_docs(spark, sf_dir).collect()
+        )
+        release_shingle_index(spark)  # force the cold path
+        out = materialize_shingle_index(spark, sf_dir, tbl, 4)
+        assert (
+            sorted(
+                (r["doc_id"], r["sid"], r["n_sh"]) for r in out.collect()
+            )
+            == mem_rows
+        )
+        # pre-partitioned write kept one file per bucket (the layout
+        # guarantee the legacy outputOrdering reader depends on), and
+        # each file is internally key-sorted
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        files = sorted(
+            f
+            for f in glob.glob(os.path.join(wh, tbl, "*"))
+            if not f.endswith("_SUCCESS") and ".crc" not in f
+        )
+        assert len(files) == 4, files
+        ids = pq.read_table(files[0], columns=["doc_id"]).to_pandas()[
+            "doc_id"
+        ]
+        assert (ids.sort_values().values == ids.values).all()
+        # and the bucketed layout still serves the doc_id aggregation
+        # with no exchange
+        import pyspark.sql.functions as F
+
+        with bucketed_sorted_reader(spark):
+            pl = (
+                spark.table(tbl)
+                .groupBy("doc_id")
+                .agg(F.min("sid").alias("m"))
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+        assert "Exchange" not in pl, pl
+    finally:
+        release_shingle_index(spark)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")

@@ -8,6 +8,7 @@ the pandas_udf kernel agreeing with the JVM fold.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import all_queries
@@ -1700,3 +1701,48 @@ def test_lm_kernel_corpus_floor_gate(spark, monkeypatch):
         docs, uni, bi, tot, corpus_rows=10, kernel=True
     ).collect()
     assert calls["n"] == 3
+
+
+def test_lm_kernel_bounds_unigram_tier_too(spark, monkeypatch):
+    """ADVICE r13: the model bound must cover the UNIGRAM tier as well
+    as the pair tier. A short-doc corpus has few bigram types but can
+    carry a huge vocabulary, so with pairs inside the bound but
+    pairs + unigrams above it the kernel must yield to the expression
+    path (identical scores) instead of collecting the oversized w2
+    tier to the driver."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        text as T,
+    )
+
+    # 2 bigram types, 4 unigram types: bound 4 admits the pairs
+    # (2 <= 4) but leaves a w2 budget of 2 < 4 unigrams
+    docs = spark.createDataFrame(
+        [(1, "en", "aa bb"), (2, "en", "cc dd")],
+        "doc_id long, lang string, text string",
+    )
+    uni, bi, tot = T.train_bigram_lm_grouped(docs)
+    want = sorted(
+        tuple(r)
+        for r in T.lm_score_docs_grouped(
+            docs, uni, bi, tot, kernel=False
+        ).collect()
+    )
+    monkeypatch.setattr(T, "LM_KERNEL_MODEL_BOUND", 4)
+
+    def boom(*a, **k):
+        raise AssertionError(
+            "kernel engaged with pair+unigram tiers above the bound"
+        )
+
+    monkeypatch.setattr(T, "_lm_stream_kernel", boom)
+    got = sorted(
+        tuple(r)
+        for r in T.lm_score_docs_grouped(docs, uni, bi, tot).collect()
+    )
+    assert got == want
+    # the combined bound still admits a model that fits: 2 pairs + 4
+    # unigrams = 6 <= 7
+    monkeypatch.setattr(T, "LM_KERNEL_MODEL_BOUND", 7)
+    monkeypatch.setattr(T, "_lm_stream_kernel", boom)
+    with pytest.raises(AssertionError, match="kernel engaged"):
+        T.lm_score_docs_grouped(docs, uni, bi, tot).collect()

@@ -43,7 +43,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_nums = [a for a in sys.argv[1:] if not a.startswith("--")]
+_args = sys.argv[1:]
+if "--repeats" in _args:
+    # drop the flag's VALUE from the positional scan
+    _ri = _args.index("--repeats")
+    _args = _args[:_ri] + _args[_ri + 2 :]
+_nums = [a for a in _args if not a.startswith("--")]
 N_DOCS = int(_nums[0]) if _nums else 50_000
 CORPUS_DIR = _nums[1] if len(_nums) > 1 else None
 LEARNED = "--learned" in sys.argv
@@ -52,6 +57,23 @@ LEARNED = "--learned" in sys.argv
 JUNK = LEARNED or "--junk" in sys.argv
 #: materialize stages as the runner's bucketed auto-default would
 BUCKETED = "--bucketed" in sys.argv
+#: r14 (VERDICT r13 #4): same-day 1M composed walls on identical code
+#: spanned 1.39x -- single-run exponent readings can't confirm <=30%
+#: effects. --repeats N re-runs the whole staged loop N times in one
+#: process (index cache + stage tables torn down between reps) and
+#: reports per-stage min + median; the MIN is the low-ambient reading
+#: the scaling tables should cite.
+REPEATS = (
+    int(sys.argv[sys.argv.index("--repeats") + 1])
+    if "--repeats" in sys.argv
+    else 1
+)
+#: r14 (VERDICT r13 #1b): persist the materialized shingle-index scan
+#: MEMORY_AND_DISK for exactly its two consumers (doc_clusters,
+#: contaminated -- adjacent since r14) and unpersist before doc_lm.
+#: The r13 unscoped variant regressed BOTH consumers' downstream
+#: stages; this measures whether scoping rescues the idea or buries it.
+PIN_INDEX = "--pin-index" in sys.argv
 if CORPUS_DIR is not None and JUNK:
     raise SystemExit(
         "--junk/--learned generate a planted corpus: a reusable "
@@ -242,67 +264,123 @@ def main() -> None:
             import contextlib
 
             reader_ctx = contextlib.nullcontext()
+        if PIN_INDEX and not BUCKETED:
+            raise SystemExit("--pin-index requires --bucketed")
+        stage_times: dict[str, list[float]] = {}
         results = {}
-        total = 0.0
-        if BUCKETED:
-            # mirror run_llm_curation's r13 default: the cross-stage
-            # shingle index materializes as its own bucketed boundary
-            # table BEFORE the stage loop, so doc_clusters and
-            # contaminated both read a columnar scan (the r12 4M
-            # contaminated wall was cache-eviction recompute). Printed
-            # as its own line so the exponent table carries it.
-            from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (  # noqa: E501
-                materialize_shingle_index,
-            )
+        for rep in range(REPEATS):
+            rep_tag = f"[rep {rep + 1}/{REPEATS}] " if REPEATS > 1 else ""
+            if rep:
+                # tear the previous rep's state down so every rep
+                # measures the same COLD-boundary work: index cache
+                # released, stage tables dropped (their next write
+                # recreates them), checkpointed frames unpersisted
+                from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (  # noqa: E501
+                    release_shingle_index,
+                )
 
-            t0 = time.time()
-            materialize_shingle_index(
-                spark, sf_dir, f"stress_{tag}_shingle_index", 32
-            )
-            dt = time.time() - t0
-            total += dt
-            print(f"{'shingle_index':16s} {dt:7.2f}s  (bucketed boundary)")
-            # free the index build's dead shuffle generations BEFORE
-            # doc_clusters adds its own (the 16M ENOSPC: ~55GB of
-            # already-dead build shuffle lingered into the next stage)
-            try:
-                spark.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-        with reader_ctx:
-            for name in runner._toposort(
-                list(runner._models), satisfied=set()
-            ):
-                m = runner._models[name]
-                t0 = time.time()
-                out = m.fn(*[results[r] for r in m.refs])
-                # mirror runner.run's bucketed branch exactly: doc_id
-                # models land as bucketed+sorted tables (the write IS
-                # the materialization), keyless ones localCheckpoint
-                if BUCKETED and "doc_id" in out.columns:
-                    tbl = f"stress_{tag}_{name}"
-                    write_bucketed(out, tbl, "doc_id", 32, sort=True)
-                    out = spark.table(tbl)
-                else:
-                    out = out.localCheckpoint(eager=True)
-                dt = time.time() - t0
-                results[name] = out
-                total += dt
-                print(f"{name:16s} {dt:7.2f}s  rows={out.count()}")
-                # r13: at 16M a stage's dead shuffle files (tens of GB)
-                # free only when the JVM GCs their ShuffleDependency
-                # objects -- the 64g heap can outlive the DISK (the 16M
-                # run bottomed at 2.2GB free before ContextCleaner
-                # fired). Nudge the cleaner at every stage boundary so
-                # scratch usage tracks the LIVE stage, not GC luck.
+                release_shingle_index(spark)
+                for t in spark.catalog.listTables():
+                    if t.name.startswith("stress_"):
+                        spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+                for df in results.values():
+                    try:
+                        df.unpersist()
+                    except Exception:
+                        pass
+                results = {}
                 try:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
-        print(
-            f"{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K}, "
-            f"boundaries={'bucketed' if BUCKETED else 'plain'})"
-        )
+            total = 0.0
+            pinned_idx = None
+            if BUCKETED:
+                # mirror run_llm_curation's r13 default: the cross-stage
+                # shingle index materializes as its own bucketed boundary
+                # table BEFORE the stage loop, so doc_clusters and
+                # contaminated both read a columnar scan (the r12 4M
+                # contaminated wall was cache-eviction recompute). Printed
+                # as its own line so the exponent table carries it.
+                from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (  # noqa: E501
+                    materialize_shingle_index,
+                )
+
+                t0 = time.time()
+                idx = materialize_shingle_index(
+                    spark, sf_dir, f"stress_{tag}_shingle_index", 32
+                )
+                dt = time.time() - t0
+                total += dt
+                stage_times.setdefault("shingle_index", []).append(dt)
+                print(
+                    f"{rep_tag}{'shingle_index':16s} {dt:7.2f}s  "
+                    "(bucketed boundary)"
+                )
+                if PIN_INDEX:
+                    from pyspark import StorageLevel
+
+                    pinned_idx = idx.persist(StorageLevel.MEMORY_AND_DISK)
+                # free the index build's dead shuffle generations BEFORE
+                # doc_clusters adds its own (the 16M ENOSPC: ~55GB of
+                # already-dead build shuffle lingered into the next stage)
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
+            with reader_ctx:
+                for name in runner._toposort(
+                    list(runner._models), satisfied=set()
+                ):
+                    m = runner._models[name]
+                    t0 = time.time()
+                    out = m.fn(*[results[r] for r in m.refs])
+                    # mirror runner.run's bucketed branch exactly: doc_id
+                    # models land as bucketed+sorted tables (the write IS
+                    # the materialization), keyless ones localCheckpoint
+                    if BUCKETED and "doc_id" in out.columns:
+                        tbl = f"stress_{tag}_{name}"
+                        write_bucketed(out, tbl, "doc_id", 32, sort=True)
+                        out = spark.table(tbl)
+                    else:
+                        out = out.localCheckpoint(eager=True)
+                    dt = time.time() - t0
+                    results[name] = out
+                    total += dt
+                    stage_times.setdefault(name, []).append(dt)
+                    print(f"{rep_tag}{name:16s} {dt:7.2f}s  rows={out.count()}")
+                    if pinned_idx is not None and name == "contaminated":
+                        # the scoped pin dies with its LAST consumer --
+                        # doc_lm's bigram explode never sees the
+                        # storage blocks (the r13 unscoped trap)
+                        pinned_idx.unpersist()
+                        pinned_idx = None
+                    # r13: at 16M a stage's dead shuffle files (tens of GB)
+                    # free only when the JVM GCs their ShuffleDependency
+                    # objects -- the 64g heap can outlive the DISK (the 16M
+                    # run bottomed at 2.2GB free before ContextCleaner
+                    # fired). Nudge the cleaner at every stage boundary so
+                    # scratch usage tracks the LIVE stage, not GC luck.
+                    try:
+                        spark.sparkContext._jvm.System.gc()
+                    except Exception:
+                        pass
+            stage_times.setdefault("TOTAL", []).append(total)
+            print(
+                f"{rep_tag}{'TOTAL':16s} {total:7.2f}s  (sem_k={SEM_K}, "
+                f"boundaries={'bucketed' if BUCKETED else 'plain'}"
+                f"{', pin-index' if PIN_INDEX else ''})"
+            )
+        if REPEATS > 1:
+            import statistics
+
+            print(f"# per-stage over {REPEATS} reps (min / median):")
+            for name, ts in stage_times.items():
+                print(
+                    f"# {name:16s} min={min(ts):7.2f}s  "
+                    f"median={statistics.median(ts):7.2f}s  "
+                    f"all={[round(t, 1) for t in ts]}"
+                )
         if JUNK:
             from pyspark.sql import functions as F
 

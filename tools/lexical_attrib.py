@@ -103,5 +103,92 @@ def main() -> None:
         own_tmp.cleanup()
 
 
+def buildwrite() -> None:
+    """Attribute the shingle-index BUILD+WRITE line (r14, VERDICT r13
+    #1: 240s at 4M, 525s at 16M -- the DAG's biggest single block).
+
+        python tools/lexical_attrib.py --buildwrite <n_docs> <corpus_dir> \
+            [legacy|fast|terms]
+
+    legacy : the r13 cold shape -- shingled_docs() persist-backed build,
+             write_bucketed from the cache (the write action populates
+             BOTH memory tiers, then the caller pops them).
+    fast   : materialize_shingle_index's r14 cold path -- uncached
+             lineage, pre-partitioned, one doc_id shuffle, no index
+             cache populate.
+    terms  : per-term split (kernel explode / df-cap agg / window /
+             write) with materialization barriers, for attribution.
+
+    Run each variant in its OWN process (fresh session, cold JVM) and
+    compare walls; the emitted JSON carries the variant name.
+    """
+    from pyspark.sql import functions as F
+
+    from tools.dfcap_sweep import ensure_corpus, make_session
+
+    n_docs = int(sys.argv[2])
+    sf_dir = sys.argv[3]
+    variant = sys.argv[4] if len(sys.argv) > 4 else "fast"
+    spark = make_session()
+    ensure_corpus(spark, sf_dir, n_docs)
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        write_bucketed,
+    )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
+
+    tbl = "attrib_shingle_index"
+    out: dict = {"n_docs": n_docs, "variant": variant}
+    t0 = time.time()
+    if variant == "legacy":
+        idx = dedup.shingled_docs(spark, sf_dir)
+        write_bucketed(idx, tbl, "doc_id", 32, sort=True)
+        out["rows"] = spark.table(tbl).count()
+        out["wall_s"] = round(time.time() - t0, 1)
+    elif variant == "fast":
+        dedup.materialize_shingle_index(spark, sf_dir, tbl, 32)
+        out["rows"] = spark.table(tbl).count()
+        out["wall_s"] = round(time.time() - t0, 1)
+    elif variant == "terms":
+        raw, _ = dedup._index_lineage(spark, sf_dir)
+        out["raw_rows"] = raw.count()  # kernel explode + raw persist
+        out["kernel_s"] = round(time.time() - t0, 1)
+        n = n_docs
+        cap = dedup.df_cap_for(n)
+        t0 = time.time()
+        drop = (
+            raw.groupBy("sid")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > cap)
+            .select("sid")
+        )
+        out["drop_sids"] = drop.count()
+        out["dfcap_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        capped = raw.join(F.broadcast(drop), "sid", "left_anti")
+        from pyspark.sql import Window
+
+        win = capped.select(
+            "doc_id",
+            "sid",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .alias("n_sh"),
+        )
+        out["index_rows"] = win.count()
+        out["window_s"] = round(time.time() - t0, 1)
+        t0 = time.time()
+        write_bucketed(win, tbl, "doc_id", 32, sort=True)
+        out["write_s"] = round(time.time() - t0, 1)
+    else:
+        raise SystemExit(f"unknown variant {variant!r}")
+    print(json.dumps(out))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--buildwrite":
+        buildwrite()
+    else:
+        main()
