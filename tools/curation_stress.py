@@ -259,11 +259,11 @@ def main() -> None:
             tag = hashlib.md5(
                 os.path.abspath(sf_dir).encode("utf-8")
             ).hexdigest()[:8]
-            reader_ctx = bucketed_sorted_reader(spark)
+            reader_ctx = lambda: bucketed_sorted_reader(spark)
         else:
             import contextlib
 
-            reader_ctx = contextlib.nullcontext()
+            reader_ctx = contextlib.nullcontext
         if PIN_INDEX and not BUCKETED:
             raise SystemExit("--pin-index requires --bucketed")
         stage_times: dict[str, list[float]] = {}
@@ -328,7 +328,9 @@ def main() -> None:
                     spark.sparkContext._jvm.System.gc()
                 except Exception:
                     pass
-            with reader_ctx:
+            # a generator-backed context manager is single-use:
+            # build a FRESH one per rep (the --repeats crash)
+            with reader_ctx():
                 for name in runner._toposort(
                     list(runner._models), satisfied=set()
                 ):

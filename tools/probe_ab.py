@@ -24,17 +24,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     from pyspark.sql import functions as F
 
-    n_docs = int(sys.argv[1])
-    sf_dir = sys.argv[2]
+    pos = sys.argv[1:]
+    if "--targets" in pos:
+        # drop the flag AND its value from the positional scan
+        ti = pos.index("--targets")
+        pos = pos[:ti] + pos[ti + 2 :]
+    n_docs = int(pos[0])
+    sf_dir = pos[1]
     k = (
-        int(sys.argv[3])
-        if len(sys.argv) > 3
+        int(pos[2])
+        if len(pos) > 2
         else __import__(
             "data_pipeline_spark_iceberg_dbt_airflow_spark.plans.llm_pipeline",
             fromlist=["default_sem_k"],
         ).default_sem_k(n_docs)
     )
-    max_iter = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    max_iter = int(pos[3]) if len(pos) > 3 else 5
 
     from tools.dfcap_sweep import ensure_corpus, make_session
 
@@ -83,10 +88,23 @@ def main() -> None:
         finally:
             HK.hier_kmeans_fit = orig_fit
 
-    # fixed FIRST so session warmup biases against the r12 baseline,
-    # not the new default
-    run("fixed", None)
-    run("cal", HK.SHELL_TARGET)
+    if "--targets" in sys.argv:
+        # r14 (VERDICT r13 #5): the SHELL_TARGET frontier -- sweep the
+        # chosen shell fractions over the SAME checkpointed embeddings
+        # (fixed envelope first as the anchor), so SCALING.md can show
+        # whether 0.20 sits on the knee of the drops-vs-wall curve.
+        targets = [
+            float(t)
+            for t in sys.argv[sys.argv.index("--targets") + 1].split(",")
+        ]
+        run("fixed", None)
+        for t in targets:
+            run(f"t{int(round(t * 100)):02d}", t)
+    else:
+        # fixed FIRST so session warmup biases against the r12 baseline,
+        # not the new default
+        run("fixed", None)
+        run("cal", HK.SHELL_TARGET)
     print(json.dumps(out))
     spark.stop()
 
