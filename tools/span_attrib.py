@@ -157,6 +157,24 @@ def main() -> None:
     mask_repeated_spans(docs).write.mode("overwrite").parquet(tgt)
     out["materialize_s"] = round(time.time() - t0, 1)
 
+    if "--shuffle" in sys.argv:
+        # r14: the frequent table at 4M is ~20.7M rows (~1GB
+        # broadcast) -- cheap in one shared-heap local JVM, deadly on
+        # a real cluster. Price the shuffle-join rendering
+        # (broadcast_frequent=False) on the same corpus.
+        t0 = time.time()
+        m2 = mask_repeated_spans(docs, broadcast_frequent=False)
+        row2 = m2.select(
+            F.sum(
+                F.xxhash64("doc_id", "text", "masked_tokens", "n_spans")
+                .cast("double")
+            ).alias("x"),
+            F.count(F.lit(1)).alias("n"),
+        ).head()
+        out["composed_shuffle_s"] = round(time.time() - t0, 1)
+        out["shuffle_rows"] = row2["n"]
+        out["hash_equal"] = bool(row["x"] == row2["x"])
+
     print(json.dumps(out))
     spark.stop()
     if own_tmp is not None:
