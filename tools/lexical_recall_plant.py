@@ -39,9 +39,24 @@ def main() -> None:
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
         lexical_components,
+        materialize_shingle_index,
     )
 
     t0 = time.time()
+    # r14: above the in-memory comfort envelope the raw+index cache
+    # tiers (~35-45GB at 8M) plus the verify job's live shuffle
+    # generations ENOSPC this box -- the r13 16M recall death, and the
+    # r14 first 8M attempt's. The composed DAG survives the same sizes
+    # because its index is a DISK-BACKED bucketed table with no memory
+    # tiers; give the recall run the production shape (and a GC nudge
+    # so the build's dead shuffle files free before the verify job).
+    materialize_shingle_index(
+        spark, sf_dir, "recallplant_shingle_index", 32
+    )
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
     comp = lexical_components(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
