@@ -178,6 +178,46 @@ def _count_parquet_files(spark, path: str) -> int:
     )
 
 
+#: Documents per bucket for a curation run's shared bucket count (see
+#: :func:`bucket_count_for`). Sized from the run's BIGGEST shared
+#: table, the shingle index (~55-58 sid rows/doc x 24 B/row): 125k docs
+#: ~ 170 MB of index per bucket -- inside the 100 MB - 1 GB band the
+#: shuffle-partition guidance targets, and small enough that one bucket
+#: of any doc_id table is a comfortable executor-memory join/sort unit.
+DOCS_PER_BUCKET = 125_000
+
+#: Bucket-count floor: every corpus at or below ~4M docs keeps the
+#: historical 32, so oracle-scale renderings and the r9-r14 measured
+#: layouts are unchanged; the count only grows past it.
+BUCKET_FLOOR = 32
+
+
+def bucket_count_for(n_rows: int | None, floor: int = BUCKET_FLOOR) -> int:
+    """One bucket count per curation run, scaled with corpus size
+    (r15, VERDICT r14 #1 -- the fixed 32 was the measured scale-killer:
+    one-file-per-bucket caps the index WRITE at bucket_count tasks, so
+    the 8M write ran exponent 2.2 with 463M rows through 32 writers,
+    and the same constant caps every co-located join's parallelism).
+
+    ``ceil(n_rows / DOCS_PER_BUCKET)`` rounded UP to a power of two,
+    never below ``floor``. Power-of-two counts mean two tables bucketed
+    at different generations still divide evenly, so
+    ``spark.sql.bucketing.coalesceBucketsInJoin`` can co-locate them
+    without a shuffle; within ONE run every table shares the single
+    count computed here, so stage-to-stage joins stay exchange-free by
+    construction (the N44 guarantee). ``None`` (unprobeable corpus)
+    takes the floor -- sizing is a constant-factor layout choice, never
+    a semantics question.
+    """
+    if n_rows is None or n_rows <= 0:
+        return floor
+    need = -(-n_rows // DOCS_PER_BUCKET)  # ceil
+    count = max(floor, 1)
+    while count < need:
+        count *= 2
+    return count
+
+
 def write_bucketed(
     df,
     table: str,

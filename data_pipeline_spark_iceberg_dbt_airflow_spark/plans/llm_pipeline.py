@@ -414,9 +414,16 @@ def build_llm_curation_pipeline(
         # once (keep_first), so near-identical passages cannot enter the
         # training stream from several hosts. Same filter-early-
         # explode-late placement rationale as `cleaned`.
-        from ..queries.dedup import mask_repeated_spans
+        from ..queries.dedup import SPAN_KERNEL_BOUND, mask_repeated_spans
 
-        masked = mask_repeated_spans(cl.select("doc_id", "text"))
+        # size-gated occ kernel (r15): the corpus footer count stands
+        # in for the cleaned-stage count (cleaned <= corpus; both sides
+        # of the bound are bit-equal, so this is purely a cost choice)
+        n = table_row_count(sf_dir, "documents")
+        masked = mask_repeated_spans(
+            cl.select("doc_id", "text"),
+            kernel=n is not None and n > SPAN_KERNEL_BOUND,
+        )
         return (
             cl.select("doc_id", "lang")
             .join(masked.select("doc_id", "text"), "doc_id")
@@ -575,7 +582,7 @@ def run_llm_curation(
     quality_seed: DataFrame | None = None,
     quality_threshold: float | None = None,
     bucket_key: str | None = "auto",
-    bucket_count: int = 32,
+    bucket_count: int | None = None,
     sem_two_level: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Build and execute the curation DAG; returns every stage by name.
@@ -594,6 +601,14 @@ def run_llm_curation(
     resolve a count, auto stays plain -- bucketing is a constant-factor
     layout choice, never a semantics or asymptote question.
 
+    ``bucket_count`` defaults to ``None`` = corpus-scaled: ONE count per
+    run from the documents footer row count
+    (``operators.layout.bucket_count_for`` -- floor 32, so every corpus
+    at or below ~4M keeps the historical layout; power-of-two growth
+    above it keeps writes and co-located joins at corpus-proportional
+    parallelism instead of funneling through a constant). Pass an int
+    to pin it.
+
     Bucketed boundaries are catalog tables named per CORPUS
     (``dag_<md5(sf_dir) prefix>_<model>``), so two curation runs over
     different corpora in one session can never overwrite each other's
@@ -602,13 +617,21 @@ def run_llm_curation(
     itself was mutated, which the immutable-testdata contract forbids).
     A bucketed run implies materialization; ``materialize`` adds
     nothing on that path."""
+    n_docs = table_row_count(sf_dir, "documents")
     if bucket_key == "auto":
-        n_docs = table_row_count(sf_dir, "documents")
         bucket_key = (
             "doc_id"
             if n_docs is not None and n_docs > BUCKETED_DAG_BOUND
             else None
         )
+    if bucket_count is None:
+        # ONE corpus-scaled count for every table this run writes (r15,
+        # VERDICT r14 #1): write parallelism and join-task sizing grow
+        # with the corpus instead of funneling through a constant 32;
+        # sharing the count keeps stage-to-stage joins exchange-free.
+        from ..operators.layout import bucket_count_for
+
+        bucket_count = bucket_count_for(n_docs)
     runner = build_llm_curation_pipeline(
         spark,
         sf_dir,

@@ -387,6 +387,61 @@ def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: Raw-explode persist sizing (r15, VERDICT r14 #5). The pre-cap
+#: shingle explode is persisted so the df-cap aggregate and the capped
+#: output share ONE tokenize+md5 pass -- but at 8M docs the 488M-row
+#: MEMORY persist no longer fits beside execution memory and the
+#: "kernel" build term inherited a spill round-trip (exponent 1.7,
+#: SCALING.md r14). Above the estimated-size bound the persist degrades
+#: to DISK_ONLY: one serialized write + two streaming reads, zero
+#: execution-memory theft, and the explode still runs once. Estimate =
+#: footer row count x observed shingles/doc x ~24 B/row of cached
+#: columnar; bound = 1/8 of the JVM heap, leaving the protected
+#: storage pool (spark.memory.fraction x storageFraction = 0.3 heap)
+#: to the capped index the session actually keeps plus margin for the
+#: build's own shuffles.
+RAW_SHINGLES_PER_DOC_EST = 60
+RAW_ROW_CACHE_BYTES = 24
+RAW_PERSIST_HEAP_FRACTION = 0.125
+
+
+def _heap_bytes(spark: SparkSession) -> int:
+    """Executor-heap estimate for the persist gate: executor memory if
+    set, else driver memory (local mode: the one JVM), else the 1g
+    Spark default. Parse failures take the default -- the gate is a
+    layout choice, never worth failing a build over."""
+    for key in ("spark.executor.memory", "spark.driver.memory"):
+        try:
+            v = spark.conf.get(key, None)
+        except Exception:
+            v = None
+        if v:
+            try:
+                unit = v[-1].lower()
+                mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
+                if unit in mult:
+                    return int(float(v[:-1]) * mult[unit])
+                return int(v)
+            except (ValueError, TypeError):
+                continue
+    return 2**30
+
+
+def _raw_persist_level(n_docs: int | None, heap_bytes: int):
+    """StorageLevel for the raw shingle explode: MEMORY_AND_DISK (the
+    plain-persist default) while the estimated cache fits the heap
+    budget, DISK_ONLY above it. ``None`` (unprobeable corpus) keeps the
+    memory tier -- small/unknown corpora are exactly where it pays."""
+    from pyspark import StorageLevel
+
+    if n_docs is None:
+        return StorageLevel.MEMORY_AND_DISK_DESER
+    est = n_docs * RAW_SHINGLES_PER_DOC_EST * RAW_ROW_CACHE_BYTES
+    if est > heap_bytes * RAW_PERSIST_HEAP_FRACTION:
+        return StorageLevel.DISK_ONLY
+    return StorageLevel.MEMORY_AND_DISK_DESER
+
+
 def _index_lineage(
     spark: SparkSession, sf_dir: str, repartition_to: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -422,15 +477,6 @@ def _index_lineage(
         if use_kernel
         else _shingle_rows_expr(docs)
     )
-    # The df-cap drops HOT shingles, and hot shingles are few by
-    # definition (df > DF_CAP can hold for at most n_rows/DF_CAP distinct
-    # shingles) -- so ship the DROP set as a broadcast anti-join instead
-    # of shuffle-joining the full index against the (nearly-everything)
-    # keep set: the only shuffle left in the cap is the df count itself.
-    # The tokenize+md5 explode is the CPU-heavy pass; pin it once so the
-    # df-cap aggregate and the capped+counted output both read the cache
-    # instead of re-shingling (round 3 ran the explode twice per build).
-    raw = sh.persist()
     # Scale-aware cap: footer row count (no Spark job); an unprobeable
     # corpus pays ONE count job rather than silently taking the
     # absolute floor at scale (the r10 lexical-gate posture -- and the
@@ -439,6 +485,16 @@ def _index_lineage(
     n_docs = table_row_count(sf_dir, "documents")
     if n_docs is None:
         n_docs = docs.count()
+    # The df-cap drops HOT shingles, and hot shingles are few by
+    # definition (df > DF_CAP can hold for at most n_rows/DF_CAP distinct
+    # shingles) -- so ship the DROP set as a broadcast anti-join instead
+    # of shuffle-joining the full index against the (nearly-everything)
+    # keep set: the only shuffle left in the cap is the df count itself.
+    # The tokenize+md5 explode is the CPU-heavy pass; pin it once so the
+    # df-cap aggregate and the capped+counted output both read the cache
+    # instead of re-shingling (round 3 ran the explode twice per build)
+    # -- on DISK above the memory bound (see _raw_persist_level).
+    raw = sh.persist(_raw_persist_level(n_docs, _heap_bytes(spark)))
     cap = df_cap_for(n_docs)
     drop = (
         raw.groupBy("sid")
@@ -526,8 +582,17 @@ def materialize_shingle_index(
             # rebuild source and crash at read time
             _INDEX_CACHE.pop(key, None)
             _TABLE_META.pop(key, None)
-        # else: the old table still exists; shingled_docs returns its
-        # scan, a valid (and cheap) source for the re-bucketed write
+        elif meta[0] == table:
+            # SAME table, DIFFERENT bucket count (ADVICE r14): the
+            # cached frame scans the very table this call must
+            # overwrite -- using it as the write source raises
+            # UNSUPPORTED_OVERWRITE.TABLE. Evict and rebuild cold from
+            # the raw corpus instead.
+            _INDEX_CACHE.pop(key, None)
+            _TABLE_META.pop(key, None)
+        # else: a DIFFERENT old table still exists; shingled_docs
+        # returns its scan, a valid (and cheap) source for the
+        # re-bucketed write
     if key not in _INDEX_CACHE:
         # COLD build-to-table (r14, VERDICT r13 #1): the r13 shape went
         # through shingled_docs' persist, so the write action populated
@@ -539,11 +604,17 @@ def materialize_shingle_index(
         # layout, see _index_lineage). Rows identical either way: the
         # repartition only moves WHERE the window runs.
         raw, out = _index_lineage(spark, sf_dir, repartition_to=bucket_count)
-        write_bucketed(
-            out, table, "doc_id", bucket_count, sort=True,
-            pre_partitioned=True,
-        )
-        raw.unpersist()
+        try:
+            write_bucketed(
+                out, table, "doc_id", bucket_count, sort=True,
+                pre_partitioned=True,
+            )
+        finally:
+            # a failed write must not leak the persisted raw explode
+            # for the rest of the session (ADVICE r14): it is neither
+            # registered in _RAW_CACHE nor reachable by
+            # release_shingle_index once this frame goes out of scope
+            raw.unpersist()
     else:
         # warm in-memory index: write it out from the cache, then drop
         # the memory tiers
@@ -899,16 +970,38 @@ def _minhash_candidates(sh: DataFrame) -> DataFrame:
             )
         ]
     )
-    # Band keys row-side: band b = seeds [b*r, b*r+r), key = comma-join in
-    # seed order (= the oracle's string_agg ORDER BY seed).
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
+    # Band keys row-side: band b = seeds [b*r, b*r+r) in seed order.
+    # r15 (guide §2.3, narrower types): with ROWS_PER_BAND == 2 the two
+    # 31-bit minhash values (each < MH_P = 2^31 - 1) pack EXACTLY into
+    # one BIGINT (m0 << 31 | m1 < 2^62) -- an injective encoding, so
+    # equality classes (and with them the candidate set, the verified
+    # pairs, and the oracle hash) are untouched while the band self-join
+    # shuffles 8-byte longs instead of ~20-byte strings and compares
+    # longs instead of strings. The oracle keeps its string_agg
+    # rendering: its band_key is internal to its own cand CTE, never
+    # output, and injectivity makes the two candidate sets identical.
+    # Any other geometry falls back to the comma-join string key (r > 2
+    # could overflow 63 bits).
+    if ROWS_PER_BAND == 2:
+        def _band_key(b: int) -> F.Column:
+            return (
+                F.col(f"m{b * 2}") * F.lit(2147483648)  # << 31
+                + F.col(f"m{b * 2 + 1}")
+            ).alias("band_key")
+    else:
+        def _band_key(b: int) -> F.Column:
+            return F.concat_ws(
                 ",",
-                *[F.col(f"m{s}") for s in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
-            ).alias("band_key"),
-        )
+                *[
+                    F.col(f"m{s}")
+                    for s in range(
+                        b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                    )
+                ],
+            ).alias("band_key")
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), _band_key(b))
         for b in range(NUM_PERM // ROWS_PER_BAND)
     ]
     bands = minh.select(
@@ -1582,6 +1675,140 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Build the stride-1 span digests with the Arrow kernel (default)
+#: instead of the Catalyst transform/md5 expression -- the same
+#: playbook as SHINGLE_KERNEL (r15, VERDICT r14 #3: the interpreted
+#: explode was span_deduped's dominant term, 120.1s/216M spans at 4M
+#: per tools/span_attrib.py, and the composed operator pays it TWICE:
+#: once for the frequent-digest aggregate, once for the flag join).
+#: The expression path stays as the oracle-mirroring reference and is
+#: pinned bit-equal by tests/test_span_kernel.py's differential; the
+#: kernel engages only when the behavioral locale probe certifies
+#: lower() bit-equality (see _kernel_locale_ok).
+SPAN_KERNEL = True
+
+#: Above this many documents (footer row count) size-aware callers ask
+#: for the kernel; below it the expression path wins -- the kernel's
+#: fixed per-task Python/Arrow overhead dominates tiny inputs (measured
+#: sf0.1/5k docs: expr 0.46s vs kernel 0.88s) while the per-span C
+#: speed dominates at scale (1M docs: expr 19.8s vs kernel 13.4s for
+#: the same 54M-span explode; the 4M in-DAG term was 120s interpreted).
+SPAN_KERNEL_BOUND = 250_000
+
+
+def _span_occ_expr(with_toks: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, h) stride-1 span digests via the Catalyst
+    expression rendering -- the literal Spark-SQL transcription of the
+    dedup_span_mask oracle's occ CTE, with ``h`` carried as the
+    16-BYTE BINARY digest instead of the 32-char hex rendering (r15:
+    the digest is grouped/joined on, never output, and unhex is a
+    bijection, so equality classes -- and with them every downstream
+    row -- are untouched while the corpus-sized aggregate and join
+    shuffle half the key bytes; measured 42.2s -> 35.5s for the 1M
+    frequent-table stage). ``with_toks`` must carry the case-preserved
+    token array ``wt``. Short docs are guarded explicitly (sequence()
+    counts DOWN past an inverted bound)."""
+    return with_toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"IF(size(wt) >= {window},"
+                f" transform(sequence(0, size(wt) - {window}),"
+                f" i -> unhex(md5(encode(lower(concat_ws(' ',"
+                f" slice(wt, i + 1, {window}))), 'UTF-8')))),"
+                " CAST(array() AS ARRAY<BINARY>))"
+            )
+        ).alias("pos", "h"),
+    )
+
+
+def _span_occ_kernel(docs: DataFrame, window: int) -> DataFrame:
+    """(doc_id, pos, h) stride-1 span digests via a ``mapInArrow``
+    kernel, bit-equal to :func:`_span_occ_expr` term by term (the
+    differential test pins it on real + adversarial corpora):
+
+    - tokens: ``split(trim(regexp_replace(text, '\\\\s+', ' ')), ' ')``
+      with CASE PRESERVED -> the compiled Java-ASCII whitespace class
+      ``[ \\t\\n\\x0b\\f\\r]+`` (Python's ``\\s`` also eats Unicode
+      whitespace -- the shingle-kernel lesson), ``strip(' ')`` (Spark
+      trim removes 0x20 only), ``s.split(' ')`` (both keep empties).
+    - digest: ``unhex(md5(encode(lower(concat_ws(' ', window)),
+      'UTF-8')))`` -> ``md5(' '.join(toks[i:i+w]).lower().encode())
+      .digest()`` -- identical 16 raw bytes (unhex of the hex rendering
+      IS the digest); lower() runs on the JOINED window in both
+      renderings, and the kernel only engages when the executor locale
+      probe certifies Python/JVM lowercase equality (same guard as
+      SHINGLE_KERNEL).
+    - NULL text emits no rows (``size(NULL) = -1`` fails the length
+      guard); a NULL doc_id's span rows flow through with a NULL id
+      exactly as posexplode emits them; docs shorter than ``window``
+      tokens emit nothing.
+
+    Scale shape: embarrassingly parallel over doc rows -- no shuffle,
+    no state; output is the same (doc_id, int pos, 32-hex digest)
+    stream the expression path emits, so every downstream exchange is
+    unchanged. mapInArrow (not mapInPandas) for the same
+    int64-with-NULL exactness reason as the shingle kernel.
+    """
+    import pyarrow as pa
+
+    def gen(batches):
+        import hashlib
+        import re
+
+        md5 = hashlib.md5
+        ws = re.compile("[ \t\n\x0b\f\r]+")
+        for batch in batches:
+            cols = batch.to_pydict()
+            doc_ids: list[int | None] = []
+            poss: list[int] = []
+            hs: list[bytes] = []
+            for doc_id, text in zip(cols["doc_id"], cols["text"]):
+                if not isinstance(text, str):
+                    continue
+                toks = ws.sub(" ", text).strip(" ").split(" ")
+                n = len(toks) - window + 1
+                if n < 1:
+                    continue
+                doc_ids.extend([doc_id] * n)
+                poss.extend(range(n))
+                joined = " ".join(toks)
+                # running char offsets let each window digest slice the
+                # joined string instead of re-joining per position
+                hs.extend(
+                    md5(joined[s:e].lower().encode("utf-8")).digest()
+                    for s, e in _window_offsets(toks, window)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(doc_ids, type=pa.int64()),
+                    pa.array(poss, type=pa.int32()),
+                    pa.array(hs, type=pa.binary()),
+                ],
+                ["doc_id", "pos", "h"],
+            )
+
+    return docs.select("doc_id", "text").mapInArrow(
+        gen, schema="doc_id bigint, pos int, h binary"
+    )
+
+
+def _window_offsets(toks: list[str], window: int):
+    """(start, end) char offsets of each ``window``-token span inside
+    ``' '.join(toks)`` -- one pass, so the kernel never re-joins the
+    same tokens per position. ``' '.join(toks[i:i+w])`` equals the
+    slice between the i-th token's start and the (i+w-1)-th token's
+    end by construction (single-space joins both ways)."""
+    starts: list[int] = []
+    pos = 0
+    for t in toks:
+        starts.append(pos)
+        pos += len(t) + 1
+    ends = [s + len(t) for s, t in zip(starts, toks)]
+    n = len(toks) - window + 1
+    return zip(starts[:n], ends[window - 1 :])
+
+
 def mask_repeated_spans(
     docs: DataFrame,
     window: int = LINE_TOKENS,
@@ -1589,6 +1816,7 @@ def mask_repeated_spans(
     *,
     keep_first: bool = True,
     broadcast_frequent: bool = True,
+    kernel: bool | None = None,
 ) -> DataFrame:
     """Substring-level dedup: mask token SPANS that repeat across the
     corpus -- the passage-granularity step between doc-level dedup (too
@@ -1657,19 +1885,18 @@ def mask_repeated_spans(
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
     )
     with_toks = docs.withColumn("wt", case_tokens)
-    # stride-1 window digests with positions; guard short docs (see
-    # docstring: sequence() counts DOWN past an inverted bound)
-    occ = with_toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"IF(size(wt) >= {window},"
-                f" transform(sequence(0, size(wt) - {window}),"
-                f" i -> md5(encode(lower(concat_ws(' ',"
-                f" slice(wt, i + 1, {window}))), 'UTF-8'))),"
-                " CAST(array() AS ARRAY<STRING>))"
-            )
-        ).alias("pos", "h"),
+    # stride-1 window digests with positions -- the Arrow kernel when
+    # the caller asks for it (``kernel=None`` defaults to on; size-
+    # aware callers pass ``n_docs > SPAN_KERNEL_BOUND``) AND the locale
+    # probe certifies lower() bit-equality; else the expression
+    # rendering (see SPAN_KERNEL; both paths differential-pinned
+    # bit-equal). The composed operator evaluates occ twice (frequent
+    # aggregate + flag join), so this is the dominant term.
+    use_kernel = SPAN_KERNEL if kernel is None else kernel
+    occ = (
+        _span_occ_kernel(docs, window)
+        if use_kernel and SPAN_KERNEL and _kernel_locale_ok(docs.sparkSession)
+        else _span_occ_expr(with_toks, window)
     )
     frequent = (
         occ.groupBy("h")
@@ -1831,8 +2058,14 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents", widen=True).select(
         "doc_id", "text"
     )
+    # size-gated kernel choice: the Arrow digest kernel wins above
+    # SPAN_KERNEL_BOUND docs and loses to its fixed per-task overhead
+    # below it (both paths bit-equal, so this is purely a cost choice)
+    n_docs = table_row_count(sf_dir, "documents")
     return (
-        mask_repeated_spans(docs)
+        mask_repeated_spans(
+            docs, kernel=n_docs is not None and n_docs > SPAN_KERNEL_BOUND
+        )
         .where(F.col("masked_tokens") > 0)
         .select(
             "doc_id",

@@ -621,15 +621,33 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.pq import adc_scored, pq_encode
 
-    pq_seed_rows = (
-        nanfree.select(
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-            "vec_id",
-            "embedding",
+    # ONE seed-collect job for the pq AND kseed branches (r15): the two
+    # md5-ranked TakeOrdered prefixes (PQ_K over the NaN-free rows,
+    # KSEED_K over all valid rows) union under a src marker and collect
+    # together -- the same model-sized driver read, but one job and one
+    # pass over the pinned corpus instead of two. Rows re-sort
+    # driver-side by the same (md5, vec_id) rank, so neither branch
+    # depends on union output order.
+    def _ranked(df: DataFrame, src: str, k: int) -> DataFrame:
+        return (
+            df.select(
+                F.md5(F.col("vec_id").cast("string")).alias("h"),
+                "vec_id",
+                "embedding",
+            )
+            .orderBy("h", "vec_id")
+            .limit(k)
+            .select(F.lit(src).alias("src"), "h", "vec_id", "embedding")
         )
-        .orderBy("h", "vec_id")
-        .limit(PQ_K)
+
+    seed_collect = (
+        _ranked(nanfree, "pq", PQ_K)
+        .unionByName(_ranked(valid, "kseed", KSEED_K))
         .collect()
+    )
+    pq_seed_rows = sorted(
+        (r for r in seed_collect if r["src"] == "pq"),
+        key=lambda r: (r["h"], r["vec_id"]),
     )
     if len(pq_seed_rows) == PQ_K:
         books = {
@@ -702,15 +720,9 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plane literals.
     from ..operators.kmeans import _dist2
 
-    seed_rows = (
-        valid.select(
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-            "vec_id",
-            "embedding",
-        )
-        .orderBy("h", "vec_id")
-        .limit(KSEED_K)
-        .collect()
+    seed_rows = sorted(
+        (r for r in seed_collect if r["src"] == "kseed"),
+        key=lambda r: (r["h"], r["vec_id"]),
     )
     if seed_rows:
         choices = F.array(

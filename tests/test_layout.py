@@ -396,3 +396,33 @@ def test_stale_location_guard_inmemory_only_and_crash_recoverable(
         shutil.rmtree(loc, ignore_errors=True)
         for d in glob.glob(loc + ".stale-*"):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucket_count_for_scales_with_corpus():
+    """r15 (VERDICT r14 #1): the per-run bucket count grows with the
+    corpus -- floor 32 up through ~4M docs (historical layouts and
+    oracle-scale renderings unchanged), power-of-two growth above it so
+    differently-sized generations still coalesce in joins."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        DOCS_PER_BUCKET,
+        bucket_count_for,
+    )
+
+    # unknown / tiny / oracle-scale corpora keep the floor
+    assert bucket_count_for(None) == 32
+    assert bucket_count_for(0) == 32
+    assert bucket_count_for(5_000) == 32
+    assert bucket_count_for(1_000_000) == 32
+    assert bucket_count_for(4_000_000) == 32
+    # growth engages past floor * DOCS_PER_BUCKET and stays pow2
+    assert bucket_count_for(32 * DOCS_PER_BUCKET) == 32
+    assert bucket_count_for(32 * DOCS_PER_BUCKET + 1) == 64
+    assert bucket_count_for(8_000_000) == 64
+    assert bucket_count_for(16_000_000) == 128
+    for n in (1, 10**6, 8 * 10**6, 10**8):
+        c = bucket_count_for(n)
+        assert c >= 32 and (c & (c - 1)) == 0
+        # enough buckets that no bucket exceeds the target size
+        assert c * DOCS_PER_BUCKET >= n
+    # explicit floor override respected
+    assert bucket_count_for(100, floor=8) == 8

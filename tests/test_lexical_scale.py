@@ -633,6 +633,50 @@ def test_materialize_shingle_index_cache_keys_on_args(spark, sf_dir):
         spark.sql(f"DROP TABLE IF EXISTS {t2}")
 
 
+def test_materialize_shingle_index_same_table_new_buckets(spark, sf_dir):
+    """ADVICE r14: the SAME table at a DIFFERENT bucket_count must
+    rebuild cold from the raw corpus -- the warm branch previously used
+    the cached scan of that very table as the source for an overwrite
+    of itself, raising UNSUPPORTED_OVERWRITE.TABLE."""
+    import glob
+    import os
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        materialize_shingle_index,
+        shingled_docs,
+    )
+
+    tbl = "t_shidx_rebucket"
+    release_shingle_index(spark)
+    try:
+        first = materialize_shingle_index(spark, sf_dir, tbl, 4)
+        rows = sorted(
+            (r["doc_id"], r["sid"], r["n_sh"]) for r in first.collect()
+        )
+        # same table, different bucket count: rebuilds (no
+        # AnalysisException), rows identical, layout re-bucketed
+        rebucketed = materialize_shingle_index(spark, sf_dir, tbl, 8)
+        assert (
+            sorted(
+                (r["doc_id"], r["sid"], r["n_sh"])
+                for r in rebucketed.collect()
+            )
+            == rows
+        )
+        wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+        files = [
+            f
+            for f in glob.glob(os.path.join(wh, tbl, "*"))
+            if not f.endswith("_SUCCESS") and ".crc" not in f
+        ]
+        assert len(files) == 8, files
+        # and the accessor serves the re-bucketed frame
+        assert shingled_docs(spark, sf_dir) is rebucketed
+    finally:
+        release_shingle_index(spark)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_materialize_shingle_index_cold_fast_path(spark, sf_dir):
     """r14 (VERDICT r13 #1): a COLD materialize builds the uncached
     lineage pre-partitioned and writes it directly -- no index-cache
@@ -699,3 +743,128 @@ def test_materialize_shingle_index_cold_fast_path(spark, sf_dir):
     finally:
         release_shingle_index(spark)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_raw_persist_level_gate():
+    """r15 (VERDICT r14 #5): the pre-cap shingle explode persists in
+    memory only while its estimated cache fits the heap budget; above
+    it the pin degrades to DISK_ONLY (one serialized pass, zero
+    execution-memory theft) instead of spilling beside the heap."""
+    from pyspark import StorageLevel
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        RAW_PERSIST_HEAP_FRACTION,
+        RAW_ROW_CACHE_BYTES,
+        RAW_SHINGLES_PER_DOC_EST,
+        _raw_persist_level,
+    )
+
+    heap_64g = 64 * 2**30
+    # 4M docs beside a 64g heap: the r14 regime, stays in memory
+    assert (
+        _raw_persist_level(4_000_000, heap_64g)
+        == StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    # 8M docs beside the same heap: the measured spill regime -> disk
+    assert _raw_persist_level(8_000_000, heap_64g) == StorageLevel.DISK_ONLY
+    # unknown size keeps the memory tier (small corpora are the point)
+    assert (
+        _raw_persist_level(None, heap_64g)
+        == StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    # the bound is exactly est_bytes > heap * fraction
+    budget = heap_64g * RAW_PERSIST_HEAP_FRACTION
+    boundary = int(
+        budget // (RAW_SHINGLES_PER_DOC_EST * RAW_ROW_CACHE_BYTES)
+    )
+    assert (
+        _raw_persist_level(boundary, heap_64g)
+        == StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    assert (
+        _raw_persist_level(boundary + 1, heap_64g)
+        == StorageLevel.DISK_ONLY
+    )
+
+
+def test_heap_bytes_parses_conf(spark):
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        _heap_bytes,
+    )
+
+    got = _heap_bytes(spark)
+    # the test session runs with driver_memory='8g'
+    assert got == 8 * 2**30
+
+
+def test_packed_band_key_candidates_equal_string_rendering(spark, sf_dir):
+    """r15: the BIGINT-packed LSH band key (m0 << 31 | m1) must yield
+    EXACTLY the candidate set of the comma-joined string rendering the
+    oracle uses -- injectivity in practice, pinned on the real corpus."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        MH_P,
+        NUM_PERM,
+        ROWS_PER_BAND,
+        _mh_coeffs,
+        _minhash_candidates,
+    )
+
+    assert ROWS_PER_BAND == 2  # the packed branch's precondition
+    release_shingle_index(spark)
+    try:
+        sh = shingled_docs(spark, sf_dir)
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in _minhash_candidates(sh).collect()
+        }
+        # string-key reference (the pre-r15 rendering)
+        hashed = sh.withColumn("h0", F.shiftright("sid", 32))
+        minh = hashed.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    (F.lit(a) * F.col("h0") + F.lit(b)) % F.lit(MH_P)
+                ).alias(f"m{s}")
+                for s, (a, b) in ((s, _mh_coeffs(s)) for s in range(NUM_PERM))
+            ]
+        )
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{s}")
+                        for s in range(
+                            b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND
+                        )
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(NUM_PERM // ROWS_PER_BAND)
+        ]
+        bands = minh.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+        ).select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        a, b = bands.alias("a"), bands.alias("b")
+        want = {
+            (r["doc_a"], r["doc_b"])
+            for r in a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        release_shingle_index(spark)

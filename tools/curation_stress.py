@@ -63,11 +63,19 @@ BUCKETED = "--bucketed" in sys.argv
 #: process (index cache + stage tables torn down between reps) and
 #: reports per-stage min + median; the MIN is the low-ambient reading
 #: the scaling tables should cite.
-REPEATS = (
-    int(sys.argv[sys.argv.index("--repeats") + 1])
-    if "--repeats" in sys.argv
-    else 1
-)
+def _int_flag(flag: str, default: int) -> int:
+    """Value of ``<flag> N``; exits with usage if N is missing or
+    non-numeric (ADVICE r14: the bare index lookup raised IndexError
+    when the flag was the last argument)."""
+    if flag not in sys.argv:
+        return default
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv) or not sys.argv[i + 1].lstrip("-").isdigit():
+        raise SystemExit(f"usage: {flag} <N> -- missing or non-numeric value")
+    return int(sys.argv[i + 1])
+
+
+REPEATS = _int_flag("--repeats", 1)
 #: r14 (VERDICT r13 #1b): persist the materialized shingle-index scan
 #: MEMORY_AND_DISK for exactly its two consumers (doc_clusters,
 #: contaminated -- adjacent since r14) and unpersist before doc_lm.
@@ -252,6 +260,7 @@ def main() -> None:
             import hashlib
 
             from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (  # noqa: E501
+                bucket_count_for,
                 bucketed_sorted_reader,
                 write_bucketed,
             )
@@ -259,6 +268,9 @@ def main() -> None:
             tag = hashlib.md5(
                 os.path.abspath(sf_dir).encode("utf-8")
             ).hexdigest()[:8]
+            # mirror run_llm_curation's r15 default: one corpus-scaled
+            # bucket count shared by every boundary table of the run
+            n_buckets = bucket_count_for(N_DOCS)
             reader_ctx = lambda: bucketed_sorted_reader(spark)
         else:
             import contextlib
@@ -308,7 +320,7 @@ def main() -> None:
 
                 t0 = time.time()
                 idx = materialize_shingle_index(
-                    spark, sf_dir, f"stress_{tag}_shingle_index", 32
+                    spark, sf_dir, f"stress_{tag}_shingle_index", n_buckets
                 )
                 dt = time.time() - t0
                 total += dt
@@ -342,7 +354,9 @@ def main() -> None:
                     # the materialization), keyless ones localCheckpoint
                     if BUCKETED and "doc_id" in out.columns:
                         tbl = f"stress_{tag}_{name}"
-                        write_bucketed(out, tbl, "doc_id", 32, sort=True)
+                        write_bucketed(
+                            out, tbl, "doc_id", n_buckets, sort=True
+                        )
                         out = spark.table(tbl)
                     else:
                         out = out.localCheckpoint(eager=True)

@@ -108,7 +108,11 @@ def buildwrite() -> None:
     #1: 240s at 4M, 525s at 16M -- the DAG's biggest single block).
 
         python tools/lexical_attrib.py --buildwrite <n_docs> <corpus_dir> \
-            [legacy|fast|terms]
+            [legacy|fast|terms] [n_buckets]
+
+    ``n_buckets`` defaults to the r15 corpus-scaled count
+    (operators.layout.bucket_count_for); pass 32 to reproduce the
+    r13/r14 fixed-count readings for an A/B.
 
     legacy : the r13 cold shape -- shingled_docs() persist-backed build,
              write_bucketed from the cache (the write action populates
@@ -133,20 +137,24 @@ def buildwrite() -> None:
     ensure_corpus(spark, sf_dir, n_docs)
 
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucket_count_for,
         write_bucketed,
     )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
 
+    n_buckets = (
+        int(sys.argv[5]) if len(sys.argv) > 5 else bucket_count_for(n_docs)
+    )
     tbl = "attrib_shingle_index"
-    out: dict = {"n_docs": n_docs, "variant": variant}
+    out: dict = {"n_docs": n_docs, "variant": variant, "buckets": n_buckets}
     t0 = time.time()
     if variant == "legacy":
         idx = dedup.shingled_docs(spark, sf_dir)
-        write_bucketed(idx, tbl, "doc_id", 32, sort=True)
+        write_bucketed(idx, tbl, "doc_id", n_buckets, sort=True)
         out["rows"] = spark.table(tbl).count()
         out["wall_s"] = round(time.time() - t0, 1)
     elif variant == "fast":
-        dedup.materialize_shingle_index(spark, sf_dir, tbl, 32)
+        dedup.materialize_shingle_index(spark, sf_dir, tbl, n_buckets)
         out["rows"] = spark.table(tbl).count()
         out["wall_s"] = round(time.time() - t0, 1)
     elif variant == "terms":
@@ -178,7 +186,7 @@ def buildwrite() -> None:
         out["index_rows"] = win.count()
         out["window_s"] = round(time.time() - t0, 1)
         t0 = time.time()
-        write_bucketed(win, tbl, "doc_id", 32, sort=True)
+        write_bucketed(win, tbl, "doc_id", n_buckets, sort=True)
         out["write_s"] = round(time.time() - t0, 1)
     else:
         raise SystemExit(f"unknown variant {variant!r}")

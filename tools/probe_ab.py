@@ -26,8 +26,20 @@ def main() -> None:
 
     pos = sys.argv[1:]
     if "--targets" in pos:
-        # drop the flag AND its value from the positional scan
+        # drop the flag AND its value from the positional scan; guard
+        # the value (ADVICE r14: a trailing --targets raised IndexError
+        # and a non-numeric list crashed deep in the sweep)
         ti = pos.index("--targets")
+        if ti + 1 >= len(pos):
+            raise SystemExit(
+                "usage: --targets t1,t2,... -- missing value"
+            )
+        try:
+            [float(t) for t in pos[ti + 1].split(",")]
+        except ValueError:
+            raise SystemExit(
+                "usage: --targets t1,t2,... -- values must be numeric"
+            ) from None
         pos = pos[:ti] + pos[ti + 2 :]
     n_docs = int(pos[0])
     sf_dir = pos[1]

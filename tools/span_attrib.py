@@ -80,17 +80,20 @@ def main() -> None:
     out["scan_tok_s"] = round(time.time() - t0, 1)
 
     w = LINE_TOKENS
-    occ = with_toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                f"IF(size(wt) >= {w},"
-                f" transform(sequence(0, size(wt) - {w}),"
-                f" i -> md5(encode(lower(concat_ws(' ',"
-                f" slice(wt, i + 1, {w}))), 'UTF-8'))),"
-                " CAST(array() AS ARRAY<STRING>))"
-            )
-        ).alias("pos", "h"),
+    # the SAME occ rendering the composed operator takes (r15: binary
+    # digests; size-gated Arrow kernel above SPAN_KERNEL_BOUND)
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import (
+        dedup as _dedup,
+    )
+
+    use_kernel = n_docs > _dedup.SPAN_KERNEL_BOUND and _dedup._kernel_locale_ok(
+        spark
+    )
+    out["occ_path"] = "kernel" if use_kernel else "expr"
+    occ = (
+        _dedup._span_occ_kernel(docs, w)
+        if use_kernel
+        else _dedup._span_occ_expr(with_toks, w)
     )
     t0 = time.time()
     out["occ_rows"] = occ.count()
