@@ -128,6 +128,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # Scaling-contract evidence (r15 verdict #2): the session
+                # honors $SPARK_GRAFT_CPUS (session.py builds
+                # master=local[N]); echoing the EFFECTIVE parallelism and
+                # data dir lets the driver verify that instead of
+                # inferring it from runtimes alone.
+                "cpus": spark.sparkContext.defaultParallelism,
+                "sf_dir": sf_dir,
             }
         )
     )

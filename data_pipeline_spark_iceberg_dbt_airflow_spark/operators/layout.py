@@ -209,10 +209,17 @@ def bucket_count_for(n_rows: int | None, floor: int = BUCKET_FLOOR) -> int:
     takes the floor -- sizing is a constant-factor layout choice, never
     a semantics question.
     """
+    # Round the floor itself up to a power of two first: the doubling
+    # loop below only preserves the documented power-of-two invariant
+    # (relied on by coalesceBucketsInJoin co-location) when it starts
+    # from one -- a caller's floor=48 must yield 64-style counts, not 96.
+    pow2_floor = 1
+    while pow2_floor < max(floor, 1):
+        pow2_floor *= 2
     if n_rows is None or n_rows <= 0:
-        return floor
+        return pow2_floor
     need = -(-n_rows // DOCS_PER_BUCKET)  # ceil
-    count = max(floor, 1)
+    count = pow2_floor
     while count < need:
         count *= 2
     return count

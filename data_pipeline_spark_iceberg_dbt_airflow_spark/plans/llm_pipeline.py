@@ -210,8 +210,13 @@ def build_llm_curation_pipeline(
     quality_seed: DataFrame | None = None,
     quality_threshold: float | None = None,
     sem_two_level: bool | None = None,
+    corpus_rows: int | None = None,
 ) -> PipelineRunner:
-    """``sem_k``/``sem_eps`` tune the semantic-dedup stage. ``sem_k``
+    """``corpus_rows`` threads an already-resolved documents row count
+    (``run_llm_curation`` probes the footer once per run); ``None``
+    falls back to the cached footer probe per stage.
+
+    ``sem_k``/``sem_eps`` tune the semantic-dedup stage. ``sem_k``
     defaults to :func:`default_sem_k` over the corpus's footer row
     count -- N/250 below ``SEM_K_BOUND``, 2*sqrt(N) above it, and the
     pair-budget N/500 above ``SEM_TWO_LEVEL_BOUND`` (see each bound's
@@ -235,6 +240,16 @@ def build_llm_curation_pipeline(
     """
     runner = PipelineRunner(config or RunConfig(retries=1, schedule=None))
     use_learned = quality_seed is not None
+
+    def _corpus_rows() -> int | None:
+        # one resolved count per build (threaded from run_llm_curation
+        # when available; table_row_count is itself dict-cached per
+        # path, so the fallback re-probe is a lookup, not a re-scan)
+        return (
+            corpus_rows
+            if corpus_rows is not None
+            else table_row_count(sf_dir, "documents")
+        )
 
     runner.add(
         Model("raw_documents", lambda: read_table(spark, sf_dir, "documents"))
@@ -321,7 +336,7 @@ def build_llm_curation_pipeline(
             uni,
             bi,
             totals,
-            corpus_rows=table_row_count(sf_dir, "documents"),
+            corpus_rows=_corpus_rows(),
         )
 
     runner.add(Model("doc_lm", doc_lm))
@@ -419,7 +434,7 @@ def build_llm_curation_pipeline(
         # size-gated occ kernel (r15): the corpus footer count stands
         # in for the cleaned-stage count (cleaned <= corpus; both sides
         # of the bound are bit-equal, so this is purely a cost choice)
-        n = table_row_count(sf_dir, "documents")
+        n = _corpus_rows()
         masked = mask_repeated_spans(
             cl.select("doc_id", "text"),
             kernel=n is not None and n > SPAN_KERNEL_BOUND,
@@ -458,7 +473,7 @@ def build_llm_curation_pipeline(
         # blocked-pair path switch (expected candidates ~ N^2/2k --
         # semdedup's no-hint fallback keys on k*dim, which is
         # anti-correlated with pair cost; round-9 ADVICE)
-        n_docs = table_row_count(sf_dir, "documents")
+        n_docs = _corpus_rows()
         if n_docs is None:
             from ..io import record_row_count
 
@@ -640,6 +655,7 @@ def run_llm_curation(
         quality_seed=quality_seed,
         quality_threshold=quality_threshold,
         sem_two_level=sem_two_level,
+        corpus_rows=n_docs,
     )
     if bucket_key is not None:
         import hashlib

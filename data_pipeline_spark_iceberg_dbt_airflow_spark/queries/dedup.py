@@ -417,11 +417,16 @@ def _heap_bytes(spark: SparkSession) -> int:
             v = None
         if v:
             try:
-                unit = v[-1].lower()
+                # Spark's JavaUtils grammar: optional one- OR two-letter
+                # suffix ('8g' == '8gb'), case-insensitive; a UNITLESS
+                # value for *.memory is MiB (byteStringAsMb), not bytes.
+                s = v.strip().lower()
                 mult = {"k": 2**10, "m": 2**20, "g": 2**30, "t": 2**40}
-                if unit in mult:
-                    return int(float(v[:-1]) * mult[unit])
-                return int(v)
+                if s.endswith("b") and len(s) > 1 and s[-2] in mult:
+                    return int(float(s[:-2]) * mult[s[-2]])
+                if s and s[-1] in mult:
+                    return int(float(s[:-1]) * mult[s[-1]])
+                return int(float(s) * 2**20)
             except (ValueError, TypeError):
                 continue
     return 2**30
@@ -1759,18 +1764,22 @@ def _span_occ_kernel(docs: DataFrame, window: int) -> DataFrame:
         md5 = hashlib.md5
         ws = re.compile("[ \t\n\x0b\f\r]+")
         for batch in batches:
-            cols = batch.to_pydict()
-            doc_ids: list[int | None] = []
+            texts = batch.column("text").to_pylist()
+            # replicate doc_id by Arrow take() instead of rebuilding it
+            # from Python objects: the input column's exact type (and
+            # NULLs) pass through, so the kernel is doc_id-type-agnostic
+            # -- any schema the expression path handles, this does too.
+            idxs: list[int] = []
             poss: list[int] = []
             hs: list[bytes] = []
-            for doc_id, text in zip(cols["doc_id"], cols["text"]):
+            for row_i, text in enumerate(texts):
                 if not isinstance(text, str):
                     continue
                 toks = ws.sub(" ", text).strip(" ").split(" ")
                 n = len(toks) - window + 1
                 if n < 1:
                     continue
-                doc_ids.extend([doc_id] * n)
+                idxs.extend([row_i] * n)
                 poss.extend(range(n))
                 joined = " ".join(toks)
                 # running char offsets let each window digest slice the
@@ -1781,15 +1790,18 @@ def _span_occ_kernel(docs: DataFrame, window: int) -> DataFrame:
                 )
             yield pa.RecordBatch.from_arrays(
                 [
-                    pa.array(doc_ids, type=pa.int64()),
+                    batch.column("doc_id").take(
+                        pa.array(idxs, type=pa.int64())
+                    ),
                     pa.array(poss, type=pa.int32()),
                     pa.array(hs, type=pa.binary()),
                 ],
                 ["doc_id", "pos", "h"],
             )
 
+    id_type = docs.schema["doc_id"].dataType.simpleString()
     return docs.select("doc_id", "text").mapInArrow(
-        gen, schema="doc_id bigint, pos int, h binary"
+        gen, schema=f"doc_id {id_type}, pos int, h binary"
     )
 
 

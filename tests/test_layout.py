@@ -426,3 +426,9 @@ def test_bucket_count_for_scales_with_corpus():
         assert c * DOCS_PER_BUCKET >= n
     # explicit floor override respected
     assert bucket_count_for(100, floor=8) == 8
+    # a non-pow2 floor is itself rounded UP to a power of two, so the
+    # documented coalesceBucketsInJoin invariant holds for all inputs
+    # (r16, ADVICE r15)
+    assert bucket_count_for(100, floor=48) == 64
+    assert bucket_count_for(None, floor=48) == 64
+    assert bucket_count_for(10_000_000, floor=48) == 128

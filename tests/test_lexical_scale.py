@@ -797,6 +797,37 @@ def test_heap_bytes_parses_conf(spark):
     assert got == 8 * 2**30
 
 
+def test_heap_bytes_matches_spark_byte_string_grammar():
+    """r16 (ADVICE r15): Spark's JavaUtils accepts one- OR two-letter
+    suffixes ('8g' == '8gb') and reads a UNITLESS *.memory value as
+    MiB (byteStringAsMb) -- the parser must match, or memory-rich
+    sessions fall through to the 1 GiB default and the raw-persist
+    gate goes DISK_ONLY for no reason."""
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        _heap_bytes,
+    )
+
+    class _Conf:
+        def __init__(self, val):
+            self._val = val
+
+        def get(self, key, default=None):
+            return self._val if key == "spark.executor.memory" else default
+
+    class _Spark:
+        def __init__(self, val):
+            self.conf = _Conf(val)
+
+    assert _heap_bytes(_Spark("8gb")) == 8 * 2**30
+    assert _heap_bytes(_Spark("8g")) == 8 * 2**30
+    assert _heap_bytes(_Spark("512MB")) == 512 * 2**20
+    assert _heap_bytes(_Spark("1T")) == 2**40
+    # unitless == MiB, Spark's byteStringAsMb semantics
+    assert _heap_bytes(_Spark("4096")) == 4096 * 2**20
+    # unparseable falls through to the 1 GiB default, never raises
+    assert _heap_bytes(_Spark("lots")) == 2**30
+
+
 def test_packed_band_key_candidates_equal_string_rendering(spark, sf_dir):
     """r15: the BIGINT-packed LSH band key (m0 << 31 | m1) must yield
     EXACTLY the candidate set of the comma-joined string rendering the

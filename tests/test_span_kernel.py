@@ -145,3 +145,33 @@ def test_window_offsets_slices_equal_joins(window):
     assert len(got) == max(n, 0)
     for i, (s, e) in enumerate(got):
         assert joined[s:e] == " ".join(toks[i : i + window])
+
+
+def test_span_kernel_non_bigint_doc_id(spark):
+    """r16 (ADVICE r15): the kernel replicates the INPUT doc_id Arrow
+    column (take()) and derives its output schema from the frame, so a
+    non-bigint doc_id -- which the expression path always handled --
+    must flow through bit-equal rather than crash an Arrow cast."""
+    from pyspark.sql.types import IntegerType
+
+    base = [(i, t) for i, t in enumerate(
+        ["one two three four five six seven eight nine ten eleven",
+         "short doc", None,
+         "alpha beta gamma delta epsilon zeta eta theta iota kappa lam"])]
+    for cast_type, label in ((IntegerType(), "int"), (None, "string")):
+        schema = StructType([
+            StructField(
+                "doc_id", cast_type if cast_type else StringType(), True
+            ),
+            StructField("text", StringType(), True),
+        ])
+        rows = [
+            ((str(i) if cast_type is None else i), t) for i, t in base
+        ]
+        docs = spark.createDataFrame(rows, schema)
+        expr = dedup._span_occ_expr(_with_toks(docs), WINDOW)
+        kern = dedup._span_occ_kernel(docs, WINDOW)
+        assert [(f.name, f.dataType) for f in kern.schema] == [
+            (f.name, f.dataType) for f in expr.schema
+        ], label
+        assert _rows(kern) == _rows(expr), label
