@@ -339,6 +339,188 @@ def adc_scored(
     )
 
 
+def pq_encode_kernel(
+    vectors: DataFrame,
+    codebooks: Codebooks,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes) via ``mapInArrow`` -- the Arrow rendering of
+    :func:`pq_encode` restricted to the CLEAN domain the sim_ann
+    family feeds it (``nanfree``: non-NULL, exactly dim-wide, NaN-free,
+    no NULL elements -- the same conditions as pq_encode's NULL-codes
+    guard, so on this domain codes are never NULL). Bit-equality per
+    subspace: dist2 accumulates (x_d - c_d)^2 from 0.0 in index order
+    (the JVM fold's exact add sequence) and the argmin ties break to
+    the smaller code id (np.argmin returns the first minimum).
+    Differential-pinned by tests/test_ann_kernels.py."""
+    import pyarrow as pa
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cents = [
+        [[float(x) for x in codebooks[s][c]] for c in sorted(codebooks[s])]
+        for s in sorted(codebooks)
+    ]
+    id_type = vectors.schema["vec_id"].dataType.simpleString()
+
+    def gen(batches):
+        import numpy as np
+
+        cb = np.asarray(cents, dtype="float64")  # (m, k, dsub)
+
+        for batch in batches:
+            from ..queries.similarity import _list_f64
+
+            ok, x = _list_f64(batch.column(vec_col), dim)
+            if not ok.all():
+                raise ValueError(
+                    "pq_encode_kernel expects the nanfree domain "
+                    "(non-NULL, dim-wide, no NULL elements)"
+                )
+            n = x.shape[0]
+            codes = np.empty((n, m), dtype="int32")
+            for s in range(m):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                d = np.zeros((n, k), dtype="float64")
+                for di in range(dsub):
+                    diff = xs[:, di, None] - cb[s, None, :, di]
+                    d += diff * diff
+                codes[:, s] = np.argmin(d, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(codes.reshape(-1), type=pa.int32()), m
+                    ).cast(pa.list_(pa.int32())),
+                ],
+                ["vec_id", "codes"],
+            )
+
+    return vectors.select("vec_id", vec_col).mapInArrow(
+        gen, schema=f"vec_id {id_type}, codes array<int>"
+    )
+
+
+def adc_scored_kernel(
+    codes: DataFrame,
+    query_rows: list[tuple],
+    codebooks: Codebooks,
+) -> DataFrame:
+    """ADC scoring as ONE ``mapInArrow`` pass over the CODES stream --
+    no join: the model-sized query set arrives as ``(id_a, q_emb,
+    q_nrm)`` tuples (collected alongside the family's seed job) and is
+    folded into the classic ADC lookup tables driver-side:
+
+    - ``DOT[q][s][c]`` = sub_dot's exact fold (q_slice . CB[s][c],
+      accumulated per dimension from 0.0 -- Python floats ARE IEEE
+      doubles, so the table entries are bit-identical to the JVM's
+      per-pair fold results);
+    - ``NRM2[s][c]`` = sub_nrm2's fold, so r_nrm = sqrt(sum_s lookup)
+      with the same outer add order (s ascending from 0.0).
+
+    Per pair the kernel does m table lookups + m adds -- the PQ paper's
+    scoring shape -- and the corpus side ships m bytes of codes through
+    Arrow once, instead of one interpreted fold per pair over a
+    broadcast join. Pairs with id_b == id_a are skipped (the join
+    condition); a non-positive q_nrm or r_nrm yields NULL cosine
+    (Spark's NaN-greatest comparison mirrored for the NaN case).
+    Bit-equality pinned by tests/test_ann_kernels.py."""
+    import math
+
+    import pyarrow as pa
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    k = len(codebooks[0])
+    cents = [
+        [[float(x) for x in codebooks[s][c]] for c in sorted(codebooks[s])]
+        for s in sorted(codebooks)
+    ]
+    qids = [r[0] for r in query_rows]
+    dot_tab = []
+    qn_list = []
+    for qid, q_emb, q_nrm in query_rows:
+        per_s = []
+        for s in range(m):
+            qs = [float(v) for v in q_emb[s * dsub : (s + 1) * dsub]]
+            row = []
+            for c in range(k):
+                acc = 0.0
+                for qv, cv in zip(qs, cents[s][c]):
+                    acc += qv * cv
+                row.append(acc)
+            per_s.append(row)
+        dot_tab.append(per_s)
+        qn_list.append(float(q_nrm))
+    nrm2_tab = []
+    for s in range(m):
+        row = []
+        for c in range(k):
+            acc = 0.0
+            for cv in cents[s][c]:
+                acc += cv * cv
+            row.append(acc)
+        nrm2_tab.append(row)
+    id_type = codes.schema["id_b"].dataType.simpleString()
+    if id_type != "bigint":
+        raise ValueError(
+            "adc_scored_kernel requires bigint ids (the embeddings "
+            f"contract); got {id_type}"
+        )
+
+    def gen(batches):
+        import numpy as np
+
+        dt = np.asarray(dot_tab, dtype="float64")  # (Q, m, k)
+        nt = np.asarray(nrm2_tab, dtype="float64")  # (m, k)
+
+        for batch in batches:
+            ids = batch.column("id_b").to_numpy(zero_copy_only=False)
+            cvals = batch.column("codes").flatten().to_numpy(
+                zero_copy_only=False
+            )
+            cmat = cvals.reshape(-1, m).astype("int64")
+            n = cmat.shape[0]
+            # r_nrm: fold s ascending from 0.0 -- same order as the JVM
+            nrm2 = np.zeros(n, dtype="float64")
+            for s in range(m):
+                nrm2 += nt[s][cmat[:, s]]
+            rn = np.sqrt(nrm2)
+            rn_ok = (rn > 0) | np.isnan(rn)  # Spark orders NaN greatest
+            out_a, out_b, out_c, out_nul = [], [], [], []
+            for qi in range(len(qids)):
+                keep = ids != qids[qi]
+                dot = np.zeros(n, dtype="float64")
+                for s in range(m):
+                    dot += dt[qi, s][cmat[:, s]]
+                qn_i = qn_list[qi]
+                cond = rn_ok & ((qn_i > 0) or math.isnan(qn_i))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = dot / (qn_i * rn)
+                out_a.append(np.full(int(keep.sum()), qids[qi], dtype="int64"))
+                out_b.append(ids[keep])
+                out_c.append(cos[keep])
+                out_nul.append(~cond[keep])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_a), type=pa.int64()),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(
+                        np.concatenate(out_c),
+                        type=pa.float64(),
+                        mask=np.concatenate(out_nul),
+                    ),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
+
+    return codes.select("id_b", "codes").mapInArrow(
+        gen, schema="id_a bigint, id_b bigint, cosine double"
+    )
+
+
 def _adc_rank(
     codes: DataFrame,
     queries: DataFrame,

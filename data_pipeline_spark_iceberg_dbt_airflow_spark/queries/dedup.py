@@ -1572,10 +1572,18 @@ def strip_boilerplate(
         F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
     )
     with_segs = docs.withColumn("wt", case_tokens).withColumn("segs", segs)
+    # 16-byte BINARY digests (r16, same §2.3 bijection as the span
+    # digests: unhex of md5 is injective, so the frequent-digest
+    # equality classes -- and with them every output row -- are
+    # untouched while the corpus-sized digest aggregate and the
+    # per-doc reassembly join shuffle half the key bytes)
     digests = with_segs.select(
         "doc_id",
         F.explode(
-            F.expr("transform(segs, s -> md5(encode(lower(s), 'UTF-8')))")
+            F.expr(
+                "transform(segs,"
+                " s -> unhex(md5(encode(lower(s), 'UTF-8'))))"
+            )
         ).alias("h"),
     )
     frequent = (
@@ -1597,7 +1605,7 @@ def strip_boilerplate(
         with_segs.join(doc_freq, "doc_id", "left")
         .withColumn(
             "freq_h",
-            F.coalesce("freq_h", F.expr("CAST(array() AS ARRAY<STRING>)")),
+            F.coalesce("freq_h", F.expr("CAST(array() AS ARRAY<BINARY>)")),
         )
         .select(
             "doc_id",
@@ -1606,7 +1614,7 @@ def strip_boilerplate(
                 F.array_join(
                     F.expr(
                         "filter(segs, s -> NOT array_contains("
-                        "freq_h, md5(encode(lower(s), 'UTF-8'))))"
+                        "freq_h, unhex(md5(encode(lower(s), 'UTF-8')))))"
                     ),
                     " ",
                 )

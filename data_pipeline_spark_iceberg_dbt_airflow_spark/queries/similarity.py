@@ -57,6 +57,7 @@ from ..io import (
     read_table,
     register_cache_purger,
     session_token,
+    table_row_count,
 )
 from .registry import register
 
@@ -325,6 +326,510 @@ def _bucket_col() -> Column:
     return out
 
 
+#: Vector count (embeddings footer) above which ``sim_ann_family``
+#: routes its corpus-sized interpreted HOF folds through Arrow kernels
+#: (r16, VERDICT r15 #4): the LSH bucket assignment (6 folds/row), the
+#: q8 quantization (3 folds/row), the q8 integer retrieve dot (1 fold
+#: per QUERY_N x N pair) and the ivf/lsh pair cosine (1 fold per
+#: candidate pair) are all CodegenFallback expressions -- interpreted
+#: per element -- and together they are the family's corpus-sized cost
+#: at scale. Below the bound the expression renderings win on fixed
+#: per-task Python/Arrow overhead and stay the oracle-mirroring path
+#: (every verified bench/oracle scale is far below it); above it each
+#: kernel is pinned bit-equal by tests/test_ann_kernels.py AND by the
+#: session's one-time runtime equality probe (_ann_kernels_ok), the
+#: same belt-and-braces posture as the span/shingle kernels' locale
+#: probe. Both sides of the bound compute identical rows by those
+#: pins, so the gate is purely a cost choice.
+ANN_KERNEL_BOUND = 250_000
+
+_ANN_PROBE_CACHE: dict[str, bool] = {}
+
+
+def _list_f64(col, width: int):
+    """Decode a pyarrow ListArray of floats into the kernel fast path:
+    ``(ok, X)`` where ``ok`` marks rows that are non-null, exactly
+    ``width`` long, with no NULL elements, and ``X`` is their float64
+    matrix (row order = ok order). Rows failing ``ok`` are exactly the
+    rows whose JVM fold would be NULL (zip_with pads width mismatches
+    with NULL; a NULL element nulls the product; a NULL array nulls the
+    fold) -- callers give them the expression path's NULL-fold result.
+    NaN/Inf ELEMENTS are not nulls and stay in ``X``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = len(col)
+    lens_raw = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    lens_f = lens_raw.astype("float64")
+    row_null = np.isnan(lens_f)
+    lens = np.where(row_null, 0, lens_raw).astype("int64")
+    ok = (~row_null) & (lens == width)
+    vals = col.flatten()
+    if vals.null_count:
+        starts_all = np.concatenate(([0], np.cumsum(lens)))
+        null_pos = np.flatnonzero(np.asarray(vals.is_null()))
+        bad_rows = np.searchsorted(starts_all, null_pos, side="right") - 1
+        ok[np.unique(bad_rows)] = False
+    if not ok.any():
+        return ok, np.empty((0, width), dtype="float64")
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = starts[ok][:, None] + np.arange(width)[None, :]
+    vals_np = vals.to_numpy(zero_copy_only=False)
+    return ok, vals_np[idx].astype("float64")
+
+
+def _bucket_assign_kernel(emb_n: DataFrame) -> DataFrame:
+    """``emb_n`` plus the LSH ``bucket`` column via one ``mapInArrow``
+    pass -- bit-equal to ``withColumn("bucket", _bucket_col())``:
+
+    - each plane sum accumulates sign[d] * (double)emb[d] from 0.0 in
+      index order, the exact IEEE add sequence of the JVM fold;
+    - ``plane >= 0`` counts NaN as set (Spark orders NaN greatest), so
+      the kernel tests ``(plane >= 0) | isnan(plane)``;
+    - a NULL / wrong-width / NULL-element embedding nulls every plane
+      fold, and when(NULL >= 0) routes to the ELSE 0 branch -- bucket 0,
+      which is what non-``ok`` rows get here.
+    """
+    import pyarrow as pa
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb_n.schema
+    )
+
+    def gen(batches):
+        import numpy as np
+
+        signs = np.asarray(_lsh_signs(), dtype="float64")
+
+        for batch in batches:
+            ok, x = _list_f64(batch.column("embedding"), EMB_DIM)
+            bucket = np.zeros(len(ok), dtype="int32")
+            if x.shape[0]:
+                bk = np.zeros(x.shape[0], dtype="int32")
+                for p in range(signs.shape[0]):
+                    acc = np.zeros(x.shape[0], dtype="float64")
+                    sp = signs[p]
+                    for d in range(EMB_DIM):
+                        acc += sp[d] * x[:, d]
+                    bk += np.where(
+                        (acc >= 0) | np.isnan(acc), 1 << p, 0
+                    ).astype("int32")
+                bucket[ok] = bk
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(bucket, type=pa.int32())],
+                [*batch.schema.names, "bucket"],
+            )
+
+    return emb_n.mapInArrow(gen, schema=f"{schema}, bucket int")
+
+
+_LONG_MAX = (1 << 63) - 1
+_LONG_MIN = -(1 << 63)
+
+
+def _sat_floor_long(y):
+    """java.lang.Math.floor + (long) cast over a float64 array: NaN -> 0,
+    saturate outside int64 -- exactly Spark's floor(double)->LONG."""
+    import numpy as np
+
+    f = np.floor(y)
+    out = np.zeros(f.shape, dtype="int64")
+    fin = np.isfinite(f)
+    inr = fin & (f >= float(_LONG_MIN)) & (f <= float(_LONG_MAX))
+    out[inr] = f[inr].astype("int64")
+    out[fin & (f > float(_LONG_MAX))] = _LONG_MAX
+    out[np.isinf(f) & (f > 0)] = _LONG_MAX
+    out[(np.isinf(f) & (f < 0)) | (fin & (f < float(_LONG_MIN)))] = _LONG_MIN
+    return out
+
+
+def _quantize_kernel(emb_n: DataFrame) -> DataFrame:
+    """(vec_id, qv, inv) -- the q8 symmetric-quantization projection --
+    via ``mapInArrow``, bit-equal to the expression rendering in
+    :func:`_quantized_rerank_scored`:
+
+    - mx = array_max(|x| as double): NULL elements skipped, NaN ranks
+      greatest (propagates), all-NULL/empty -> NULL;
+    - scl/inv take the ELSE 0.0 branch when mx is NULL or <= 0, with
+      Spark's NaN-greatest comparison making when(NaN > 0) TRUE;
+    - qv_i = floor(x_i * scl + 0.5) with Spark's total floor(double)
+      -> LONG semantics (NaN -> 0, saturation at the long range);
+      NULL elements stay NULL, NULL/odd-width rows keep the expression
+      path's NULL results.
+    General-width rows (anything not EMB_DIM wide and element-clean)
+    take a per-row Python path computing the identical IEEE doubles.
+    """
+    import pyarrow as pa
+
+    id_type = emb_n.schema["vec_id"].dataType.simpleString()
+
+    def _row_quant(vals):
+        import math
+
+        if vals is None:
+            return None, 0.0
+        non_null = [abs(float(v)) for v in vals if v is not None]
+        if not non_null:
+            return ([None] * len(vals) if vals else []), 0.0
+        mx = float("nan") if any(math.isnan(a) for a in non_null) else max(
+            non_null
+        )
+        cond = mx > 0 or math.isnan(mx)
+        scl = 127.0 / mx if cond else 0.0
+        inv = mx / 127.0 if cond else 0.0
+        qv = []
+        for v in vals:
+            if v is None:
+                qv.append(None)
+                continue
+            y = float(v) * scl + 0.5
+            if math.isnan(y):
+                qv.append(0)
+            elif y == float("inf"):
+                qv.append(_LONG_MAX)
+            elif y == float("-inf"):
+                qv.append(_LONG_MIN)
+            else:
+                f = math.floor(y)
+                qv.append(max(_LONG_MIN, min(_LONG_MAX, int(f))))
+        return qv, inv
+
+    def gen(batches):
+        import numpy as np
+
+        for batch in batches:
+            emb = batch.column("embedding")
+            ok, x = _list_f64(emb, EMB_DIM)
+            n = len(ok)
+            inv_out = np.zeros(n, dtype="float64")
+            qv_out: list = [None] * n
+            if x.shape[0]:
+                mx = np.max(np.abs(x), axis=1)
+                cond = (mx > 0) | np.isnan(mx)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    scl = np.where(cond, np.divide(127.0, mx), 0.0)
+                    inv_fast = np.where(cond, np.divide(mx, 127.0), 0.0)
+                q = _sat_floor_long(x * scl[:, None] + 0.5)
+                inv_out[ok] = inv_fast
+                for row_i, q_row in zip(np.flatnonzero(ok), q):
+                    qv_out[row_i] = q_row.tolist()
+            if not ok.all():
+                rows = emb.to_pylist()
+                for row_i in np.flatnonzero(~ok):
+                    qv, inv = _row_quant(rows[row_i])
+                    qv_out[row_i] = qv
+                    inv_out[row_i] = inv
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("vec_id"),
+                    pa.array(qv_out, type=pa.list_(pa.int64())),
+                    pa.array(inv_out, type=pa.float64()),
+                ],
+                ["vec_id", "qv", "inv"],
+            )
+
+    return emb_n.select("vec_id", "embedding").mapInArrow(
+        gen, schema=f"vec_id {id_type}, qv array<bigint>, inv double"
+    )
+
+
+def _int_dot_kernel(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Exact BIGINT dot over two int64 array columns -- the q8 retrieve
+    fold. Integer sums are order-independent, so this is bit-trivially
+    equal to the JVM left fold wherever both are defined; a NULL array,
+    width mismatch (zip_with pads with NULL) or NULL element (NULLed
+    product) nulls the JVM fold, mirrored here as None. Magnitudes are
+    bounded by the int8 quantization (|q| <= 127, 64 dims), far inside
+    int64 -- overflow cannot occur on quantized inputs."""
+    import numpy as np
+
+    out: list = [None] * len(a)
+    fast_a = fast_b = None
+    try:
+        fast_a = np.stack(a.to_numpy())
+        fast_b = np.stack(b.to_numpy())
+        if not (
+            fast_a.dtype == np.int64
+            and fast_b.dtype == np.int64
+            and fast_a.shape == fast_b.shape
+        ):
+            fast_a = None
+    except Exception:
+        fast_a = None
+    if fast_a is not None:
+        return pd.Series((fast_a * fast_b).sum(axis=1))
+    for i, (x, y) in enumerate(zip(a, b)):
+        if x is None or y is None or len(x) != len(y):
+            continue
+        acc = 0
+        bad = False
+        for xv, yv in zip(x, y):
+            if (
+                xv is None
+                or yv is None
+                or xv != xv
+                or yv != yv
+            ):
+                bad = True
+                break
+            acc += int(xv) * int(yv)
+        if not bad:
+            out[i] = acc
+    return pd.Series(out, dtype=object)
+
+
+def _int_dot():
+    return F.pandas_udf(_int_dot_kernel, "long")
+
+
+def _pair_cosine_map(joined: DataFrame) -> DataFrame:
+    """Replace the scored join's interpreted cosine fold with a
+    ``mapInArrow`` pass: input carries ``q_emb, embedding, q_nrm, nrm``
+    plus any passthrough key columns; output is the passthrough columns
+    plus ``cosine`` = dot(q_emb, embedding) / (q_nrm * nrm).
+
+    mapInArrow (not a pandas_udf) because the boundary must carry the
+    JVM fold's FULL value domain: pandas->Arrow renders NaN as NULL,
+    while pyarrow float64 arrays keep NaN and NULL distinct -- and the
+    family window ranks them differently (Spark orders NaN greatest,
+    NULL last), so conflating them would move rows. Bit-equality with
+    the expression rendering, term by term:
+
+    - the dot accumulates (double)q_d * (double)b_d from 0.0 in index
+      order -- the JVM fold's exact IEEE add sequence (never numpy's
+      pairwise sum/BLAS);
+    - the denominator is fl(q_nrm * nrm) from the PRE-COMPUTED norm
+      columns, then one divide;
+    - a NULL vector, NULL norm, width mismatch (zip_with pads with
+      NULL) or NULL ELEMENT (visible to pyarrow, unlike pandas) nulls
+      the numerator -> NULL cosine, short-circuiting BEFORE the
+      zero-denominator check exactly like Spark's DivModLike;
+    - a zero denominator under a non-NULL numerator raises the same
+      DIVIDE_BY_ZERO the JVM throws under ANSI (blocked-kernel parity);
+    - NaN/Inf elements flow through as IEEE arithmetic -> NaN cosine
+      stays NaN.
+
+    Rows off the EMB_DIM fast path (equal but non-standard widths) take
+    a per-row Python-float path computing the identical doubles.
+    """
+    import pyarrow as pa
+
+    passthrough = [
+        f for f in joined.schema
+        if f.name not in ("q_emb", "embedding", "q_nrm", "nrm")
+    ]
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in passthrough
+    )
+    names = [f.name for f in passthrough]
+
+    def gen(batches):
+        import numpy as np
+
+        for batch in batches:
+            n = batch.num_rows
+            ok_q, xq = _list_f64(batch.column("q_emb"), EMB_DIM)
+            ok_b, xb = _list_f64(batch.column("embedding"), EMB_DIM)
+            qn = batch.column("q_nrm").to_numpy(zero_copy_only=False)
+            bn = batch.column("nrm").to_numpy(zero_copy_only=False)
+            qn_ok = ~np.asarray(batch.column("q_nrm").is_null())
+            bn_ok = ~np.asarray(batch.column("nrm").is_null())
+            ok = ok_q & ok_b & qn_ok & bn_ok
+            out = np.full(n, np.nan, dtype="float64")
+            out_null = ~ok
+            if ok.any():
+                # xq/xb are compacted to their own ok rows; re-expand
+                pos_q = np.cumsum(ok_q) - 1
+                pos_b = np.cumsum(ok_b) - 1
+                sel = np.flatnonzero(ok)
+                a = xq[pos_q[sel]]
+                b = xb[pos_b[sel]]
+                num = np.zeros(len(sel), dtype="float64")
+                for d in range(EMB_DIM):
+                    num += a[:, d] * b[:, d]
+                den = qn[sel] * bn[sel]
+                if (den == 0).any():
+                    raise ArithmeticError(
+                        "DIVIDE_BY_ZERO: zero-norm pair in sim_ann "
+                        "scored join (ANSI parity)"
+                    )
+                out[sel] = num / den
+            # equal-but-nonstandard widths: the JVM fold is defined
+            # there too -- per-row exact Python floats
+            slow = np.flatnonzero(
+                ~ok_q & ~np.asarray(batch.column("q_emb").is_null())
+            )
+            if len(slow):
+                qe_rows = batch.column("q_emb").to_pylist()
+                be_rows = batch.column("embedding").to_pylist()
+                for i in slow:
+                    if not (qn_ok[i] and bn_ok[i]):
+                        continue
+                    qe, be = qe_rows[i], be_rows[i]
+                    if (
+                        qe is None or be is None or len(qe) != len(be)
+                        or any(v is None for v in qe)
+                        or any(v is None for v in be)
+                    ):
+                        continue
+                    acc = 0.0
+                    for xv, yv in zip(qe, be):
+                        acc += float(xv) * float(yv)
+                    den_i = float(qn[i]) * float(bn[i])
+                    if den_i == 0:
+                        raise ArithmeticError(
+                            "DIVIDE_BY_ZERO: zero-norm pair in sim_ann "
+                            "scored join (ANSI parity)"
+                        )
+                    out[i] = acc / den_i
+                    out_null[i] = False
+            yield pa.RecordBatch.from_arrays(
+                [
+                    *[batch.column(nm) for nm in names],
+                    pa.array(out, type=pa.float64(), mask=out_null),
+                ],
+                [*names, "cosine"],
+            )
+
+    return joined.mapInArrow(gen, schema=f"{schema}, cosine double")
+
+
+def _ann_kernels_ok(spark: SparkSession) -> bool:
+    """One-time-per-session runtime equality probe for the ANN kernels
+    (the FP analog of the shingle/span kernels' locale probe): run the
+    bucket, quantize and pair-fold kernels beside their expression
+    renderings on a fixed adversarial micro-frame and require exact
+    equality. Any mismatch disables the kernels for the session (the
+    expression path is always correct); the cost is a handful of
+    ~20-row jobs, paid only when the size gate would engage."""
+    tok = session_token(spark)
+    if tok in _ANN_PROBE_CACHE:
+        return _ANN_PROBE_CACHE[tok]
+    ok = True
+    try:
+        import math
+
+        rows = []
+        for i in range(12):
+            vec = [
+                float(((i * 64 + d) * 2654435761 % 1000003) - 500000)
+                / 65536.0
+                for d in range(EMB_DIM)
+            ]
+            rows.append((i, i % 3, vec))
+        rows.append((12, 0, [0.5] * EMB_DIM))
+        rows.append((13, 1, [-1e-30] * EMB_DIM))
+        rows.append((14, 2, [float("nan")] + [1.0] * (EMB_DIM - 1)))
+        rows.append((15, 0, [math.inf] + [1.0] * (EMB_DIM - 1)))
+        rows.append((16, 1, None))
+        rows.append((17, 2, [1.0] * 10))
+        base = spark.createDataFrame(
+            rows, "vec_id bigint, label int, embedding array<float>"
+        )
+        emb_n = base.select(
+            "vec_id", "label", "embedding",
+            norm(F.col("embedding")).alias("nrm"),
+        )
+
+        def key(r):
+            return r["vec_id"]
+
+        def same(x, y):
+            if isinstance(x, float) and isinstance(y, float):
+                return (math.isnan(x) and math.isnan(y)) or x == y
+            if isinstance(x, list) and isinstance(y, list):
+                return len(x) == len(y) and all(
+                    same(a_, b_) for a_, b_ in zip(x, y)
+                )
+            return x == y
+
+        expr_b = {
+            key(r): r["bucket"]
+            for r in emb_n.withColumn("bucket", _bucket_col()).collect()
+        }
+        kern_b = {
+            key(r): r["bucket"] for r in _bucket_assign_kernel(emb_n).collect()
+        }
+        ok = ok and expr_b == kern_b
+
+        mx = F.array_max(
+            F.transform(
+                F.col("embedding"), lambda x: F.abs(x.cast("double"))
+            )
+        )
+        scl = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+        inv = F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(0.0))
+        expr_q = {
+            key(r): (r["qv"], r["inv"])
+            for r in emb_n.select(
+                "vec_id",
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array_repeat(scl, F.size(F.col("embedding"))),
+                    lambda x, s_: F.floor(
+                        x.cast("double") * s_ + F.lit(0.5)
+                    ).cast("bigint"),
+                ).alias("qv"),
+                inv.alias("inv"),
+            ).collect()
+        }
+        kern_q = {
+            key(r): (r["qv"], r["inv"])
+            for r in _quantize_kernel(emb_n).collect()
+        }
+        ok = ok and set(expr_q) == set(kern_q) and all(
+            same(list(expr_q[k]), list(kern_q[k])) for k in expr_q
+        )
+
+        clean = emb_n.where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == EMB_DIM)
+        )
+        q = clean.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("id_a"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+        joined = clean.join(
+            F.broadcast(q), F.col("vec_id") != F.col("id_a")
+        )
+        expr_c = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in joined.select(
+                "id_a",
+                F.col("vec_id").alias("id_b"),
+                (
+                    dot(F.col("q_emb"), F.col("embedding"))
+                    / (F.col("q_nrm") * F.col("nrm"))
+                ).alias("cosine"),
+            ).collect()
+        }
+        kern_c = {
+            (r["id_a"], r["id_b"]): r["cosine"]
+            for r in _pair_cosine_map(
+                joined.select(
+                    "id_a", F.col("vec_id").alias("id_b"),
+                    "q_emb", "embedding", "q_nrm", "nrm",
+                )
+            ).collect()
+        }
+        ok = ok and len(expr_c) > 0 and set(expr_c) == set(kern_c) and all(
+            same(expr_c[k], kern_c[k]) for k in expr_c
+        )
+    except Exception:
+        ok = False
+    if not ok:
+        import warnings
+
+        warnings.warn(
+            "ANN Arrow kernels disabled: the runtime equality probe "
+            "found a kernel/expression divergence on this platform; "
+            "using the Catalyst expression renderings"
+        )
+    _ANN_PROBE_CACHE[tok] = ok
+    return ok
+
+
 @register(
     "sim_ann_family",
     oracle=f"""
@@ -545,7 +1050,24 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 2x on (id, key) rows, not on payload scans, and at 100 TB it keeps
     # the corpus to one pass instead of two.
     emb_n = _normed(spark, sf_dir)
-    b = emb_n.withColumn("bucket", _bucket_col())
+    # r16 size gate (VERDICT r15 #4): above ANN_KERNEL_BOUND vectors
+    # (footer count, no Spark job) the family's corpus-sized
+    # interpreted folds run as Arrow kernels -- bucket assignment,
+    # q8 quantize + retrieve dot, the ivf/lsh pair cosine, and the
+    # pairs branch's blocked kernel -- each pinned bit-equal by
+    # tests/test_ann_kernels.py and the session's runtime equality
+    # probe. Every oracle/bench scale stays on the expression path.
+    n_vecs = table_row_count(sf_dir, "embeddings")
+    use_kernel = (
+        n_vecs is not None
+        and n_vecs > ANN_KERNEL_BOUND
+        and _ann_kernels_ok(spark)
+    )
+    b = (
+        _bucket_assign_kernel(emb_n)
+        if use_kernel
+        else emb_n.withColumn("bucket", _bucket_col())
+    )
     cand = b.select(
         "vec_id",
         "embedding",
@@ -570,25 +1092,42 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = cand.join(
+    joined = cand.join(
         F.broadcast(q),
         (F.col("method") == F.col("q_method"))
         & (F.col("key") == F.col("q_key"))
         & (F.col("vec_id") != F.col("id_a")),
-    ).select(
-        "method",
-        "id_a",
-        F.col("vec_id").alias("id_b"),
-        (
-            dot(F.col("q_emb"), F.col("embedding"))
-            / (F.col("q_nrm") * F.col("nrm"))
-        ).alias("cosine"),
     )
+    if use_kernel:
+        scored = _pair_cosine_map(
+            joined.select(
+                "method", "id_a", F.col("vec_id").alias("id_b"),
+                "q_emb", "embedding", "q_nrm", "nrm",
+            )
+        )
+    else:
+        scored = joined.select(
+            "method",
+            "id_a",
+            F.col("vec_id").alias("id_b"),
+            (
+                dot(F.col("q_emb"), F.col("embedding"))
+                / (F.col("q_nrm") * F.col("nrm"))
+            ).alias("cosine"),
+        )
     # The q8 branch's final exact-cosine rerank rides the SAME shared
     # window: its scored candidate pairs union in under method='q8'
     # before the row_number, saving the branch its own ranking shuffle
     # (identical output -- same partition key, same ordering, same
     # TOP_K cut).
+    # The q8 branch KEEPS the expression rendering at every scale:
+    # its kernel pair (quantize + int-dot pandas_udf) measured SLOWER
+    # at 1M vectors (tools/ann_attrib.py: quantize 0.68s -> 0.76s, q8
+    # branch 3.62s -> 4.79s) -- the retrieve ships BOTH int64 arrays
+    # per pair through Arrow while the JVM integer fold reads the
+    # query side from the broadcast relation. The kernels stay
+    # available (kernel=True) and differential-pinned for shapes where
+    # the trade flips (e.g. a wider quantized payload).
     q8_scored = _quantized_rerank_scored(emb_n).select(
         F.lit("q8").alias("method"), "id_a", "id_b", "cosine"
     )
@@ -640,11 +1179,22 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.lit(src).alias("src"), "h", "vec_id", "embedding")
         )
 
-    seed_collect = (
-        _ranked(nanfree, "pq", PQ_K)
-        .unionByName(_ranked(valid, "kseed", KSEED_K))
-        .collect()
+    seeds_frame = _ranked(nanfree, "pq", PQ_K).unionByName(
+        _ranked(valid, "kseed", KSEED_K)
     )
+    if use_kernel:
+        # the pq branch's ADC kernel needs the (model-sized) query
+        # rows driver-side; they ride the SAME collect job under a
+        # third src marker, so kernel scale pays no extra job
+        seeds_frame = seeds_frame.unionByName(
+            nanfree.where(F.col("vec_id") < QUERY_N).select(
+                F.lit("pqq").alias("src"),
+                F.md5(F.col("vec_id").cast("string")).alias("h"),
+                "vec_id",
+                "embedding",
+            )
+        )
+    seed_collect = seeds_frame.collect()
     pq_seed_rows = sorted(
         (r for r in seed_collect if r["src"] == "pq"),
         key=lambda r: (r["h"], r["vec_id"]),
@@ -662,17 +1212,52 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for s in range(PQ_M)
         }
-        coded = pq_encode(nanfree, books).where(F.col("codes").isNotNull())
-        pq_scored = adc_scored(
-            coded.select(F.col("vec_id").alias("id_b"), "codes"),
-            nanfree.where(F.col("vec_id") < QUERY_N).select(
-                F.col("vec_id").alias("id_a"),
-                F.col("embedding").alias("q_emb"),
-                F.col("nrm").alias("q_nrm"),
-            ),
-            books,
-            F.col("id_b") != F.col("id_a"),
-        )
+        if use_kernel:
+            # r16 (VERDICT r15 #4): the branch's two corpus-sized
+            # interpreted folds -- the per-row encode argmin and the
+            # per-pair ADC dot/norm folds (12.7s + 13.2s of the 1M
+            # family, tools/ann_attrib.py) -- run as Arrow kernels.
+            # The ADC kernel folds the collected queries into the PQ
+            # paper's lookup tables driver-side (exact IEEE doubles,
+            # same add order) and streams CODES only: m bytes per
+            # corpus row cross Arrow once, no broadcast join at all.
+            import math
+
+            from ..operators.pq import adc_scored_kernel, pq_encode_kernel
+
+            qrows = []
+            for r in sorted(
+                (r for r in seed_collect if r["src"] == "pqq"),
+                key=lambda r: r["vec_id"],
+            ):
+                acc = 0.0
+                for v in r["embedding"]:
+                    fv = float(v)
+                    acc += fv * fv
+                qrows.append(
+                    (r["vec_id"], list(r["embedding"]), math.sqrt(acc))
+                )
+            pq_scored = adc_scored_kernel(
+                pq_encode_kernel(nanfree, books).withColumnRenamed(
+                    "vec_id", "id_b"
+                ),
+                qrows,
+                books,
+            )
+        else:
+            coded = pq_encode(nanfree, books).where(
+                F.col("codes").isNotNull()
+            )
+            pq_scored = adc_scored(
+                coded.select(F.col("vec_id").alias("id_b"), "codes"),
+                nanfree.where(F.col("vec_id") < QUERY_N).select(
+                    F.col("vec_id").alias("id_a"),
+                    F.col("embedding").alias("q_emb"),
+                    F.col("nrm").alias("q_nrm"),
+                ),
+                books,
+                F.col("id_b") != F.col("id_a"),
+            )
         ranked = ranked.unionByName(
             pq_scored.select(
                 F.lit("pq").alias("method"), "id_a", "id_b", "cosine"
@@ -701,7 +1286,7 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("method", "id_a", "id_b", "cosine", "rank")
     )
-    pairs = blocked_cell_pairs(emb_n).select(
+    pairs = blocked_cell_pairs(emb_n, kernel=use_kernel).select(
         F.lit("pairs").alias("method"),
         "id_a",
         "id_b",
@@ -749,7 +1334,9 @@ def sim_ann_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _quantized_rerank_scored(
-    emb_n: DataFrame, rerank_n: int = QUANT_RERANK_N
+    emb_n: DataFrame,
+    rerank_n: int = QUANT_RERANK_N,
+    kernel: bool = False,
 ) -> DataFrame:
     """int8-quantized retrieve + exact-cosine rerank (two-stage ANN).
 
@@ -792,26 +1379,38 @@ def _quantized_rerank_scored(
     # array_repeat evaluates scl ONCE per row and fills; x * s + 0.5 is
     # the same doubles in the same order, so codes (and the oracle
     # differential) are bit-identical to the old rendering.
-    qz = emb_n.select(
-        "vec_id",
-        F.zip_with(
-            F.col("embedding"),
-            F.array_repeat(scl, F.size(F.col("embedding"))),
-            lambda x, s: F.floor(x.cast("double") * s + F.lit(0.5)).cast(
-                "bigint"
-            ),
-        ).alias("qv"),
-        inv.alias("inv"),
+    # r16: above the family's size gate the per-row quantization runs
+    # as the Arrow kernel (bit-equal; see _quantize_kernel) and the
+    # per-pair BIGINT retrieve dot as a vectorized pandas_udf (exact
+    # integer arithmetic -- order-free, trivially bit-equal).
+    qz = (
+        _quantize_kernel(emb_n)
+        if kernel
+        else emb_n.select(
+            "vec_id",
+            F.zip_with(
+                F.col("embedding"),
+                F.array_repeat(scl, F.size(F.col("embedding"))),
+                lambda x, s: F.floor(x.cast("double") * s + F.lit(0.5)).cast(
+                    "bigint"
+                ),
+            ).alias("qv"),
+            inv.alias("inv"),
+        )
     )
     q8q = qz.where(F.col("vec_id") < QUERY_N).select(
         F.col("vec_id").alias("id_a"),
         F.col("qv").alias("q_qv"),
         F.col("inv").alias("q_inv"),
     )
-    idot = F.aggregate(
-        F.zip_with(F.col("q_qv"), F.col("qv"), lambda x, y: x * y),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+    idot = (
+        _int_dot()(F.col("q_qv"), F.col("qv"))
+        if kernel
+        else F.aggregate(
+            F.zip_with(F.col("q_qv"), F.col("qv"), lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
     )
     approx = qz.join(F.broadcast(q8q), F.col("vec_id") != F.col("id_a")).select(
         "id_a",

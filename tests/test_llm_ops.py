@@ -1746,3 +1746,79 @@ def test_lm_kernel_bounds_unigram_tier_too(spark, monkeypatch):
     monkeypatch.setattr(T, "_lm_stream_kernel", boom)
     with pytest.raises(AssertionError, match="kernel engaged"):
         T.lm_score_docs_grouped(docs, uni, bi, tot).collect()
+
+
+def test_strip_boilerplate_binary_digests_match_hex_rendering(spark, sf_dir):
+    """r16: the internal line digests moved to 16-byte BINARY
+    (unhex(md5) is a bijection, so frequent-digest equality classes
+    cannot change) -- pinned by recomputing the OLD hex rendering
+    inline and requiring identical rewritten rows on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.io import read_table
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
+        LINE_MIN_DUP,
+        LINE_TOKENS,
+        strip_boilerplate,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    now = {
+        r["doc_id"]: r["text"] for r in strip_boilerplate(docs).collect()
+    }
+
+    # the pre-r16 hex-string rendering, verbatim
+    segs = F.expr(
+        f"transform(sequence(0, size(wt) - 1, {LINE_TOKENS}),"
+        f" i -> concat_ws(' ', slice(wt, i + 1, {LINE_TOKENS})))"
+    )
+    case_tokens = F.split(
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")), " "
+    )
+    with_segs = docs.withColumn("wt", case_tokens).withColumn("segs", segs)
+    digests = with_segs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(segs, s -> md5(encode(lower(s), 'UTF-8')))")
+        ).alias("h"),
+    )
+    frequent = (
+        digests.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= LINE_MIN_DUP)
+        .select("h")
+    )
+    doc_freq = (
+        digests.join(F.broadcast(frequent), "h")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("freq_h"))
+    )
+    old = {
+        r["doc_id"]: r["text"]
+        for r in (
+            with_segs.join(doc_freq, "doc_id", "left")
+            .withColumn(
+                "freq_h",
+                F.coalesce(
+                    "freq_h", F.expr("CAST(array() AS ARRAY<STRING>)")
+                ),
+            )
+            .select(
+                "doc_id",
+                F.when(F.col("wt").isNull(), F.lit(None).cast("string"))
+                .otherwise(
+                    F.array_join(
+                        F.expr(
+                            "filter(segs, s -> NOT array_contains("
+                            "freq_h, md5(encode(lower(s), 'UTF-8'))))"
+                        ),
+                        " ",
+                    )
+                )
+                .alias("text"),
+            )
+            .collect()
+        )
+    }
+    assert now == old
+    assert any(v for v in now.values())

@@ -16,14 +16,13 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    import tempfile
-
     from pyspark.sql import functions as F
 
     n_docs = int(sys.argv[1])
@@ -36,7 +35,19 @@ def main() -> None:
     from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.graph import (
         connected_components,
     )
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucket_count_for,
+        write_bucketed,
+    )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries import dedup
+
+    def gc_nudge() -> None:
+        # free dead shuffle generations between terms (the r14 recall
+        # lesson: ContextCleaner only reclaims after a JVM GC)
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     own_tmp = None
     if corpus_dir is None:
@@ -46,37 +57,66 @@ def main() -> None:
         sf_dir = corpus_dir
     ensure_corpus(spark, sf_dir, n_docs)
 
-    out: dict = {"n_docs": n_docs}
+    n_buckets = bucket_count_for(n_docs)
+    out: dict = {"n_docs": n_docs, "buckets": n_buckets}
 
+    # r16 (VERDICT r15 #1): every heavy boundary is a DISK-BACKED
+    # bucketed table read bare -- the production shape the composed DAG
+    # uses above BUCKETED_DAG_BOUND -- instead of the in-memory
+    # shingled_docs persist + 463M-row localCheckpoint that OOM'd the
+    # 8M split in r15 (AGGREGATE_OUT_OF_MEMORY: the cache tiers stole
+    # execution memory from the minhash aggregate).
+    idx_tbl = "attrib_shingle_index"
     t0 = time.time()
-    sh = dedup.shingled_docs(spark, sf_dir)
-    out["index_rows"] = sh.count()  # builds + persists the index
+    sh = dedup.materialize_shingle_index(spark, sf_dir, idx_tbl, n_buckets)
+    out["index_rows"] = sh.count()
     out["index_s"] = round(time.time() - t0, 1)
+    gc_nudge()
 
+    # rep map is one row per shingle-bearing doc (~16 B/row) -- small
+    # enough for a localCheckpoint at any corpus this box fits
     t0 = time.time()
     rep_map = dedup._digest_rep_map(spark, sf_dir, sh).localCheckpoint(
         eager=True
     )
     out["rep_map_s"] = round(time.time() - t0, 1)
-    # the rep-filtered index is its OWN term: this materialization is a
-    # full pass over the ~N*55 shingle rows, and the composed operator
-    # keeps rep_sh lazy over the persisted index -- so the tool's later
-    # terms read a pre-materialized frame the composed run never has
-    # (round-10 review; the composed_s total is the honest end-to-end)
+
+    # the rep-filtered index is its own bucketed-table boundary, read
+    # bare: the index side of the filter join stays in place (bucketed
+    # scan), the rep ids shuffle to it, and downstream terms re-read
+    # columnar disk instead of a cache tier
+    rep_tbl = "attrib_rep_index"
     t0 = time.time()
-    rep_sh = sh.join(
-        rep_map.where(F.col("doc_id") == F.col("rep")).select("doc_id"),
+    reps = rep_map.where(F.col("doc_id") == F.col("rep")).select("doc_id")
+    write_bucketed(
+        sh.join(reps, "doc_id", "left_semi"),
+        rep_tbl,
         "doc_id",
-    ).localCheckpoint(eager=True)
+        n_buckets,
+        sort=True,
+    )
+    rep_sh = spark.table(rep_tbl)
+    out["rep_rows"] = rep_sh.count()
     out["rep_filter_s"] = round(time.time() - t0, 1)
+    gc_nudge()
 
     lsh = n_docs > dedup.LEXICAL_LSH_BOUND
     out["path"] = "lsh" if lsh else "direct"
+    cand_dir = os.path.join(
+        tempfile.gettempdir(), f"attrib_cand_{os.getpid()}"
+    )
     t0 = time.time()
     if lsh:
-        cand = dedup._minhash_candidates(rep_sh).localCheckpoint(eager=True)
+        # candidate pairs are their own small disk boundary (two longs
+        # a row), so the verify term starts from a parquet scan, not a
+        # live shuffle lineage
+        dedup._minhash_candidates(rep_sh).write.mode("overwrite").parquet(
+            cand_dir
+        )
+        cand = spark.read.parquet(cand_dir)
         out["candidates"] = cand.count()
         out["candidates_s"] = round(time.time() - t0, 1)
+        gc_nudge()
         t0 = time.time()
         pairs = dedup._verify_candidates(rep_sh, cand).localCheckpoint(
             eager=True
@@ -85,19 +125,27 @@ def main() -> None:
         pairs = dedup._pair_jaccard(rep_sh).localCheckpoint(eager=True)
     out["pairs"] = pairs.count()
     out["verify_s"] = round(time.time() - t0, 1)
+    gc_nudge()
 
     t0 = time.time()
     labels = connected_components(pairs.select("doc_a", "doc_b"))
     out["labeled"] = labels.count()
     out["cc_s"] = round(time.time() - t0, 1)
+    gc_nudge()
 
-    # composed operator end-to-end (warm index; the residual over the
+    # composed operator end-to-end over the warm TABLE-BACKED index --
+    # the DAG's production doc_clusters shape (the residual over the
     # terms is the label fold + sizes + canonical assembly)
     t0 = time.time()
     out["rows"] = dedup.lexical_components(spark, sf_dir).count()
     out["composed_s"] = round(time.time() - t0, 1)
 
     print(json.dumps(out))
+    spark.sql(f"DROP TABLE IF EXISTS {idx_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {rep_tbl}")
+    import shutil
+
+    shutil.rmtree(cand_dir, ignore_errors=True)
     spark.stop()
     if own_tmp is not None:
         own_tmp.cleanup()

@@ -34,13 +34,32 @@ def main() -> None:
 
     from tools.dfcap_sweep import ensure_corpus, make_session
 
-    spark = make_session()
+    # r16 (VERDICT r15 #3): the 8M rung died ENOSPC inside the
+    # minhash/verify spill at ~70GB free (~85-90GB needed with lz4).
+    # zstd on shuffle+spill buys the missing ~15GB+ of scratch -- a
+    # recall-session-only knob: recall is a feasibility/correctness
+    # figure, so its walls are not compared against lz4 rounds.
+    spark = make_session(
+        extra_conf={"spark.io.compression.codec": "zstd"}
+    )
     ensure_corpus(spark, sf_dir, n_docs)
 
+    from data_pipeline_spark_iceberg_dbt_airflow_spark.operators.layout import (
+        bucket_count_for,
+    )
     from data_pipeline_spark_iceberg_dbt_airflow_spark.queries.dedup import (
         lexical_components,
         materialize_shingle_index,
+        release_shingle_index,
     )
+
+    def gc_nudge() -> None:
+        # ContextCleaner frees dead shuffle generations only after a
+        # JVM GC -- nudge between rungs so scratch tracks the live stage
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     t0 = time.time()
     # r14: above the in-memory comfort envelope the raw+index cache
@@ -50,18 +69,22 @@ def main() -> None:
     # because its index is a DISK-BACKED bucketed table with no memory
     # tiers; give the recall run the production shape (and a GC nudge
     # so the build's dead shuffle files free before the verify job).
+    # Bucket count corpus-scaled since r15 (the production default).
     materialize_shingle_index(
-        spark, sf_dir, "recallplant_shingle_index", 32
+        spark, sf_dir, "recallplant_shingle_index", bucket_count_for(n_docs)
     )
-    try:
-        spark.sparkContext._jvm.System.gc()
-    except Exception:
-        pass
+    gc_nudge()
     comp = lexical_components(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     comp = comp.localCheckpoint(eager=True)
     wall = round(time.time() - t0, 1)
+    # everything after this point reads only ``comp`` (2 longs/doc):
+    # drop the index table and its cache entry so the recall joins run
+    # beside a clean warehouse, and free the rung's dead shuffle files
+    release_shingle_index(spark)
+    spark.sql("DROP TABLE IF EXISTS recallplant_shingle_index")
+    gc_nudge()
 
     a = comp.alias("a")
     b = comp.alias("b")
